@@ -1,0 +1,79 @@
+"""Field statistics.
+
+Reference: agnes src/stats.rs (NaCount, Sum, Mean, SumSq, Variance,
+Extrema) and src/view_stats.rs:230 `view_stats`. agnes folds each stat
+in a separate pass over the column; Spark-first we compute ALL stats
+for a field (or all fields) in a single aggregate — one scan, one
+map-side partial agg, one tiny shuffle, regardless of data size.
+
+NA semantics preserved from the reference:
+- sum / sum_sq treat NA as 0 (== Spark's null-skipping sum);
+- mean / var / stdev ignore NAs (Spark avg/var_samp/stddev ditto);
+- var/stdev return 0.0 when no values exist (stats.rs:115 doc);
+- min/max return NULL when no values exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stat_aggs(c: str, prefix: str = "") -> list:
+    col = F.col(c)
+    return [
+        F.count(F.when(col.isNull(), F.lit(1))).alias(f"{prefix}num_na"),
+        F.count(col).alias(f"{prefix}num_exists"),
+        F.coalesce(F.sum(col), F.lit(0.0)).alias(f"{prefix}sum"),
+        F.avg(col).alias(f"{prefix}mean"),
+        F.coalesce(F.sum(col * col), F.lit(0.0)).alias(f"{prefix}sum_sq"),
+        F.coalesce(F.var_samp(col), F.lit(0.0)).alias(f"{prefix}var"),
+        F.coalesce(F.var_pop(col), F.lit(0.0)).alias(f"{prefix}varp"),
+        F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias(f"{prefix}stdev"),
+        F.min(col).alias(f"{prefix}min"),
+        F.max(col).alias(f"{prefix}max"),
+    ]
+
+
+def field_stats_df(df: DataFrame, label: str) -> DataFrame:
+    """All agnes field stats for one column as a 1-row DataFrame."""
+    return df.agg(*_stat_aggs(label))
+
+
+def field_stats(df: DataFrame, label: str) -> dict:
+    return field_stats_df(df, label).collect()[0].asDict()
+
+
+def view_stats(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
+    """Per-numeric-field summary (field, num_na, num_exists, sum, mean,
+    stdev, min, max) — agnes src/view_stats.rs ViewStats table.
+
+    One wide aggregate over all fields (single scan) reshaped to one
+    row per field driver-side (output is nfields rows — tiny).
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+    if labels is None:
+        labels = [c for c, t in df.dtypes if t in numeric or t.startswith("decimal")]
+    aggs = []
+    for c in labels:
+        aggs.extend(_stat_aggs(c, prefix=f"{c}::"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row[f"{c}::num_na"]),
+            int(row[f"{c}::num_exists"]),
+            float(row[f"{c}::sum"]),
+            None if row[f"{c}::mean"] is None else float(row[f"{c}::mean"]),
+            float(row[f"{c}::stdev"]),
+            None if row[f"{c}::min"] is None else float(row[f"{c}::min"]),
+            None if row[f"{c}::max"] is None else float(row[f"{c}::max"]),
+        )
+        for c in labels
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, num_na long, num_exists long, sum double, "
+        "mean double, stdev double, min double, max double",
+    )

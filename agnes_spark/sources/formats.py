@@ -1,0 +1,39 @@
+"""Parquet / JSON / ORC sources and sinks (beyond the reference's CSV;
+the natural columnar formats for the 100 TB deployment).
+
+Parquet is the default: columnar, predicate pushdown, column pruning,
+partition pruning on directory layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)  # no inference pass at scale
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,80 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from agnes_spark import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_equal",
+    "join_band",
+    "aggregate_sum",
+    "topk_per_group",
+    "melt_wide",
+    "unique_values",
+    "field_stats",
+    "sort_two_keys",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "events_windowed",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("agnes_spark_bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

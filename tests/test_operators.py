@@ -1,0 +1,98 @@
+"""Operator tests — melt, aggregate, stats, ops, unique.
+
+Model: reference tests/dataview.rs + examples/melt_aggregate.rs
+(the salary melt/aggregate walkthrough is reproduced verbatim here).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.aggregate import aggregate
+from agnes_spark.operators.melt import melt
+from agnes_spark.operators.ops import field_op, rscalar_op, scalar_op
+from agnes_spark.operators.stats import field_stats, view_stats
+from agnes_spark.sources.memory import table
+
+
+def _salary_table(spark):
+    # reference examples/melt_aggregate.rs
+    return table(
+        spark,
+        {
+            "EmpId": [0, 1, 2],
+            "Year2010": [1500.0, 900.0, 600.0],
+            "Year2011": [1600.0, 920.0, 800.0],
+            "Year2012": [1700.0, 940.0, 900.0],
+            "Year2013": [1850.0, 940.0, 1020.0],
+            "Year2014": [2000.0, 970.0, 1100.0],
+        },
+        types={"EmpId": "bigint", **{f"Year201{i}": "double" for i in range(5)}},
+    )
+
+
+def test_melt_aggregate_reference_example(spark):
+    orig = _salary_table(spark)
+    assert (orig.count(), len(orig.columns)) == (3, 6)
+
+    melted = melt(
+        orig,
+        [f"Year201{i}" for i in range(5)],
+        "SalaryYear",
+        "Salary",
+    )
+    assert (melted.count(), len(melted.columns)) == (15, 3)
+    assert melted.columns == ["EmpId", "SalaryYear", "Salary"]
+
+    agg = aggregate(melted, ["SalaryYear"], "Salary", "sum", "TotalYearlySalary")
+    assert (agg.count(), len(agg.columns)) == (5, 2)
+    by_year = {r.SalaryYear: r.TotalYearlySalary for r in agg.collect()}
+    assert by_year["Year2010"] == 3000.0
+    assert by_year["Year2014"] == 4070.0
+
+
+def test_aggregate_sum_treats_na_as_zero(spark):
+    df = table(spark, {"k": ["a", "a", "b"], "v": [1.0, None, None]}, types={"k": "string", "v": "double"})
+    agg = aggregate(df, ["k"], "v", "sum", "s")
+    got = {r.k: r.s for r in agg.collect()}
+    assert got == {"a": 1.0, "b": 0.0}  # agnes sum: NA == 0, never null
+
+
+def test_field_stats_matches_reference_semantics(spark):
+    df = table(spark, {"x": [1.0, 2.0, None, 4.0]}, types={"x": "double"})
+    s = field_stats(df, "x")
+    assert s["num_na"] == 1
+    assert s["num_exists"] == 3
+    assert s["sum"] == 7.0
+    assert abs(s["mean"] - 7.0 / 3) < 1e-12
+    assert s["min"] == 1.0 and s["max"] == 4.0
+    # sample var: sum_sq/(n-1) - n/(n-1)*mean^2 (stats.rs:115)
+    expect_var = (1 + 4 + 16) / 2 - 3 / 2 * (7.0 / 3) ** 2
+    assert abs(s["var"] - expect_var) < 1e-9
+    assert abs(s["stdev"] - math.sqrt(expect_var)) < 1e-9
+
+
+def test_field_stats_all_na_var_is_zero(spark):
+    df = table(spark, {"x": [None, None]}, types={"x": "double"})
+    s = field_stats(df, "x")
+    assert s["num_exists"] == 0
+    assert s["var"] == 0.0 and s["stdev"] == 0.0  # stats.rs doc contract
+    assert s["sum"] == 0.0
+    assert s["min"] is None and s["max"] is None
+
+
+def test_view_stats_shape(spark, lineitem):
+    vs = view_stats(lineitem, ["l_quantity", "l_discount"])
+    rows = vs.collect()
+    assert [r.field for r in rows] == ["l_quantity", "l_discount"]
+    assert all(r.num_exists > 0 for r in rows)
+
+
+def test_scalar_and_field_ops_na_propagate(spark):
+    df = table(spark, {"a": [2.0, None], "b": [10.0, 20.0]}, types={"a": "double", "b": "double"})
+    df = scalar_op(df, "a", "*", 3.0, out_label="a3")
+    df = rscalar_op(df, 1.0, "-", "a", out_label="one_minus_a")
+    df = field_op(df, "a", "+", "b", "ab")
+    rows = df.orderBy("b").collect()
+    assert rows[0].a3 == 6.0 and rows[0].one_minus_a == -1.0 and rows[0].ab == 12.0
+    assert rows[1].a3 is None and rows[1].one_minus_a is None and rows[1].ab is None

@@ -1,0 +1,59 @@
+"""Source tests — model: reference tests/csv.rs + file_reader_test.rs."""
+
+import os
+
+from agnes_spark.sources.csv import CsvSpec, load_csv, sniff, sniff_and_load
+from agnes_spark.sources.formats import read_parquet, write_parquet
+from agnes_spark.sources.memory import table
+
+
+def test_csv_spec_load(spark, tmp_path):
+    p = tmp_path / "gdp.csv"
+    p.write_text(
+        "Country Name,Country Code,2015\n"
+        "Andorra,AND,2811489409.3\n"
+        "Afghanistan,AFG,19199437397.3\n"
+    )
+    # reference examples/gdp_uri.rs spec![] shape
+    spec = CsvSpec(
+        fields={
+            "CountryName": ("Country Name", "string"),
+            "CountryCode": ("Country Code", "string"),
+            "Gdp2015": ("2015", "f64"),
+        }
+    )
+    df = load_csv(spark, str(p), spec)
+    assert df.columns == ["CountryName", "CountryCode", "Gdp2015"]
+    assert df.schema["Gdp2015"].dataType.typeName() == "double"
+    rows = {r.CountryCode: r.Gdp2015 for r in df.collect()}
+    assert abs(rows["AND"] - 2811489409.3) < 1e-3
+
+
+def test_sniffer_detects_delimiter_and_header():
+    delim, header = sniff(b"a;b;c\n1;2;3\n4;5;6\n")
+    assert delim == ";"
+    assert header is True
+
+
+def test_sniff_and_load(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("x\ty\n1\t2\n3\t4\n")
+    df = sniff_and_load(spark, str(p))
+    assert df.columns == ["x", "y"]
+    assert df.count() == 2
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = table(spark, {"a": [1, 2], "b": ["x", "y"]}, types={"a": "bigint", "b": "string"})
+    out = os.path.join(tmp_path, "t.parquet")
+    write_parquet(df, out)
+    back = read_parquet(spark, out, columns=["a"])
+    assert back.columns == ["a"]
+    assert sorted(r.a for r in back.collect()) == [1, 2]
+
+
+def test_memory_table_length_mismatch(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        table(spark, {"a": [1], "b": [1, 2]})

@@ -1,0 +1,66 @@
+"""DataView facade tests — model: reference tests/dataview.rs."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark import DataView
+from agnes_spark.sources.memory import table
+
+
+def test_subview_and_fieldnames(customer):
+    v = DataView(customer)
+    sub = v.subview("c_custkey", "c_name")
+    assert sub.fieldnames() == ["c_custkey", "c_name"]
+    assert sub.nfields() == 2
+    assert sub.nrows() == v.nrows()
+
+
+def test_relabel(customer):
+    v = DataView(customer).relabel("c_custkey", "customer_id")
+    assert "customer_id" in v.fieldnames()
+    assert "c_custkey" not in v.fieldnames()
+
+
+def test_filter_closure_and_expr(customer):
+    v = DataView(customer)
+    a = v.filter("c_acctbal", lambda c: c > 0).nrows()
+    b = v.filter(F.col("c_acctbal") > 0).nrows()
+    assert a == b
+    assert a < v.nrows()  # synthetic data has negatives
+
+
+def test_sort_nulls_last(spark):
+    df = table(
+        spark,
+        {"x": [3.0, None, 1.0, 2.0]},
+        types={"x": "double"},
+    )
+    got = [r.x for r in DataView(df).sort_by_label("x").df.collect()]
+    assert got == [1.0, 2.0, 3.0, None]
+    got_desc = [r.x for r in DataView(df).sort_by_label("x", ascending=False).df.collect()]
+    assert got_desc == [3.0, 2.0, 1.0, None]
+
+
+def test_unique_values(customer):
+    u = DataView(customer).unique_values("c_mktsegment")
+    vals = {r.c_mktsegment for r in u.df.collect()}
+    assert 0 < len(vals) <= 10
+
+
+def test_merge_positional(spark):
+    left = table(spark, {"a": [1, 2, 3]}, types={"a": "int"})
+    right = table(spark, {"b": ["x", "y", "z"]})
+    merged = DataView(left).merge(DataView(right))
+    rows = merged.df.collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_merge_collision_rename(spark):
+    left = table(spark, {"a": [1, 2]}, types={"a": "int"})
+    right = table(spark, {"a": [10, 20]}, types={"a": "int"})
+    merged = DataView(left).merge(DataView(right))
+    assert merged.fieldnames() == ["a", "a_1"]
+
+
+def test_to_json_rows(spark):
+    df = table(spark, {"a": [1]}, types={"a": "int"})
+    assert DataView(df).to_json_rows() == ['{"a":1}']
