@@ -24,6 +24,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros (exactly
+    what DuckDB's nanos->micros cast does), keeping the ts column name
+    and type stable for oracle comparison."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    # integer `div`, not `/`: double division of ~1e18 nanos loses the
+    # low bits (53-bit mantissa) and drifts the timestamp by 1 us
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 # ---------------------------------------------------------------------------
 # §2.2 headline: TPC-H-ish
 # ---------------------------------------------------------------------------
@@ -254,6 +266,201 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: building-segment revenue by order. Dims filter
+    early (pushdown), customer side broadcast, one shuffle for the agg."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join -> revenue per nation. The dim
+    chain (region->nation->supplier) broadcasts; the two fact tables
+    equi-join on orderkey with AQE handling skew."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg per event type (batch twin of the
+    streaming/windows.py query)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h inactivity): lag + cumulative sum
+    windows per user — one shuffle on user_id, no Python."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > 3600),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_id", F.sum("new_sess").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on sha256 (operators/dedup.py)."""
+    from agnes_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs >= 0.5 via inverted-index
+    equi-join (operators/dedup.py)."""
+    from agnes_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard.
+    Hash-based — no SQL oracle; tests assert recall vs the exact join."""
+    from agnes_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 3) via pigeonhole chunk
+    bucketing. Hash-based — rows-only check."""
+    from agnes_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.35) inside label blocks —
+    blocked all-pairs, equi-join on the block key."""
+    from agnes_spark.operators.dedup import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.35
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10
+    (operators/simsearch.py) — the exact baseline."""
+    from agnes_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 — the scale path;
+    tests assert recall vs brute force. Rows-only check."""
+    from agnes_spark.operators.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", dim=64, k=5, num_planes=6)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (operators/textanalysis.py)."""
+    from agnes_spark.operators.textanalysis import lang_id as _lang
+
+    out = _lang(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lg}").cast("long").alias(f"hits_{lg}") for lg in ("de", "en", "es", "fr")],
+        "pred_lang",
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality features + combined score."""
+    from agnes_spark.operators.textanalysis import quality_score as _q
+
+    out = _q(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_tok_len",
+        "distinct_ratio",
+        "stop_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    from agnes_spark.operators.textanalysis import token_count as _tc
+
+    return _tc(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit normalized-text fingerprint (xxhash64) — engine-specific
+    hash, rows-only check."""
+    from agnes_spark.operators.textanalysis import doc_fingerprint as _fp
+
+    return _fp(_t(spark, sf_dir, "documents"), "text").select("doc_id", "fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -281,6 +488,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_stats": view_stats,
         "field_arith": field_arith,
         "topk_per_group": topk_per_group,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "events_windowed": events_windowed,
+        "sessionize": sessionize,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "doc_fingerprint": doc_fingerprint,
     }
 
 
@@ -360,5 +582,121 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) "
             "WHERE rk <= 3"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "q5_region_revenue": (
+            "SELECT n_name, r_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY n_name, r_name"
+        ),
+        "events_windowed": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR (epoch(ts) - epoch(lag(ts) OVER w)) > 3600 THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH tok AS (SELECT doc_id, "
+            "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') AS w "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM tok, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
+            "sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT a_id, b_id, inter, "
+            "round(inter * 1.0 / (sa.sh_size + sb.sh_size - inter), 6) AS jaccard "
+            "FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.sh_size + sb.sh_size - inter) >= 0.5"
+        ),
+        "dedup_embedding": (
+            "SELECT a.label AS blk, a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35"
+        ),
+        "ann_cosine_topk": (
+            "SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM ("
+            "SELECT q.vec_id AS q_id, c.vec_id AS n_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos, "
+            "row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, "
+            "c.vec_id ASC) AS rank "
+            "FROM embeddings q, embeddings c "
+            "WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        "lang_id": (
+            "WITH tok AS (SELECT doc_id, "
+            "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') AS w "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "len(list_filter(w, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS hits_de, "
+            "len(list_filter(w, x -> lower(x) IN ('the','a','of','and','is','to','in','that','it','for'))) AS hits_en, "
+            "len(list_filter(w, x -> lower(x) IN ('el','la','de','que','y','en','un','es','por','con'))) AS hits_es, "
+            "len(list_filter(w, x -> lower(x) IN ('le','la','de','et','est','un','une','dans','que','pour'))) AS hits_fr, "
+            "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' "
+            "WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' "
+            "WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' "
+            "WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' "
+            "ELSE 'fr' END AS pred_lang "
+            "FROM tok"
+        ),
+        "quality_score": (
+            "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm, text FROM documents), "
+            "t AS (SELECT doc_id, n_chars, text, "
+            "list_filter(string_split(norm, ' '), x -> x != '') AS w FROM f), "
+            "m AS (SELECT doc_id, len(w) AS n_tok, n_chars, "
+            "CASE WHEN len(w) > 0 THEN (n_chars - (len(w) - 1)) * 1.0 / len(w) ELSE 0.0 END AS mtl, "
+            "CASE WHEN len(w) > 0 THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS dr, "
+            "CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> lower(x) IN "
+            "('the','a','of','and','is','to','in','that','it','for'))) * 1.0 / len(w) ELSE 0.0 END AS sr, "
+            "CASE WHEN n_chars > 0 THEN "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / n_chars ELSE 0.0 END AS pr "
+            "FROM t) "
+            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(mtl, 4) AS mean_tok_len, "
+            "round(dr, 4) AS distinct_ratio, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio, "
+            "round(0.25 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) "
+            "+ 0.2 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) "
+            "+ 0.2 * least(sr * 4, 1.0) + 0.25 * dr + 0.1 * (1 - least(pr * 5, 1.0)), 4) AS quality "
+            "FROM m"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> x != '')) AS BIGINT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens "
+            "FROM documents"
         ),
     }

@@ -1,0 +1,206 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five dedup families, all built so candidate generation is an EQUI-join
+on a bucket key (hash / LSH band / simhash chunk / coarse cluster) —
+the only strategy that survives 100 TB. All-pairs work happens only
+inside buckets; shingles are hashed to int64 before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import (
+    band_hashes,
+    cosine,
+    hamming_bits,
+    hashed_shingles,
+    minhash_signature,
+    pack_bits,
+    simhash_bits,
+    vec_double,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on sha256(text): one row per distinct content with
+    the minimal id kept and the duplicate count — a single hash
+    aggregate (map-side partial) on a 32-byte key, never on raw text."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _pair_jaccard(shingled: DataFrame, id_col: str) -> DataFrame:
+    """id->shingle inverted index self-join -> per-pair intersection
+    counts -> Jaccard. `shingled` has (id, sh_size, shingle) rows."""
+    a = shingled.select(
+        F.col(id_col).alias("a_id"), F.col("sh_size").alias("a_size"), "shingle"
+    )
+    b = shingled.select(
+        F.col(id_col).alias("b_id"), F.col("sh_size").alias("b_size"), "shingle"
+    )
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("a_size") + F.col("b_size") - F.col("inter")),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity join (pairs >= threshold).
+
+    Inverted-index formulation: explode distinct shingles, equi-join on
+    the shingle, count intersections, Jaccard from set sizes. The join
+    key at scale is the *hashed* shingle (int64); string shingles here
+    only because the oracle needs cross-engine-identical keys — swap in
+    hashed_shingles for production (identical plan shape).
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).select(
+        F.col(id_col), F.size("sh").alias("sh_size"), F.explode("sh").alias("shingle")
+    )
+    return (
+        _pair_jaccard(shingled, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by exact Jaccard.
+
+    shingle-hash -> 64-perm MinHash signature -> band into
+    `num_bands` bucket keys -> equi-self-join per (band, bucket) for
+    candidates -> verify candidates with exact Jaccard >= threshold.
+    Candidate generation cost is bounded by bucket sizes, never n^2;
+    verification touches only candidate pairs. rows_per_band =
+    num_perm/num_bands tunes the S-curve (16 bands x 4 rows targets
+    recall ~1 at J>=0.5 for 64 perms).
+    """
+    rows_per_band = num_perm // num_bands
+    base = df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("shash")
+    ).filter(F.size("shash") > 0)
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode(
+            band_hashes(minhash_signature(F.col("shash"), num_perm), num_bands, rows_per_band)
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    # verify: join candidate ids back to shingle sets, exact jaccard
+    sets_a = base.select(F.col(id_col).alias("a_id"), F.col("shash").alias("a_sh"))
+    sets_b = base.select(F.col(id_col).alias("b_id"), F.col("shash").alias("b_sh"))
+    verified = (
+        cand.join(sets_a, "a_id")
+        .join(sets_b, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("a_sh", "b_sh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("a_sh") + F.size("b_sh") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole bucketing: split the 64-bit fingerprint into
+    max_hamming+1 chunks; any pair within distance k agrees exactly on
+    >= 1 chunk, so candidates = equi-join on (chunk_idx, chunk_value),
+    then verify with bit_count(xor). Equi-join only — no n^2.
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    fp = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("fp"))
+    chunked = fp.select(
+        F.col(id_col),
+        "fp",
+        F.posexplode(
+            F.array(
+                *[pack_bits(F.slice(F.col("fp"), i * bits + 1, bits)) for i in range(chunks)]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), on=["chunk_idx", "chunk_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"),
+            F.col(f"y.{id_col}").alias("b_id"),
+            F.col("x.fp").alias("a_fp"),
+            F.col("y.fp").alias("b_fp"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_bits(F.col("a_fp"), F.col("b_fp")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking groups.
+
+    `block_col` is the coarse blocking key (a cluster/IVF cell id, a
+    shard, a simhash chunk of the vector...). All-pairs cosine runs
+    only inside a block, via equi-join on the block key — the shuffle
+    is hash(block), and AQE splits skewed blocks.
+    """
+    v = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        vec_double(F.col(vec_col)).alias("v"),
+    )
+    a = v.select(F.col("blk"), F.col(id_col).alias("a_id"), F.col("v").alias("a_v"))
+    b = v.select(F.col("blk"), F.col(id_col).alias("b_id"), F.col("v").alias("b_v"))
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= threshold)
+        .select("blk", "a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )

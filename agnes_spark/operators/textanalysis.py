@@ -1,0 +1,97 @@
+"""Text analysis for LLM-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is pure Column expressions (whole-stage codegen; zero
+Python in the hot path) — at 100 TB these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import ws_tokens
+
+# Stopword profiles for the n-gram/stopword language-ID heuristic.
+# Deliberately small: membership of high-frequency function words is
+# the classic cheap LID signal; ties break alphabetically.
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-profile language ID. Adds per-language hit counts and
+    an argmax prediction (alphabetical tie-break, 'und' = undetermined
+    when no profile hits)."""
+    toks = ws_tokens(F.col(text_col))
+    out = df
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(f"hits_{lang}", _hits(toks, STOPWORDS[lang]))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):  # alphabetical => first max wins
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return out.withColumn(out_col, pred)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy count
+    (letter-runs, single digits, single punctuation — the classic
+    pre-tokenizer shape)."""
+    return df.withColumn(
+        "ws_tokens", F.size(ws_tokens(F.col(text_col)))
+    ).withColumn("bpe_ish_tokens", F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + combined score in [0,1]:
+    length band, mean token length band, stopword presence,
+    type-token ratio (repetition penalty), punctuation density.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_tok > 0, F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]")) / n_chars
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * length_ok
+        + F.lit(0.2) * tok_len_ok
+        + F.lit(0.2) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * distinct_ratio
+        + F.lit(0.1) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_tok_len", F.round(mean_tok_len, 4))
+        .withColumn("distinct_ratio", F.round(distinct_ratio, 4))
+        .withColumn("stop_ratio", F.round(stop_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("quality", F.round(score, 4))
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """64-bit fingerprint of whitespace-normalized, lowercased text
+    (xxhash64) — the cheap exact-dup key for cross-corpus joins."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(norm))

@@ -1,0 +1,86 @@
+"""Dedup operator tests: LSH variants are checked against their exact
+counterparts (recall), plus deterministic unit fixtures."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from agnes_spark.sources.memory import table
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = table(
+        spark,
+        {"doc_id": [1, 2, 3, 4], "text": ["aa bb", "cc dd", "aa bb", "aa bb"]},
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = exact_dedup(df, "doc_id", "text").collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f",
+                "a b c d e f",      # identical -> jaccard 1.0
+                "x y z w q r",      # disjoint  -> no pair
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert [(r.a_id, r.b_id, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # verification step guarantees precision == 1; banding should keep
+    # recall high at J >= 0.5 (16 bands x 4 rows)
+    assert lsh <= exact or not exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = table(
+        spark,
+        {"doc_id": [1, 2, 3], "text": ["spark is a fast engine", "spark is a fast engine", "completely different words entirely here now"]},
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_embedding_dedup_blocked_pairs(spark):
+    df = table(
+        spark,
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [1.0, 0.0]],
+            "label": [0, 0, 0, 1],  # vec 4 blocked away from vec 1
+        },
+        types={"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+    )
+    out = embedding_dedup_pairs(df, "vec_id", "embedding", "label", threshold=0.99).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(1, 2)]

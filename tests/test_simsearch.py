@@ -1,0 +1,45 @@
+"""Similarity-search tests: brute force against numpy ground truth;
+LSH recall against brute force."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.simsearch import brute_force_topk, lsh_topk
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "vec_id", k=3
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q_id, neigh in got.items():
+        q = vecs[q_id]
+        sims = sorted(
+            (
+                (-(v @ q) / (np.linalg.norm(v) * np.linalg.norm(q)), nid)
+                for nid, v in vecs.items()
+                if nid != q_id
+            ),
+        )[:3]
+        expect = [nid for _, nid in sims]
+        assert [nid for _, nid in sorted(neigh)] == expect
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, emb, "vec_id", "vec_id", k=5).collect()
+    approx = lsh_topk(q, emb, "vec_id", "vec_id", dim=64, k=5, num_planes=4).collect()
+    exact_set = {(r.q_id, r.n_id) for r in exact}
+    approx_set = {(r.q_id, r.n_id) for r in approx}
+    # few planes -> big buckets -> recall should be decent even at tiny SF
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.4

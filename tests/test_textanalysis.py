@@ -1,0 +1,57 @@
+"""Text-analysis operator tests with deterministic fixtures."""
+
+from agnes_spark.operators.textanalysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from agnes_spark.sources.memory import table
+
+
+def _doc(spark, text):
+    return table(spark, {"doc_id": [1], "text": [text]}, types={"doc_id": "bigint", "text": "string"})
+
+
+def test_lang_id_picks_profile(spark):
+    df = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat is on the mat and it is happy",
+                "der hund ist nicht mit der katze",
+                "zzz qqq www",
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_count(spark):
+    out = token_count(_doc(spark, "Hello, world! 42 times")).collect()[0]
+    assert out.ws_tokens == 4
+    # Hello , world ! 4 2 times -> letter-runs: Hello, world, times;
+    # digits: 4, 2; punct: , !
+    assert out.bpe_ish_tokens == 7
+
+
+def test_quality_score_bounds_and_repetition(spark):
+    good = quality_score(
+        _doc(spark, "the quick brown fox jumps over a lazy dog and it is fine for all")
+    ).collect()[0]
+    repetitive = quality_score(
+        _doc(spark, " ".join(["spam"] * 50))
+    ).collect()[0]
+    assert 0.0 <= repetitive.quality < good.quality <= 1.0
+    assert repetitive.distinct_ratio < 0.1
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    a = doc_fingerprint(_doc(spark, "Hello   World")).collect()[0].fingerprint
+    b = doc_fingerprint(_doc(spark, "  hello world ")).collect()[0].fingerprint
+    c = doc_fingerprint(_doc(spark, "hello worlds")).collect()[0].fingerprint
+    assert a == b
+    assert a != c
