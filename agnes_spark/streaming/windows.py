@@ -1,0 +1,91 @@
+"""Structured Streaming twins of the batch event queries.
+
+The batch versions (events_windowed / sessionize in __spark_entry__)
+are the oracle-checked semantics; these run the same logic as
+incremental streaming queries with watermarked state. Tests drive them
+with the events parquet through a memory sink (processAllAvailable),
+which exercises the real streaming engine end to end.
+
+At production scale the source line changes to kafka/kinesis and the
+sink to a transactional foreachBatch — the plan in between is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts long, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Parquet-directory stream of the events table (ts arrives as
+    nanos-long; converted to timestamp exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with late-data bound.
+
+    Watermark caps state: windows older than max(event time) -
+    watermark are finalized and evicted, so state is O(active windows),
+    not O(stream length) — the property that matters at 100 TB/day.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization via the native session_window operator
+    (merging windows state store) — the streaming twin of the batch
+    lag+cumsum sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against a memory sink
+    (synchronous; for tests/smoke). Returns the stopped query; results
+    land in the `name` in-memory table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: real Arrow-batched mapInPandas paths
+with the deterministic stub codecs."""
+
+from agnes_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_image_meta,
+    resize_images,
+    sample_frames,
+)
+from agnes_spark.sources.memory import table
+
+
+def _media(spark):
+    return table(
+        spark,
+        {
+            "media_id": [1, 2, 3],
+            "payload": [b"\x89PNG-fake-1", b"\x89PNG-fake-22", b"RIFF-fake-333"],
+        },
+        types={"media_id": "bigint", "payload": "binary"},
+    )
+
+
+def test_attach_media_meta_schema(spark):
+    df = attach_media_meta(_media(spark), "payload", "image", codec="png")
+    meta = df.schema["media_meta"].dataType
+    assert [f.name for f in meta.fields] == [
+        "media_type", "width", "height", "duration_ms", "codec",
+    ]
+    row = df.collect()[0].media_meta
+    assert row.media_type == "image" and row.codec == "png" and row.width is None
+
+
+def test_decode_image_meta_deterministic(spark):
+    df = _media(spark)
+    a = {r.media_id: (r.width, r.height, r.content_sha) for r in decode_image_meta(df, "payload", "media_id").collect()}
+    b = {r.media_id: (r.width, r.height, r.content_sha) for r in decode_image_meta(df, "payload", "media_id").collect()}
+    assert a == b
+    assert all(16 <= w < 256 and 16 <= h < 256 for w, h, _ in a.values())
+
+
+def test_resize_images_passthrough_stub(spark):
+    out = resize_images(_media(spark), "payload", "media_id", (64, 64)).collect()
+    assert all(r.width == 64 and r.height == 64 and r.resized is not None for r in out)
+
+
+def test_sample_frames_one_row_per_frame(spark):
+    out = sample_frames(_media(spark), "payload", "media_id", every_ms=500, max_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+    for frames in by_id.values():
+        idxs = sorted(i for i, _ in frames)
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+        assert all(ts == i * 500 for i, ts in frames)

@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the 100 TB contract.
+
+Correct rows are necessary but not sufficient — these tests pin the
+physical properties each operator relies on at scale: scan-level
+filter pushdown, column pruning, broadcast dims, no cartesian blowups.
+"""
+
+import __spark_entry__ as entry
+from agnes_spark.plans import (
+    has_broadcast_join,
+    has_cartesian,
+    num_shuffles,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = entry.filter_pred(spark, sf_dir)
+    assert any("c_acctbal" in f for f in pushed_filters(df))
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = entry.subview(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all("c_mktsegment" not in s for s in schemas)
+
+
+def test_q1_pushdown_and_single_agg_shuffle(spark, sf_dir):
+    df = entry.q1_pricing_summary(spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # one hash shuffle for the groupBy + one range for the orderBy
+    assert num_shuffles(df) <= 2
+
+
+def test_join_equal_broadcasts_dim(spark, sf_dir):
+    df = entry.join_equal(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_q3_broadcasts_and_no_cartesian(spark, sf_dir):
+    df = entry.q3_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_band_join_is_equi_not_cartesian(spark, sf_dir):
+    df = entry.join_band(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_minhash_candidates_join_is_equi(spark, sf_dir):
+    df = entry.dedup_minhash(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_simhash_join_is_equi(spark, sf_dir):
+    df = entry.dedup_simhash(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_embedding_dedup_blocked_join(spark, sf_dir):
+    df = entry.dedup_embedding(spark, sf_dir)
+    assert not has_cartesian(df)
