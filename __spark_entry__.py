@@ -351,6 +351,112 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot (inverse of melt) with a static value list —
+    single groupBy, no distinct-values pre-job (operators/melt.py)."""
+    from agnes_spark.operators.melt import pivot
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pivot(li, ["l_returnflag"], "l_linestatus", ["F", "O"], F.sum("l_quantity"))
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+    )
+
+
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history — window sum,
+    one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approx_percentile
+    twin is the scale path; exact keeps the oracle comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        *[F.round(c, 4).alias(c) for c in ("p25", "p50", "p75", "p95")],
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all grouping-set combinations in one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/join.py): for each purchase, the most
+    recent click by the same user — union + window pass, no per-row
+    lookup. DuckDB's native ASOF JOIN is the oracle."""
+    from agnes_spark.operators.join import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_values=["click_ts"]
+    )
+
+
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (approx_count_distinct is the
+    scale path; exact keeps the oracle comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming twin of events_windowed, driven to
+    completion through a memory sink — the streaming engine's output
+    hash-matches the batch oracle exactly."""
+    import os as _os
+    import tempfile
+
+    from agnes_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    d = tempfile.mkdtemp(prefix="agnes_stream_")
+    _os.symlink(_os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet"))
+    ev = read_events_stream(spark, d)
+    agg = windowed_counts(ev, window="1 hour", watermark="100 days")
+    run_stream_to_memory(agg, "stream_windowed_out", output_mode="complete")
+    return spark.sql("SELECT * FROM stream_windowed_out")
+
+
 # ---------------------------------------------------------------------------
 # §2.3 LLM-data-pipeline operators
 # ---------------------------------------------------------------------------
@@ -490,6 +596,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": topk_per_group,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "pivot_linestatus": pivot_linestatus,
+        "running_sum": running_sum,
+        "percentiles": percentiles,
+        "cube_agg": cube_agg,
+        "asof_join_events": asof_join_events,
+        "count_distinct_parts": count_distinct_parts,
+        "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
         "sessionize": sessionize,
         "dedup_exact": dedup_exact,
@@ -610,6 +723,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "stream_windowed": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "pivot_linestatus": (
+            "SELECT l_returnflag, "
+            "round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_f, "
+            "round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_o "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "running_sum": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_spend "
+            "FROM orders"
+        ),
+        "percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.25), 4) AS p25, "
+            "round(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_quantity, 0.75), 4) AS p75, "
+            "round(quantile_cont(l_quantity, 0.95), 4) AS p95 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "cube_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "asof_join_events": (
+            "SELECT p.user_id, p.ts, p.purchase_value, c.click_ts "
+            "FROM (SELECT user_id, ts, value AS purchase_value FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN (SELECT user_id, ts, ts AS click_ts FROM events "
+            "WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "count_distinct_parts": (
+            "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

@@ -34,3 +34,18 @@ def melt(
         variableColumnName=name_label,
         valueColumnName=value_label,
     )
+
+
+def pivot(
+    df: DataFrame,
+    key_labels: Sequence[str],
+    pivot_label: str,
+    pivot_values: Sequence[str],
+    agg,
+) -> DataFrame:
+    """Inverse of melt (long-to-wide). `pivot_values` is REQUIRED: with
+    an explicit value list Spark skips the extra distinct-values job
+    and the plan is a single groupBy — essential at scale, and it fixes
+    the output schema statically.
+    """
+    return df.groupBy(*key_labels).pivot(pivot_label, list(pivot_values)).agg(agg)

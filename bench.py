@@ -20,6 +20,12 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "pivot_linestatus",
+    "running_sum",
+    "percentiles",
+    "cube_agg",
+    "asof_join_events",
+    "count_distinct_parts",
     "join_equal",
     "join_band",
     "aggregate_sum",

@@ -24,15 +24,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    return v
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(norm_cell(x)) for x in v) + "]"
+    return str(v)
 
 
 def to_multiset(cols, rows):
