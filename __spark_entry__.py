@@ -351,6 +351,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with a declarative field spec (sources/csv.py,
+    reference src/source/csv.rs): nation is exported to CSV, re-loaded
+    through a CsvSpec that renames and retypes the fields, and must
+    match the original parquet table exactly."""
+    import tempfile
+
+    from agnes_spark.sources.csv import CsvSpec, load_csv
+
+    nat = _t(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="agnes_csv_") + "/nation"
+    nat.coalesce(1).write.mode("overwrite").option("header", True).csv(out_dir)
+    spec = CsvSpec(
+        fields={
+            "n_nationkey": ("n_nationkey", "i32"),
+            "n_name": ("n_name", "string"),
+            "n_regionkey": ("n_regionkey", "i32"),
+        }
+    )
+    return load_csv(spark, out_dir, spec)
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-to-wide pivot (inverse of melt) with a static value list —
     single groupBy, no distinct-values pre-job (operators/melt.py)."""
@@ -596,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": topk_per_group,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "csv_roundtrip": csv_roundtrip,
         "pivot_linestatus": pivot_linestatus,
         "running_sum": running_sum,
         "percentiles": percentiles,
@@ -729,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "pivot_linestatus": (
             "SELECT l_returnflag, "
             "round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_f, "

@@ -53,8 +53,12 @@ def word_shingles(col, n: int = 3) -> Column:
     only count); callers that join on shingles explode afterwards.
     """
     toks = ws_tokens(col)
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)  # 1-based, empty when k == 0
+    k = F.size(toks) - F.lit(n - 1)
+    # guard k < 1 explicitly: sequence(1, 0) counts DOWN ([1, 0]) in
+    # Spark rather than producing an empty array
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
@@ -181,6 +185,36 @@ def simhash_bits(col, num_bits: int = 64) -> Column:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+
+
+def simhash_bits_udf(num_bits: int = 64):
+    """Vectorized twin of simhash_bits: blake2b token digests unpacked
+    to bit matrices, +-1 votes summed with numpy. Deterministic
+    (keyed blake2b, no process-dependent hashing); same output shape
+    (array<int> of 0/1, index 0 = MSB of the 8-byte digest)."""
+    import hashlib
+
+    @F.pandas_udf("array<int>")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        nbytes = num_bits // 8
+
+        def one(t):
+            toks = t.split() if t else []
+            if not toks:
+                return [0] * num_bits
+            digests = b"".join(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=nbytes).digest()
+                for tok in toks
+            )
+            bits = np.unpackbits(np.frombuffer(digests, dtype=np.uint8)).reshape(
+                len(toks), num_bits
+            )
+            votes = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+            return (votes > 0).astype(np.int32).tolist()
+
+        return texts.apply(one)
+
+    return _simhash
 
 
 def pack_bits(bits_slice) -> Column:

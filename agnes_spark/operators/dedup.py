@@ -17,7 +17,7 @@ from agnes_spark.functions import (
     hamming_bits,
     minhash_signature_udf,
     pack_bits,
-    simhash_bits,
+    simhash_bits_udf,
     vec_double,
     word_shingles_udf,
 )
@@ -176,7 +176,9 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
-    fp = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("fp"))
+    fp = df.select(
+        F.col(id_col), simhash_bits_udf(64)(F.col(text_col)).alias("fp")
+    ).persist()
     chunked = fp.select(
         F.col(id_col),
         "fp",

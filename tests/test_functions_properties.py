@@ -1,0 +1,50 @@
+"""Property-based tests (hypothesis) for the pure column-function
+building blocks, evaluated through Spark on literal one-row frames
+and cross-checked against Python reference implementations."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import pack_bits, word_shingles, word_shingles_udf
+
+WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _ref_shingles(toks, n=3):
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(WORDS)
+def test_word_shingles_matches_reference(spark, words):
+    text = " ".join(words)
+    df = spark.range(1).select(F.lit(text).alias("t"))
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    assert got == _ref_shingles(words)
+
+
+@settings(max_examples=10, deadline=None)
+@given(WORDS)
+def test_word_shingles_udf_matches_expression_form(spark, words):
+    text = " ".join(words)
+    df = spark.range(1).select(F.lit(text).alias("t"))
+    expr_out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    udf_out = df.select(word_shingles_udf(3)(F.col("t")).alias("s")).collect()[0].s
+    assert sorted(udf_out) == sorted(expr_out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1), min_size=1, max_size=32))
+def test_pack_bits_matches_int_parse(spark, bits):
+    df = spark.range(1).select(F.array(*[F.lit(b) for b in bits]).alias("b"))
+    got = df.select(pack_bits(F.col("b")).alias("v")).collect()[0].v
+    assert got == int("".join(map(str, bits)), 2)
