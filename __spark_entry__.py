@@ -448,6 +448,99 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed an order over
+    400k — no right columns materialize, shuffle carries keys only."""
+    from agnes_spark.operators.join import predicate_join
+
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+    return out.select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no high-value order
+    — filtered right side keeps the result non-trivial at every SF."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    out = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+    return out.select("c_custkey", "c_mktsegment")
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra: (high-balance customers INTERSECT building segment)
+    EXCEPT tiny-nation customers — distinct set semantics end to end."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    low_nation = cust.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return rich.intersect(building).subtract(low_nation)
+
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window family: rank, dense_rank, ntile, lag,
+    lead over a deterministic per-priority order."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA pipeline (agnes src/value.rs semantics): introduce nulls
+    (negative balances -> NA), then count/coalesce/fill per segment."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_or_null", F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("bal_or_null").alias("n_present"),
+        F.count(F.when(F.col("bal_or_null").isNull(), 1)).alias("n_null"),
+        F.round(F.sum(F.coalesce("bal_or_null", F.lit(0.0))), 2).alias("sum_filled"),
+        F.round(F.avg("bal_or_null"), 4).alias("mean_skipna"),
+    )
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression family over part names/types."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal expression family over order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
 def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct count per group (approx_count_distinct is the
     scale path; exact keeps the oracle comparable)."""
@@ -625,6 +718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": cube_agg,
         "asof_join_events": asof_join_events,
         "count_distinct_parts": count_distinct_parts,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "set_ops": set_ops,
+        "window_ranks": window_ranks,
+        "null_handling": null_handling,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
         "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
         "sessionize": sessionize,
@@ -789,6 +889,56 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_parts": (
             "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
             "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"
+        ),
+        "join_anti": (
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"
+        ),
+        "set_ops": (
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
+            "INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5"
+        ),
+        "window_ranks": (
+            "SELECT o_orderpriority, o_orderkey, "
+            "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+            "ntile(4) OVER w AS quartile, "
+            "lag(o_orderkey, 1) OVER w AS prev_key, "
+            "lead(o_orderkey, 1) OVER w AS next_key "
+            "FROM orders WHERE o_totalprice > 450000 "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC)"
+        ),
+        "null_handling": (
+            "WITH c AS (SELECT c_mktsegment, "
+            "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null "
+            "FROM customer) "
+            "SELECT c_mktsegment, count(*) AS n, count(bal_or_null) AS n_present, "
+            "count(CASE WHEN bal_or_null IS NULL THEN 1 END) AS n_null, "
+            "round(sum(coalesce(bal_or_null, 0.0)), 2) AS sum_filled, "
+            "round(avg(bal_or_null), 4) AS mean_skipna "
+            "FROM c GROUP BY c_mktsegment"
+        ),
+        "string_funcs": (
+            "SELECT p_partkey, upper(p_brand) AS brand_upper, "
+            "substring(p_name, 1, 8) AS name_prefix, "
+            "CAST(length(p_name) AS BIGINT) AS name_len, "
+            "regexp_extract(p_type, '^(\\w+)', 1) AS type_head, "
+            "concat_ws('|', p_brand, p_type) AS brand_type "
+            "FROM part"
+        ),
+        "date_funcs": (
+            "SELECT o_orderkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS yr, "
+            "CAST(month(o_orderdate) AS BIGINT) AS mo, "
+            "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+            "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, "
+            "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002 "
+            "FROM orders"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

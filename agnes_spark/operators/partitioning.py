@@ -1,0 +1,63 @@
+"""Partitioning & skew-mitigation helpers.
+
+AQE's skew-join handling covers most cases at runtime; these are the
+explicit tools for when you know the skew ahead of time (a null-heavy
+foreign key, one hot customer, a power-law join key at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting: the (large, skewed) left side gets a
+    deterministic salt in [0, salt_factor) derived from its full row
+    hash, and the (smaller) right side is replicated once per salt
+    value. The join key becomes (key, salt), splitting each hot key's
+    rows across `salt_factor` shuffle partitions.
+
+    Results are identical to the plain join; cost is replicating the
+    right side salt_factor times — use when one side is modest and the
+    other has hot keys that AQE's split threshold misses.
+    """
+    on = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor))
+    l2 = left.withColumn("__salt", salt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    out = l2.join(r2, on=on + ["__salt"], how=how)
+    return out.drop("__salt")
+
+
+def repartition_for_join(df: DataFrame, keys: Sequence[str], num_partitions: int | None = None) -> DataFrame:
+    """Pre-shuffle on the join keys so several downstream joins/aggs on
+    the same keys reuse one exchange (Catalyst reuses compatible
+    hash-partitionings instead of re-shuffling per operator)."""
+    if num_partitions:
+        return df.repartition(num_partitions, *[F.col(k) for k in keys])
+    return df.repartition(*[F.col(k) for k in keys])
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, keys: Sequence[str], num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist bucketed by the join key: later equi-joins between
+    tables bucketed the same way are shuffle-free (SortMergeJoin reads
+    co-located buckets)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table_name)
+    )

@@ -1,0 +1,57 @@
+"""Skew-mitigation tests: salted join must be result-identical to the
+plain join, and split hot keys across salt values."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.partitioning import repartition_for_join, salted_join
+from agnes_spark.sources.memory import table
+
+
+def _skewed(spark):
+    # hot key 1 (100 rows), long tail
+    left = table(
+        spark,
+        {
+            "k": [1] * 100 + list(range(2, 22)),
+            "v": list(range(120)),
+        },
+        types={"k": "int", "v": "int"},
+    )
+    right = table(
+        spark,
+        {"k": list(range(1, 22)), "name": [f"n{i}" for i in range(1, 22)]},
+        types={"k": "int", "name": "string"},
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_join(spark):
+    left, right = _skewed(spark)
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(left, right, ["k"], salt_factor=4).collect()}
+    assert salted == plain
+    assert len(salted) == 120
+
+
+def test_salted_join_outer(spark):
+    left, right = _skewed(spark)
+    right_missing = right.filter(F.col("k") != 1)  # hot key unmatched
+    plain = {(r.k, r.v, r.name) for r in left.join(right_missing, "k", "left").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right_missing, ["k"], salt_factor=4, how="left").collect()
+    }
+    assert salted == plain
+
+
+def test_salt_actually_splits_hot_key(spark):
+    left, _ = _skewed(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(4))
+    n_salts = left.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
+    assert n_salts > 1  # the hot key's rows really fan out
+
+
+def test_repartition_for_join_sets_partitioning(spark):
+    left, _ = _skewed(spark)
+    df = repartition_for_join(left, ["k"], 8)
+    assert df.rdd.getNumPartitions() == 8
