@@ -551,6 +551,176 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate pushes to
+    the parquet scan, no shuffle at all (single partial+final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count per priority.
+    Only orderkeys shuffle from the lineitem side."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (two broadcast dims), revenue agg,
+    deterministic top-20 (rounded revenue desc, custkey tiebreak)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim join + conditional aggregation
+    (CASE WHEN inside SUM), part side broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(F.lit(0.0))), 2
+        ).alias("promo_revenue"),
+        F.round(F.sum(disc_price), 2).alias("total_revenue"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered agg subquery joined back to the
+    dims — the heavy groupBy runs once, then semi-shapes the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals) — one Expand pass,
+    same engine path as cube_agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def union_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical concat (UNION ALL) of two tagged views — agnes appends
+    frames to a view; Spark unionByName keeps it schema-safe."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 8000).select(
+        "c_custkey", F.lit("rich").alias("src")
+    )
+    bldg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("bldg").alias("src")
+    )
+    return rich.unionByName(bldg)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-lambda pipeline over array<float>: per-vector L2 norm via
+    transform+aggregate (JVM higher-order funcs, no Python), averaged
+    per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("label", F.sqrt(sumsq).alias("norm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.max("dim").alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson corr, sample covariance,
+    sample stddev — single-pass co-moments (agnes stats.rs extended)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: bucket = floor(x/width) — a groupBy on a
+    derived key, the scan-local binning pattern for 100 TB profiling."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed value out of a JSON
+    string column (events.props) and aggregate it — get_json_object
+    stays JVM-side."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming twin of events_windowed, driven to
     completion through a memory sink — the streaming engine's output
@@ -725,6 +895,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_handling": null_handling,
         "string_funcs": string_funcs,
         "date_funcs": date_funcs,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        "rollup_agg": rollup_agg,
+        "union_views": union_views,
+        "embedding_norms": embedding_norms,
+        "corr_stats": corr_stats,
+        "histogram_totalprice": histogram_totalprice,
+        "json_funcs": json_funcs,
         "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
         "sessionize": sessionize,
@@ -939,6 +1120,78 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, "
             "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002 "
             "FROM orders"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q14_promo_effect": (
+            "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250) "
+            "SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty "
+            "FROM orders JOIN big ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "union_views": (
+            "SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 8000 "
+            "UNION ALL "
+            "SELECT c_custkey, 'bldg' AS src FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "embedding_norms": (
+            "SELECT label, count(*) AS n, "
+            "round(avg(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm, "
+            "max(len(embedding)) AS dim "
+            "FROM embeddings GROUP BY label ORDER BY label"
+        ),
+        "corr_stats": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price, "
+            "round(stddev_samp(l_extendedprice), 4) AS sd_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "histogram_totalprice": (
+            "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, "
+            "count(*) AS n, round(min(o_totalprice), 2) AS lo, "
+            "round(max(o_totalprice), 2) AS hi "
+            "FROM orders GROUP BY 1 ORDER BY bucket"
+        ),
+        "json_funcs": (
+            "SELECT event_type, count(*) AS n, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

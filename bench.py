@@ -20,6 +20,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "pivot_linestatus",
     "running_sum",
     "percentiles",
