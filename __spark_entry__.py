@@ -721,6 +721,20 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end: text bytes as the opaque
+    binary payload, typed media_meta struct attached, dimensions filled
+    by the Arrow-batched mapInPandas decode stub. The stub derives
+    (width, height) from the payload's sha256, so even the fake decode
+    has an exact SQL oracle."""
+    from agnes_spark.operators.multimodal import attach_media_meta, decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    media = attach_media_meta(payloads, "payload", "image")
+    return decode_image_meta(media, "payload", "doc_id")
+
+
 def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming twin of events_windowed, driven to
     completion through a memory sink — the streaming engine's output
@@ -906,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "multimodal_decode": multimodal_decode,
         "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
         "sessionize": sessionize,
@@ -1192,6 +1207,16 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "multimodal_decode": (
+            "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 200), "
+            "b AS (SELECT doc_id, hx, "
+            "16*(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) "
+            "+ strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0, "
+            "16*(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) "
+            "+ strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1 FROM h) "
+            "SELECT doc_id, CAST(16 + b0 % 240 AS INTEGER) AS width, "
+            "CAST(16 + b1 % 240 AS INTEGER) AS height, hx AS content_sha FROM b"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

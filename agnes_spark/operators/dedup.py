@@ -13,8 +13,9 @@ from pyspark.sql import functions as F
 
 from agnes_spark.functions import (
     band_hashes,
-    cosine,
+    dot,
     hamming_bits,
+    l2_norm,
     minhash_signature_udf,
     pack_bits,
     simhash_bits_udf,
@@ -221,17 +222,20 @@ def embedding_dedup_pairs(
     only inside a block, via equi-join on the block key — the shuffle
     is hash(block), and AQE splits skewed blocks.
     """
+    # per-row norm BEFORE the self-join: each pair costs one dot
+    # product instead of dot + two norms (identical expression, so the
+    # cosine value is bit-stable vs the naive form)
     v = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         vec_double(F.col(vec_col)).alias("v"),
-    )
-    a = v.select(F.col("blk"), F.col(id_col).alias("a_id"), F.col("v").alias("a_v"))
-    b = v.select(F.col("blk"), F.col(id_col).alias("b_id"), F.col("v").alias("b_v"))
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = v.select("blk", F.col(id_col).alias("a_id"), F.col("v").alias("a_v"), F.col("nrm").alias("a_n"))
+    b = v.select("blk", F.col(id_col).alias("b_id"), F.col("v").alias("b_v"), F.col("nrm").alias("b_n"))
     return (
         a.join(b, on="blk")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        .withColumn("cos", dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
         .filter(F.col("cos") >= threshold)
         .select("blk", "a_id", "b_id", F.round("cos", 6).alias("cos"))
     )

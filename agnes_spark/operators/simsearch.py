@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from agnes_spark.functions import cosine, dot, vec_double
+from agnes_spark.functions import dot, l2_norm, vec_double
 
 
 def brute_force_topk(
@@ -29,15 +29,20 @@ def brute_force_topk(
     tie-break). Cost is |Q| * |corpus| dot products, all codegen'd —
     the right baseline, and exactly what an IVF probe does per cell.
     """
+    # norms are per-ROW, computed once before the pair join — inside
+    # the join each pair costs one dot product, not dot + two norms
+    # (the norm expression is identical, so cos is bit-stable)
     q = queries.select(
         F.col(query_id).alias("q_id"), vec_double(F.col(vec_col)).alias("q_v")
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_v")))
     c = corpus.select(
         F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
-    )
+    ).withColumn("n_norm", l2_norm(F.col("n_v")))
     scored = (
         c.join(F.broadcast(q), on=F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_v"), F.col("n_v")))
+        .withColumn(
+            "cos", dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm"))
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -95,7 +100,9 @@ def lsh_topk(
     """
     q = queries.select(
         F.col(query_id).alias("q_id"), vec_double(F.col(vec_col)).alias("q_v")
-    ).withColumn("bucket", lsh_bucket(F.col("q_v"), dim, num_planes))
+    ).withColumn("q_norm", l2_norm(F.col("q_v"))).withColumn(
+        "bucket", lsh_bucket(F.col("q_v"), dim, num_planes)
+    )
     if multiprobe:
         q = q.withColumn(
             "bucket",
@@ -108,11 +115,15 @@ def lsh_topk(
         )
     c = corpus.select(
         F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
-    ).withColumn("bucket", lsh_bucket(F.col("n_v"), dim, num_planes))
+    ).withColumn("n_norm", l2_norm(F.col("n_v"))).withColumn(
+        "bucket", lsh_bucket(F.col("n_v"), dim, num_planes)
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_v"), F.col("n_v")))
+        .withColumn(
+            "cos", dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm"))
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
