@@ -819,6 +819,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", dim=64, k=5, num_planes=6)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5: KMeans cell index + multi-probe
+    exact rerank (operators/simsearch.py). Iterative training — no SQL
+    oracle; tests pin recall vs brute force. Rows-only check."""
+    from agnes_spark.operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=3
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct — the 100 TB twin of
+    count_distinct_parts (no exact-distinct shuffle). Approximate by
+    construction — rows-only check; tests pin the error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps"),
+    )
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (streaming t-digest-style sketch) — the
+    100 TB twin of the exact interpolated percentiles query.
+    Rows-only check; tests pin the rank error."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (operators/textanalysis.py)."""
     from agnes_spark.operators.textanalysis import lang_id as _lang
@@ -931,6 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "approx_distinct_parts": approx_distinct_parts,
+        "approx_percentiles": approx_percentiles,
         "lang_id": lang_id,
         "quality_score": quality_score,
         "token_count": token_count,

@@ -96,3 +96,24 @@ def test_scalar_and_field_ops_na_propagate(spark):
     rows = df.orderBy("b").collect()
     assert rows[0].a3 == 6.0 and rows[0].one_minus_a == -1.0 and rows[0].ab == 12.0
     assert rows[1].a3 is None and rows[1].one_minus_a is None and rows[1].ab is None
+
+
+def test_approx_twins_error_bounds(spark, sf_dir):
+    """The 100 TB scale twins track their exact counterparts."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    exact = {r.l_returnflag: (r.n_parts, r.n_supps)
+             for r in entry.count_distinct_parts(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.n_parts, r.n_supps)
+              for r in entry.approx_distinct_parts(spark, sf_dir).collect()}
+    for k, (p, s) in exact.items():
+        ap, asup = approx[k]
+        assert abs(ap - p) / p < 0.10
+        assert abs(asup - s) / s < 0.10
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact_med = {r.l_returnflag: r.med for r in li.groupBy("l_returnflag")
+                 .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")).collect()}
+    for r in entry.approx_percentiles(spark, sf_dir).collect():
+        assert abs(r.pcts[0] - exact_med[r.l_returnflag]) / exact_med[r.l_returnflag] < 0.05

@@ -43,3 +43,21 @@ def test_lsh_topk_recall(spark, sf_dir):
     approx_set = {(r.q_id, r.n_id) for r in approx}
     # few planes -> big buckets -> recall should be decent even at tiny SF
     assert len(approx_set & exact_set) / len(exact_set) >= 0.4
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    from agnes_spark.operators.simsearch import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, emb, "vec_id", "vec_id", k=5).collect()
+    approx = ivf_topk(q, emb, "vec_id", "vec_id", k=5, n_cells=4, n_probe=2).collect()
+    exact_set = {(r.q_id, r.n_id) for r in exact}
+    approx_set = {(r.q_id, r.n_id) for r in approx}
+    # probing half the cells should recover most true neighbors
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.5
+    # fixed seed -> identical output on rerun
+    again = {(r.q_id, r.n_id) for r in ivf_topk(
+        q, emb, "vec_id", "vec_id", k=5, n_cells=4, n_probe=2
+    ).collect()}
+    assert again == approx_set
