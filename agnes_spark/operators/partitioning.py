@@ -50,14 +50,18 @@ def repartition_for_join(df: DataFrame, keys: Sequence[str], num_partitions: int
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, keys: Sequence[str], num_buckets: int = 32, mode: str = "overwrite"
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist bucketed by the join key: later equi-joins between
     tables bucketed the same way are shuffle-free (SortMergeJoin reads
-    co-located buckets)."""
-    (
-        df.write.mode(mode)
-        .bucketBy(num_buckets, *keys)
-        .sortBy(*keys)
-        .saveAsTable(table_name)
-    )
+    co-located buckets). `path` makes it an external table (data at
+    `path`, metadata in the catalog)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *keys).sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -55,3 +55,32 @@ def test_repartition_for_join_sets_partitioning(spark):
     left, _ = _skewed(spark)
     df = repartition_for_join(left, ["k"], 8)
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Tables co-bucketed on the join key sort-merge-join with ZERO
+    exchanges — the 100 TB play for repeated fact-fact joins."""
+    from agnes_spark.operators.partitioning import write_bucketed
+    from agnes_spark.plans import plan_string
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS bk_cust")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    write_bucketed(cust, "bk_cust", ["c_custkey"], num_buckets=4, path=str(tmp_path / "c"))
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bk_orders", ["c_custkey"], num_buckets=4, path=str(tmp_path / "o"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_cust").join(spark.table("bk_orders"), "c_custkey")
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == cust.join(orders, cust.c_custkey == orders.o_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_cust")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
