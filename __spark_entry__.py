@@ -721,6 +721,51 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + groupBy count over tokenized text — the canonical
+    flatten-aggregate; top-100 deterministic (count desc, word asc)."""
+    from agnes_spark.functions import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline text normalization: lowercase, strip non-alnum,
+    collapse whitespace — pure JVM regexp expressions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup by key: row_number over (ts desc, id desc) —
+    the CDC/compaction primitive (one shuffle on the key)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing end-to-end: text bytes as the opaque
     binary payload, typed media_meta struct attached, dimensions filled
@@ -953,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "word_count": word_count,
+        "normalize_text": normalize_text,
+        "latest_event_per_user": latest_event_per_user,
         "multimodal_decode": multimodal_decode,
         "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
@@ -1243,6 +1291,26 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "word_count": (
+            "SELECT word, count(*) AS n FROM ("
+            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents"
+            ") WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 100"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+            "'\\s+', ' ', 'g')) AS norm_text, "
+            "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+            "'\\s+', ' ', 'g'))) AS BIGINT) AS norm_len "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "SELECT user_id, event_id, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn FROM events"
+            ") WHERE rn = 1"
         ),
         "multimodal_decode": (
             "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 200), "
