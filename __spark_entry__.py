@@ -721,6 +721,53 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set per group, sorted for a
+    deterministic value (collection order is partition-dependent;
+    sort_array makes it canonical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))).alias("line_numbers"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy): downsample hot
+    segments, keep rare ones — the class-balance primitive for
+    training-data curation. Seeded but partition-layout-dependent —
+    rows-only check; tests pin the rates."""
+    cust = _t(spark, sf_dir, "customer")
+    fractions = {"BUILDING": 0.2, "AUTOMOBILE": 0.5, "MACHINERY": 1.0,
+                 "HOUSEHOLD": 0.1, "FURNITURE": 0.1}
+    return cust.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def fill_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling: generate the full hourly timeline with
+    sequence+explode, cross the (tiny) dimension, left-join observed
+    counts, zero-fill — the resample primitive for time series."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    etypes = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(etypes)
+        .join(hourly, on=["event_type", "hr"], how="left")
+        .select("event_type", "hr", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + groupBy count over tokenized text — the canonical
     flatten-aggregate; top-100 deterministic (count desc, word asc)."""
@@ -998,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "collect_values": collect_values,
+        "stratified_sample": stratified_sample,
+        "fill_missing_hours": fill_missing_hours,
         "word_count": word_count,
         "normalize_text": normalize_text,
         "latest_event_per_user": latest_event_per_user,
@@ -1291,6 +1341,23 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "collect_values": (
+            "SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, "
+            "list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))) AS line_numbers "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "fill_missing_hours": (
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx "
+            "FROM events), "
+            "spine AS (SELECT unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP, "
+            "INTERVAL 1 HOUR)) AS hr FROM b), "
+            "et AS (SELECT DISTINCT event_type FROM events) "
+            "SELECT et.event_type, spine.hr, coalesce(h.n, 0) AS n "
+            "FROM spine CROSS JOIN et "
+            "LEFT JOIN h ON h.event_type = et.event_type AND h.hr = spine.hr"
         ),
         "word_count": (
             "SELECT word, count(*) AS n FROM ("

@@ -117,3 +117,24 @@ def test_approx_twins_error_bounds(spark, sf_dir):
                  .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")).collect()}
     for r in entry.approx_percentiles(spark, sf_dir).collect():
         assert abs(r.pcts[0] - exact_med[r.l_returnflag]) / exact_med[r.l_returnflag] < 0.05
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    totals = {r.c_mktsegment: r.n for r in cust.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.c_mktsegment: r.n for r in entry.stratified_sample(spark, sf_dir)
+           .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {"BUILDING": 0.2, "AUTOMOBILE": 0.5, "MACHINERY": 1.0,
+                 "HOUSEHOLD": 0.1, "FURNITURE": 0.1}
+    for seg, frac in fractions.items():
+        expect = totals[seg] * frac
+        # Bernoulli sampling: generous band around the target rate
+        assert got.get(seg, 0) <= totals[seg]
+        if frac == 1.0:
+            assert got[seg] == totals[seg]
+        else:
+            assert abs(got.get(seg, 0) - expect) < 4 * (expect ** 0.5) + 5

@@ -63,3 +63,28 @@ def test_simhash_join_is_equi(spark, sf_dir):
 def test_embedding_dedup_blocked_join(spark, sf_dir):
     df = entry.dedup_embedding(spark, sf_dir)
     assert not has_cartesian(df)
+
+
+def test_q6_full_pushdown_no_join(spark, sf_dir):
+    df = entry.q6_forecast_revenue(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf) and any("l_discount" in f for f in pf)
+    assert num_shuffles(df) == 0  # scalar agg: partials + single-partition exchange only
+
+
+def test_q10_broadcasts_dims(spark, sf_dir):
+    df = entry.q10_returned_items(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_ivf_probe_join_not_cartesian(spark, sf_dir):
+    df = entry.ann_ivf_topk(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_word_count_prunes_to_text(spark, sf_dir):
+    df = entry.word_count(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
