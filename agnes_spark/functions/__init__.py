@@ -98,6 +98,39 @@ def word_shingles_udf(n: int = 3):
     return _shingle
 
 
+def hashed_shingles_udf(n: int = 3):
+    """Distinct n-word shingles hashed straight to int64 inside the
+    UDF (keyed 8-byte blake2b) — shingle STRINGS never cross the
+    Arrow boundary and never shuffle. This is the bulk-dedup fast
+    path; hash identity doesn't matter to callers (any consistent
+    64-bit hash yields the same set sizes / jaccard, collision odds
+    ~n^2/2^64)."""
+    import hashlib
+
+    @F.pandas_udf("array<long>")
+    def _h(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            toks = t.split()
+            if len(toks) < n:
+                return []
+            seen = dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            out = []
+            for s in seen:
+                v = int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            return out
+
+        return texts.apply(one)
+
+    return _h
+
+
 def minhash_signature(shingle_hashes, num_perm: int = 64) -> Column:
     """MinHash signature as pure Catalyst expressions: for seed i, min
     over shingles of xxhash64(seed_i, h).

@@ -15,12 +15,12 @@ from agnes_spark.functions import (
     band_hashes,
     dot,
     hamming_bits,
+    hashed_shingles_udf,
     l2_norm,
     minhash_signature_udf,
     pack_bits,
     simhash_bits_udf,
     vec_double,
-    word_shingles_udf,
 )
 
 
@@ -54,12 +54,11 @@ def ngram_jaccard_pairs(
     ~1/(1-t) and, more importantly at 100 TB, caps the quadratic
     blowup on hot shingles to prefix occurrences only.
     """
-    shingle_udf = word_shingles_udf(n)
+    shingle_udf = hashed_shingles_udf(n)
     base = (
-        df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("shash", F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))))
-        .withColumn("sz", F.size("sh"))
+        df.select(F.col(id_col), F.array_sort(shingle_udf(F.col(text_col))).alias("shash"))
+        .filter(F.size("shash") > 0)
+        .withColumn("sz", F.size("shash"))
         .persist()  # reused by prefix index and both verify sides
     )
     prefix_len = F.floor(F.col("sz") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)
@@ -117,14 +116,10 @@ def minhash_lsh_pairs(
     recall ~1 at J>=0.5 for 64 perms).
     """
     rows_per_band = num_perm // num_bands
-    shingle_udf = word_shingles_udf(n)
+    shingle_udf = hashed_shingles_udf(n)
     base = (
-        df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(
-            F.col(id_col),
-            F.transform("sh", lambda s: F.xxhash64(s)).alias("shash"),
-        )
+        df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
+        .filter(F.size("shash") > 0)
         # reused three times below (banding + both verify sides): keep
         # the shingle sets materialized instead of re-tokenizing
         .persist()

@@ -58,8 +58,13 @@ def main() -> None:
     spark = get_spark("agnes_spark_bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + parquet footers + Python UDF workers with cheap
+    # actions, so no single query pays one-time process spin-up
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).repartition(8).select(_warm("id").alias("x")).count()
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
