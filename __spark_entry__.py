@@ -468,6 +468,61 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_mktsegment")
 
 
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (beyond the reference, which lists outer joins
+    as future work — src/FUTURE.md): per-customer order totals with
+    customers-without-orders and orphan order rows both preserved."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 700)
+    totals = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 500)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    out = cust.join(totals, cust.c_custkey == totals.o_custkey, "full_outer")
+    return out.select(
+        "c_custkey", "c_mktsegment", "o_custkey", "total_spent"
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intentional cartesian of two tiny dims (region x nation) — the
+    one place a cross join is correct; everything else in the engine
+    is equi-bucketed by construction."""
+    region = _t(spark, sf_dir, "region").select(F.col("r_name"))
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_name"))
+    return region.crossJoin(nation)
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC upsert (MERGE shape without a table format): apply a
+    deterministic updates feed (balance bump for custkey % 7 == 0,
+    plus brand-new synthetic keys) to customer via full-outer join +
+    coalesce — update, insert, and carry-over rows in one pass."""
+    cust = _t(spark, sf_dir, "customer")
+    bumped = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("u_custkey"),
+            F.round(F.col("c_acctbal") + 1000.0, 2).alias("u_acctbal"),
+        )
+    )
+    new_rows = cust.filter(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 100000).alias("u_custkey"),
+        F.lit(0.0).alias("u_acctbal"),
+    )
+    updates = bumped.unionByName(new_rows)
+    merged = cust.join(updates, cust.c_custkey == updates.u_custkey, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "u_custkey").alias("custkey"),
+        F.round(F.coalesce("u_acctbal", "c_acctbal"), 2).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("u_custkey").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra: (high-balance customers INTERSECT building segment)
     EXCEPT tiny-nation customers — distinct set semantics end to end."""
@@ -1029,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_parts": count_distinct_parts,
         "join_semi": join_semi,
         "join_anti": join_anti,
+        "join_outer": join_outer,
+        "join_cross": join_cross,
+        "merge_upsert": merge_upsert,
         "set_ops": set_ops,
         "window_ranks": window_ranks,
         "null_handling": null_handling,
@@ -1227,6 +1285,27 @@ def oracle_sql() -> dict[str, str]:
         "join_anti": (
             "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"
+        ),
+        "join_outer": (
+            "SELECT c_custkey, c_mktsegment, o_custkey, total_spent "
+            "FROM (SELECT * FROM customer WHERE c_custkey <= 700) c "
+            "FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent "
+            "FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey) t "
+            "ON c.c_custkey = t.o_custkey"
+        ),
+        "join_cross": ("SELECT r_name, n_name FROM region CROSS JOIN nation"),
+        "merge_upsert": (
+            "WITH updates AS ("
+            "SELECT c_custkey AS u_custkey, round(c_acctbal + 1000.0, 2) AS u_acctbal "
+            "FROM customer WHERE c_custkey % 7 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey + 100000 AS u_custkey, 0.0 AS u_acctbal "
+            "FROM customer WHERE c_custkey <= 20) "
+            "SELECT coalesce(c_custkey, u_custkey) AS custkey, "
+            "round(coalesce(u_acctbal, c_acctbal), 2) AS acctbal, "
+            "CASE WHEN c_custkey IS NULL THEN 'insert' "
+            "WHEN u_custkey IS NULL THEN 'carry' ELSE 'update' END AS op "
+            "FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey"
         ),
         "set_ops": (
             "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
