@@ -776,6 +776,40 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: exact dedup -> quality score
+    -> language ID -> token count -> filter (quality >= 0.5, English)
+    -> per-source corpus stats. The composition the engine exists for,
+    as one declarative plan (Catalyst fuses the per-doc scoring into a
+    single pass over the kept docs)."""
+    from agnes_spark.operators.dedup import exact_dedup
+    from agnes_spark.operators.textanalysis import lang_id as _lang
+    from agnes_spark.operators.textanalysis import quality_score as _q
+    from agnes_spark.operators.textanalysis import token_count as _tc
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, "doc_id", "text").select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    q = _q(kept, "text").select("doc_id", "quality")
+    lg = _lang(kept, "text").select("doc_id", "pred_lang")
+    tc = _tc(kept, "text").select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"))
+    curated = (
+        kept.join(q, "doc_id")
+        .join(lg, "doc_id")
+        .join(tc, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set per group, sorted for a
     deterministic value (collection order is partition-dependent;
@@ -1103,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "curation_pipeline": curation_pipeline,
         "collect_values": collect_values,
         "stratified_sample": stratified_sample,
         "fill_missing_hours": fill_missing_hours,
@@ -1420,6 +1455,42 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "curation_pipeline": (
+            "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "
+            "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
+            "f AS (SELECT doc_id, source, length(text) AS n_chars, "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm, text FROM kept), "
+            "t AS (SELECT doc_id, source, n_chars, text, "
+            "list_filter(string_split(norm, ' '), x -> x != '') AS w FROM f), "
+            "m AS (SELECT doc_id, source, len(w) AS n_tok, n_chars, "
+            "CASE WHEN len(w) > 0 THEN (n_chars - (len(w) - 1)) * 1.0 / len(w) ELSE 0.0 END AS mtl, "
+            "CASE WHEN len(w) > 0 THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS dr, "
+            "CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> lower(x) IN "
+            "('the','a','of','and','is','to','in','that','it','for'))) * 1.0 / len(w) ELSE 0.0 END AS sr, "
+            "CASE WHEN n_chars > 0 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / n_chars "
+            "ELSE 0.0 END AS pr, "
+            "len(list_filter(w, x -> lower(x) IN "
+            "('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS hits_de, "
+            "len(list_filter(w, x -> lower(x) IN "
+            "('the','a','of','and','is','to','in','that','it','for'))) AS hits_en, "
+            "len(list_filter(w, x -> lower(x) IN "
+            "('el','la','de','que','y','en','un','es','por','con'))) AS hits_es, "
+            "len(list_filter(w, x -> lower(x) IN "
+            "('le','la','de','et','est','un','une','dans','que','pour'))) AS hits_fr FROM t), "
+            "scored AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS ws_tokens, "
+            "round(0.25 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) "
+            "+ 0.2 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) "
+            "+ 0.2 * least(sr * 4, 1.0) + 0.25 * dr + 0.1 * (1 - least(pr * 5, 1.0)), 4) AS quality, "
+            "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' "
+            "WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' "
+            "WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' "
+            "WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' "
+            "ELSE 'fr' END AS pred_lang FROM m) "
+            "SELECT source, count(*) AS n_docs, sum(ws_tokens) AS total_tokens, "
+            "round(avg(quality), 4) AS avg_quality FROM scored "
+            "WHERE quality >= 0.5 AND pred_lang = 'en' "
+            "GROUP BY source ORDER BY source"
         ),
         "collect_values": (
             "SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, "

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "token_count",
     "events_windowed",
     "sessionize",
+    "curation_pipeline",
 ]
 
 
