@@ -790,20 +790,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     keep = exact_dedup(docs, "doc_id", "text").select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(keep, "doc_id")
-    q = _q(kept, "text").select("doc_id", "quality")
-    lg = _lang(kept, "text").select("doc_id", "pred_lang")
-    tc = _tc(kept, "text").select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"))
-    curated = (
-        kept.join(q, "doc_id")
-        .join(lg, "doc_id")
-        .join(tc, "doc_id")
-        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
-    )
+    # the three scorers are pure withColumn transforms — chained, they
+    # fuse into ONE projection over kept (no scoring joins/shuffles)
+    scored = _tc(_lang(_q(kept, "text"), "text"), "text")
+    curated = scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
     return (
         curated.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws_tokens").alias("total_tokens"),
+            F.sum(F.col("ws_tokens").cast("long")).alias("total_tokens"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
         .orderBy("source")
