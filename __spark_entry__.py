@@ -776,6 +776,77 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group via built-ins (exp∘avg∘ln) — the
+    declarative form; tests pin the pandas GROUPED_AGG UDAF twin
+    (operators/aggregate.py) against this."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_price")
+    )
+
+
+def ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit (applyInPandas grouped-map): OLS of
+    extendedprice on quantity per returnflag, numpy per group — the
+    per-key-model escape hatch, oracle-checked against SQL regr_*."""
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy()
+        y = pdf["l_extendedprice"].to_numpy()
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "slope": [round(slope, 4)],
+                "intercept": [round(ym - slope * xm, 4)],
+                "n": [len(x)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        fit, "l_returnflag string, slope double, intercept double, n long"
+    )
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: trailing-7-day revenue over the daily
+    series (rangeBetween on event-time seconds, not row counts). The
+    global-ordered window is fine on a daily rollup (~2.4k rows at any
+    SF); per-key variants partition first."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "d", F.round(F.sum("rev").over(w), 2).alias("rolling_rev")
+    )
+
+
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: richest/poorest customer name per
+    segment via max_by/min_by (no self-join back to the row)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: exact dedup -> quality score
     -> language ID -> token count -> filter (quality >= 0.5, English)
@@ -1132,6 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "geo_mean": geo_mean,
+        "ols_slope": ols_slope,
+        "rolling_7d_revenue": rolling_7d_revenue,
+        "minmax_by": minmax_by,
         "curation_pipeline": curation_pipeline,
         "collect_values": collect_values,
         "stratified_sample": stratified_sample,
@@ -1450,6 +1525,30 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "geo_mean": (
+            "SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geo_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "ols_slope": (
+            "SELECT l_returnflag, "
+            "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "rolling_7d_revenue": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+            "sum(o_totalprice) AS rev FROM orders GROUP BY 1) "
+            "SELECT d, round(sum(rev) OVER (ORDER BY d "
+            "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2) AS rolling_rev "
+            "FROM daily"
+        ),
+        "minmax_by": (
+            "SELECT c_mktsegment, max_by(c_name, c_acctbal) AS richest, "
+            "round(max(c_acctbal), 2) AS max_bal, "
+            "min_by(c_name, c_acctbal) AS poorest, "
+            "round(min(c_acctbal), 2) AS min_bal "
+            "FROM customer GROUP BY c_mktsegment"
         ),
         "curation_pipeline": (
             "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "

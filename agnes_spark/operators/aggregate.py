@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,3 +58,18 @@ def fold_in_pandas(
     """Arbitrary per-group fold via Arrow-batched applyInPandas —
     only for folds inexpressible as aggregate expressions."""
     return df.groupBy(*key_labels).applyInPandas(fold, schema=schema)
+
+
+def geomean_udaf():
+    """Custom aggregate as a pandas GROUPED_AGG UDF (Arrow-batched
+    reduction, usable inside groupBy().agg() next to built-ins).
+
+    Template for UDAFs Spark lacks; prefer the expression form
+    (exp∘avg∘ln) when one exists — it gets map-side partial
+    aggregation, a GROUPED_AGG UDF does not."""
+
+    @F.pandas_udf("double")
+    def _gm(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return _gm

@@ -138,3 +138,18 @@ def test_stratified_sample_rates(spark, sf_dir):
             assert got[seg] == totals[seg]
         else:
             assert abs(got.get(seg, 0) - expect) < 4 * (expect ** 0.5) + 5
+
+
+def test_geomean_udaf_matches_expression(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.aggregate import geomean_udaf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    gm = geomean_udaf()
+    got = {r.l_returnflag: r.g for r in li.groupBy("l_returnflag")
+           .agg(F.round(gm("l_extendedprice"), 4).alias("g")).collect()}
+    expect = {r.l_returnflag: r.g for r in li.groupBy("l_returnflag")
+              .agg(F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("g")).collect()}
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-3
