@@ -847,6 +847,20 @@ def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: iterative min-label
+    propagation (operators/graph.py) over the exact-Jaccard pair graph.
+    Oracle: DuckDB recursive CTE computing min reachable id."""
+    from agnes_spark.operators.dedup import ngram_jaccard_pairs
+    from agnes_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: exact dedup -> quality score
     -> language ID -> token count -> filter (quality >= 0.5, English)
@@ -1203,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
+        "dedup_clusters": dedup_clusters,
         "geo_mean": geo_mean,
         "ols_slope": ols_slope,
         "rolling_7d_revenue": rolling_7d_revenue,
@@ -1549,6 +1564,27 @@ def oracle_sql() -> dict[str, str]:
             "min_by(c_name, c_acctbal) AS poorest, "
             "round(min(c_acctbal), 2) AS min_bal "
             "FROM customer GROUP BY c_mktsegment"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            "tok AS (SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), "
+            "'\\s+', ' ', 'g'), ' '), x -> x != '') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM tok, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
+            "sz AS (SELECT doc_id, count(*) AS sh_size FROM sh GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT a_id, b_id FROM p "
+            "JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.sh_size + sb.sh_size - inter) >= 0.5), "
+            "edges AS (SELECT a_id AS u, b_id AS v FROM pairs "
+            "UNION ALL SELECT b_id, a_id FROM pairs), "
+            "reach(id, lbl) AS ("
+            "SELECT DISTINCT u, u FROM edges "
+            "UNION "
+            "SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id) "
+            "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id"
         ),
         "curation_pipeline": (
             "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "

@@ -1,0 +1,63 @@
+"""Connected components + canonical-doc selection."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.graph import canonical_per_cluster, connected_components
+from agnes_spark.sources.memory import table
+
+
+def test_components_basic(spark):
+    # two components {1,2,3,9} (chain) and {5,6}, isolated 7 absent
+    edges = table(
+        spark,
+        {"a_id": [1, 2, 3, 5], "b_id": [2, 3, 9, 6]},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_components_path_diameter(spark):
+    # a 12-node path exercises multi-round propagation
+    n = 12
+    edges = table(
+        spark,
+        {"a_id": list(range(n - 1)), "b_id": list(range(1, n))},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_canonical_per_cluster(spark):
+    docs = table(
+        spark,
+        {"doc_id": [1, 2, 3, 5, 6, 7], "text": ["a", "a", "a", "b", "b", "c"]},
+        types={"doc_id": "long", "text": "string"},
+    )
+    edges = table(
+        spark,
+        {"a_id": [1, 1, 5], "b_id": [2, 3, 6]},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    comps = connected_components(edges)
+    kept = canonical_per_cluster(docs, comps, "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {1, 5, 7}
+
+
+def test_components_on_real_dedup_pairs(spark, sf_dir):
+    from agnes_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    rows = comps.collect()
+    # every cluster id is the min member of its cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    # clusters cover exactly the nodes present in pairs
+    node_set = {r.a_id for r in pairs.collect()} | {r.b_id for r in pairs.collect()}
+    assert {r.id for r in rows} == node_set
