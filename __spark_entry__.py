@@ -550,6 +550,8 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.lag("o_orderkey", 1).over(w).alias("prev_key"),
         F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -773,6 +775,27 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hour + day + month pre-aggregates in
+    ONE pass) via GROUPING SETS — the hypertable-continuous-aggregate
+    shape, through the SQL API."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT date_trunc('hour', ts)  AS hr,
+               date_trunc('day', ts)   AS d,
+               date_trunc('month', ts) AS mo,
+               count(*)                AS n,
+               round(sum(value), 2)    AS total
+        FROM events_v
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
+                                (date_trunc('day', ts)),
+                                (date_trunc('month', ts)))
+        """
     )
 
 
@@ -1218,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
         "dedup_clusters": dedup_clusters,
+        "time_rollup": time_rollup,
         "geo_mean": geo_mean,
         "ols_slope": ols_slope,
         "rolling_7d_revenue": rolling_7d_revenue,
@@ -1437,7 +1461,9 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
             "ntile(4) OVER w AS quartile, "
             "lag(o_orderkey, 1) OVER w AS prev_key, "
-            "lead(o_orderkey, 1) OVER w AS next_key "
+            "lead(o_orderkey, 1) OVER w AS next_key, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cume "
             "FROM orders WHERE o_totalprice > 450000 "
             "WINDOW w AS (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey ASC)"
@@ -1540,6 +1566,14 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "time_rollup": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+            "CAST(date_trunc('month', ts) AS TIMESTAMP) AS mo, "
+            "count(*) AS n, round(sum(value), 2) AS total "
+            "FROM events GROUP BY GROUPING SETS ((date_trunc('hour', ts)), "
+            "(date_trunc('day', ts)), (date_trunc('month', ts)))"
         ),
         "geo_mean": (
             "SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geo_price "

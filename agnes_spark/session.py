@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("AGNES_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter pushed from the filtered side of a join
+        # to the big side's scan — row-group skipping a dim filter
+        # can't reach statically; a large-scan win at 100 TB
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

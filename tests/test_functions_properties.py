@@ -48,3 +48,22 @@ def test_pack_bits_matches_int_parse(spark, bits):
     df = spark.range(1).select(F.array(*[F.lit(b) for b in bits]).alias("b"))
     got = df.select(pack_bits(F.col("b")).alias("v")).collect()[0].v
     assert got == int("".join(map(str, bits)), 2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=8))
+def test_hashed_shingles_udf_sizes_match_expression(spark, texts):
+    """Int64-hashed shingles (blake2b UDF) carry the same SET SIZE as
+    the string shingle expression — collision-free at property scale,
+    so jaccard computed on hashes == jaccard on strings."""
+    from agnes_spark.functions import hashed_shingles_udf
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", F.size(hashed_shingles_udf(3)(F.col("t"))).alias("n")).collect()
+    }
+    expect = {
+        r.id: r.n for r in df.select("id", F.size(word_shingles(F.col("t"), 3)).alias("n")).collect()
+    }
+    assert got == expect
