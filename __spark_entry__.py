@@ -778,6 +778,15 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key profile (operators/partitioning.py) — the
+    pre-flight check that sizes salt factors for skewed joins."""
+    from agnes_spark.operators.partitioning import key_skew_profile
+
+    ev = _events(spark, sf_dir)
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical time rollup (hour + day + month pre-aggregates in
     ONE pass) via GROUPING SETS — the hypertable-continuous-aggregate
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": histogram_totalprice,
         "json_funcs": json_funcs,
         "dedup_clusters": dedup_clusters,
+        "skew_profile": skew_profile,
         "time_rollup": time_rollup,
         "geo_mean": geo_mean,
         "ols_slope": ols_slope,
@@ -1566,6 +1576,11 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "skew_profile": (
+            "SELECT user_id, count(*) AS n, "
+            "round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS share "
+            "FROM events GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
         ),
         "time_rollup": (
             "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, "

@@ -49,6 +49,21 @@ def repartition_for_join(df: DataFrame, keys: Sequence[str], num_partitions: int
     return df.repartition(*[F.col(k) for k in keys])
 
 
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Heavy-hitter profile of a join/groupBy key: the top_n hottest
+    key values with row counts and share of total. Run this before
+    choosing salt factors / AQE skew thresholds at 100 TB — one
+    aggregate pass, top-N via TakeOrdered (no global sort)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+        .orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(top_n)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -88,3 +88,20 @@ def test_word_count_prunes_to_text(spark, sf_dir):
     df = entry.word_count(spark, sf_dir)
     schemas = read_schemas(df)
     assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Directory-partitioned parquet + a partition-column filter =>
+    PartitionFilters on the scan (whole directories skipped) — the
+    layout play that turns a 100 TB scan into a 1 TB scan."""
+    from agnes_spark.plans import plan_string
+    from agnes_spark.sources.formats import write_parquet
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "cust_by_seg")
+    write_parquet(cust, out, partition_by=["c_mktsegment"])
+    back = spark.read.parquet(out).filter("c_mktsegment = 'BUILDING'")
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan and "c_mktsegment" in plan.split("PartitionFilters")[1][:200]
+    n = back.count()
+    assert n == cust.filter("c_mktsegment = 'BUILDING'").count() and n > 0

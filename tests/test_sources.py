@@ -57,3 +57,22 @@ def test_memory_table_length_mismatch(spark):
 
     with pytest.raises(ValueError):
         table(spark, {"a": [1], "b": [1, 2]})
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written at different times with added
+    columns read back as one table under mergeSchema."""
+    from agnes_spark.sources.memory import table
+
+    old = table(spark, {"id": [1, 2], "v": [1.0, 2.0]}, types={"id": "long", "v": "double"})
+    new = table(
+        spark,
+        {"id": [3], "v": [3.0], "extra": ["x"]},
+        types={"id": "long", "v": "double", "extra": "string"},
+    )
+    old.write.parquet(str(tmp_path / "d"), mode="overwrite")
+    new.write.parquet(str(tmp_path / "d"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "d"))
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
