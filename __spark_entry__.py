@@ -523,6 +523,24 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other —
+    Spark eqNullSafe vs SQL IS NOT DISTINCT FROM."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    keyed = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nkey"),
+    )
+    a = keyed.select(F.col("c_custkey").alias("a_id"), F.col("nkey").alias("a_k"))
+    b = keyed.select(F.col("c_custkey").alias("b_id"), F.col("nkey").alias("b_k"))
+    pairs = a.join(b, a.a_k.eqNullSafe(b.b_k) & (a.a_id < b.b_id))
+    return pairs.groupBy(F.col("a_k").alias("nkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra: (high-balance customers INTERSECT building segment)
     EXCEPT tiny-nation customers — distinct set semantics end to end."""
@@ -1231,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": join_semi,
         "join_anti": join_anti,
         "join_outer": join_outer,
+        "join_null_safe": join_null_safe,
         "join_cross": join_cross,
         "merge_upsert": merge_upsert,
         "set_ops": set_ops,
@@ -1448,6 +1467,15 @@ def oracle_sql() -> dict[str, str]:
             "ON c.c_custkey = t.o_custkey"
         ),
         "join_cross": ("SELECT r_name, n_name FROM region CROSS JOIN nation"),
+        "join_null_safe": (
+            "WITH keyed AS (SELECT c_custkey, "
+            "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nkey "
+            "FROM customer WHERE c_custkey <= 300) "
+            "SELECT a.nkey AS nkey, count(*) AS n_pairs "
+            "FROM keyed a JOIN keyed b "
+            "ON a.nkey IS NOT DISTINCT FROM b.nkey AND a.c_custkey < b.c_custkey "
+            "GROUP BY a.nkey"
+        ),
         "merge_upsert": (
             "WITH updates AS ("
             "SELECT c_custkey AS u_custkey, round(c_acctbal + 1000.0, 2) AS u_acctbal "

@@ -103,6 +103,7 @@ def asof_join(
     by: Sequence[str],
     right_values: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.on <= left.on (backward) / earliest >= (forward), per `by` key.
@@ -110,6 +111,10 @@ def asof_join(
     Implemented by unioning tagged rows, then a single window pass
     (last non-null over rows ordered by `on`) — one shuffle on the
     `by` key, no per-row lookups, skew handled by AQE.
+
+    `tolerance_seconds` (pandas merge_asof parity): a match further
+    than this from the left timestamp is nulled out — the carried
+    right timestamp rides along in the same window pass.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -120,6 +125,7 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.col(on).alias("__rv___rt"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != on],
     )
     tagged_l = left.select(
@@ -127,6 +133,7 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+        F.lit(None).cast(right.schema[on].dataType).alias("__rv___rt"),
         *[F.col(c) for c in lcols if c not in by and c != on],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -142,10 +149,23 @@ def asof_join(
             .orderBy(F.col("__t").desc(), F.col("__side").desc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+    carried = list(right_values) + ["__rt"]
     filled = unioned.select(
         "*",
-        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_values],
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried],
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__t").cast("double") - F.col("__f___rt").cast("double")
+        )
+        within = F.col("__f___rt").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        filled = filled.select(
+            *[c for c in filled.columns if not c.startswith("__f_")],
+            *[
+                F.when(within, F.col(f"__f_{c}")).alias(f"__f_{c}")
+                for c in carried
+            ],
+        )
     out = filled.filter(F.col("__side") == 1).select(
         *by,
         F.col("__t").alias(on),

@@ -71,3 +71,32 @@ def test_asof_join_forward(spark):
     )
     out = asof_join(trades, quotes, on="ts", by=["sym"], right_values=["bid"], direction="forward")
     assert out.collect()[0].bid == 1.1
+
+
+def test_asof_join_tolerance(spark):
+    """Matches further than tolerance_seconds are nulled (pandas
+    merge_asof parity)."""
+    from agnes_spark.operators.join import asof_join
+    from agnes_spark.sources.memory import table
+
+    trades = table(
+        spark,
+        {"sym": ["A", "A", "A"], "t": [100.0, 200.0, 500.0], "qty": [1, 2, 3]},
+        types={"sym": "string", "t": "double", "qty": "int"},
+    )
+    quotes = table(
+        spark,
+        {"sym": ["A", "A"], "t": [95.0, 180.0], "px": [10.0, 11.0]},
+        types={"sym": "string", "t": "double", "px": "double"},
+    )
+    out = asof_join(
+        trades, quotes, on="t", by=["sym"], right_values=["px"],
+        tolerance_seconds=30.0,
+    )
+    got = {r.t: r.px for r in out.collect()}
+    # t=100 matches 95 (gap 5), t=200 matches 180 (gap 20), t=500's
+    # nearest prior quote is 320s old -> nulled
+    assert got == {100.0: 10.0, 200.0: 11.0, 500.0: None}
+
+    no_tol = asof_join(trades, quotes, on="t", by=["sym"], right_values=["px"])
+    assert {r.t: r.px for r in no_tol.collect()} == {100.0: 10.0, 200.0: 11.0, 500.0: 11.0}

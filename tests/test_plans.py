@@ -105,3 +105,12 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "c_mktsegment" in plan.split("PartitionFilters")[1][:200]
     n = back.count()
     assert n == cust.filter("c_mktsegment = 'BUILDING'").count() and n > 0
+
+
+def test_sort_uses_range_partitioning(spark, sf_dir):
+    """Global sorts range-partition (sampled split points, parallel
+    sort) — never a single-partition sort."""
+    from agnes_spark.plans import plan_string
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_totalprice")
+    assert "rangepartitioning" in plan_string(df).lower()
