@@ -56,7 +56,10 @@ def ngram_jaccard_pairs(
     """
     shingle_udf = hashed_shingles_udf(n)
     base = (
-        df.select(F.col(id_col), F.array_sort(shingle_udf(F.col(text_col))).alias("shash"))
+        # repartition BEFORE the Python stage: a single-file source
+        # otherwise runs the whole UDF serially in one worker
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.array_sort(shingle_udf(F.col(text_col))).alias("shash"))
         .filter(F.size("shash") > 0)
         .withColumn("sz", F.size("shash"))
         .persist()  # reused by prefix index and both verify sides
@@ -118,7 +121,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // num_bands
     shingle_udf = hashed_shingles_udf(n)
     base = (
-        df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
+        # repartition BEFORE the Python stage: a single-file source
+        # otherwise runs the whole UDF serially in one worker
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
         .filter(F.size("shash") > 0)
         # reused three times below (banding + both verify sides): keep
         # the shingle sets materialized instead of re-tokenizing
@@ -132,7 +138,7 @@ def minhash_lsh_pairs(
         F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
             "band", "bucket"
         ),
-    )
+    ).persist()  # self-joined below — without this the signature UDF runs twice
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])
@@ -172,9 +178,11 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
-    fp = df.select(
-        F.col(id_col), simhash_bits_udf(64)(F.col(text_col)).alias("fp")
-    ).persist()
+    fp = (
+        df.repartition(F.col(id_col))  # parallelize the UDF over single-file sources
+        .select(F.col(id_col), simhash_bits_udf(64)(F.col(text_col)).alias("fp"))
+        .persist()
+    )
     chunked = fp.select(
         F.col(id_col),
         "fp",

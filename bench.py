@@ -65,7 +65,8 @@ def main() -> None:
 
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     _warm = F.pandas_udf(lambda s: s, "long")
-    spark.range(1000).repartition(8).select(_warm("id").alias("x")).count()
+    width = spark.sparkContext.defaultParallelism
+    spark.range(100 * width).repartition(width).select(_warm("id").alias("x")).count()
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -77,6 +78,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # drop per-query persisted frames so queries stay independent
+        # (not part of the timed region)
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
