@@ -911,6 +911,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash + min-per-window,
+    SIGMOD'03) — substring-overlap detection. Hash-based, rows-only;
+    the winnowing guarantee is pinned in tests."""
+    from agnes_spark.operators.textanalysis import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = winnow_fingerprints(docs, "text", k=8, w=4)
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.sort_array("fingerprints").alias("fps"),
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: exact dedup -> quality score
     -> language ID -> token count -> filter (quality >= 0.5, English)
@@ -1300,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality_score,
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
+        "doc_winnow": doc_winnow,
     }
 
 

@@ -7,6 +7,8 @@ Python in the hot path) — at 100 TB these run at parquet-scan speed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,3 +97,59 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     (xxhash64) — the cheap exact-dup key for cross-corpus joins."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): polynomial ROLLING hash over
+    char k-grams of the normalized text, then the minimum hash of
+    each window of `w` consecutive k-grams (rightmost tie-break),
+    deduplicated. Guarantees any shared substring of length >= k+w-1
+    contributes a shared fingerprint — substring-level overlap
+    detection, where whole-doc hashing only catches exact dups.
+
+    Vectorized Arrow kernel (per-doc numpy); the output array joins
+    on explode(fingerprints) for cross-corpus overlap mining —
+    8-byte keys only, same shuffle shape as the shingle pipelines.
+    """
+    B = np.uint64(1000003)
+
+    @F.pandas_udf("array<long>")
+    def _win(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            norm = " ".join(t.lower().split())
+            n = len(norm)
+            if n < k:
+                return []
+            # one byte per char (lossy for non-latin text but stable;
+            # fingerprints only need consistency, not reversibility)
+            codes = np.frombuffer(
+                norm.encode("latin-1", "replace"), dtype=np.uint8
+            ).astype(np.uint64)
+            # rolling polynomial hash of every k-gram (uint64 wraparound)
+            powers = np.array([B ** np.uint64(k - 1 - i) for i in range(k)], dtype=np.uint64)
+            m = n - k + 1
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+            if m <= w:
+                picks = np.array([int(hashes.argmin())])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+                # rightmost minimum per window: argmin on reversed window
+                rev = win[:, ::-1]
+                idx = (w - 1) - rev.argmin(axis=1) + np.arange(win.shape[0])
+                picks = np.unique(idx)
+            vals = hashes[picks].astype(np.int64)
+            return list(dict.fromkeys(vals.tolist()))
+
+        return texts.apply(one)
+
+    return df.withColumn(out_col, _win(F.col(text_col)))

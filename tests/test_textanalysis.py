@@ -55,3 +55,42 @@ def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
     c = doc_fingerprint(_doc(spark, "hello worlds")).collect()[0].fingerprint
     assert a == b
     assert a != c
+
+
+def test_winnow_shared_substring_shares_fingerprints(spark):
+    from agnes_spark.operators.textanalysis import winnow_fingerprints
+    from agnes_spark.sources.memory import table
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "PREFIX one " + shared + " SUFFIX alpha",
+                "PREFIX two " + shared + " SUFFIX beta",
+                "totally different content with no overlap at all here",
+            ],
+        },
+        types={"doc_id": "long", "text": "string"},
+    )
+    out = {r.doc_id: set(r.fingerprints) for r in
+           winnow_fingerprints(docs, "text", k=8, w=4).collect()}
+    # winnowing guarantee: a shared substring of length >= k+w-1
+    # yields shared fingerprints
+    assert out[1] & out[2]
+    # unrelated docs share (essentially) nothing
+    assert not (out[1] & out[3])
+
+
+def test_winnow_identical_docs_identical_fingerprints(spark):
+    from agnes_spark.operators.textanalysis import winnow_fingerprints
+    from agnes_spark.sources.memory import table
+
+    docs = table(
+        spark,
+        {"doc_id": [1, 2], "text": ["some normalized    Text here"] * 2},
+        types={"doc_id": "long", "text": "string"},
+    )
+    out = [r.fingerprints for r in winnow_fingerprints(docs, "text").collect()]
+    assert out[0] == out[1] and len(out[0]) > 0
