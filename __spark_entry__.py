@@ -707,6 +707,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery): parts priced at
+    their brand's minimum. Catalyst decorrelates this into an
+    aggregate + join — no per-row subquery execution."""
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM part_v p
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                               FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (hierarchical subtotals) — one Expand pass,
     same engine path as cube_agg."""
@@ -1277,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_effect": q14_promo_effect,
         "q18_large_orders": q18_large_orders,
+        "correlated_min": correlated_min,
         "rollup_agg": rollup_agg,
         "union_views": union_views,
         "embedding_norms": embedding_norms,
@@ -1585,6 +1602,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty "
             "FROM orders JOIN big ON o_orderkey = l_orderkey "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "correlated_min": (
+            "SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p "
+            "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
+            "WHERE p2.p_brand = p.p_brand)"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
