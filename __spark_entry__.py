@@ -927,6 +927,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — the reproducible
+    alternative to randomSplit (membership is a pure function of the
+    id, stable across runs, partitionings, and cluster sizes)."""
+    docs = _t(spark, sf_dir, "documents")
+    # Knuth multiplicative hash — portable integer arithmetic, so the
+    # split is identical in any engine (and SQL-oracle-checkable)
+    bucket = F.pmod((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), F.lit(10))
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
 def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + min-per-window,
     SIGMOD'03) — substring-overlap detection. Hash-based, rows-only;
@@ -1333,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
         "doc_winnow": doc_winnow,
+        "train_test_split": train_test_split,
     }
 
 
@@ -1753,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT et.event_type, spine.hr, coalesce(h.n, 0) AS n "
             "FROM spine CROSS JOIN et "
             "LEFT JOIN h ON h.event_type = et.event_type AND h.hr = spine.hr"
+        ),
+        "train_test_split": (
+            "WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 10 AS bkt "
+            "FROM documents) "
+            "SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt < 9 THEN 'val' "
+            "ELSE 'test' END AS split, count(*) AS n, min(doc_id) AS min_id "
+            "FROM b GROUP BY 1 ORDER BY split"
         ),
         "word_count": (
             "SELECT word, count(*) AS n FROM ("
