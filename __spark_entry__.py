@@ -1194,6 +1194,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): per-group sketch,
+    then sketch UNION for the grand total — no second scan. This is
+    how incremental/hierarchical distinct counts roll up at 100 TB
+    (store sketches per partition/day, merge on demand). Sketch-based
+    — rows-only check; error vs exact pinned in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    per_group = sk.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("est_parts")
+    )
+    total = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__ALL__").alias("l_returnflag"),
+        F.hll_sketch_estimate("u").alias("est_parts"),
+    )
+    return per_group.unionByName(total).orderBy("l_returnflag")
+
+
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx_count_distinct — the 100 TB twin of
     count_distinct_parts (no exact-distinct shuffle). Approximate by
@@ -1347,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "hll_sketch_rollup": hll_sketch_rollup,
         "approx_distinct_parts": approx_distinct_parts,
         "approx_percentiles": approx_percentiles,
         "lang_id": lang_id,

@@ -153,3 +153,17 @@ def test_geomean_udaf_matches_expression(spark, sf_dir):
               .agg(F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("g")).collect()}
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-3
+
+
+def test_hll_sketch_rollup_error_bound(spark, sf_dir):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact_all = li.select("l_partkey").distinct().count()
+    exact_per = {r.l_returnflag: r.n for r in li.groupBy("l_returnflag")
+                 .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    got = {r.l_returnflag: r.est_parts for r in entry.hll_sketch_rollup(spark, sf_dir).collect()}
+    assert abs(got["__ALL__"] - exact_all) / exact_all < 0.05
+    for k, n in exact_per.items():
+        assert abs(got[k] - n) / n < 0.05
