@@ -51,3 +51,62 @@ def test_session_window_stream_runs(spark, sf_dir, events_dir):
     assert len(rows) > 0
     # session bounds sane: start <= end, n_events >= 1
     assert all(r.session_start <= r.session_end and r.n_events >= 1 for r in rows)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: once a window is finalized (emitted),
+    a later micro-batch's row for that window is DROPPED — no
+    duplicate emission, no state resurrection. This is the
+    state-bounding contract everything at 100 TB/day relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: 12:00 and 14:00 -> watermark 13:00 after the batch
+    write_batch("f1", [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 14:00:00")])
+    # batch 2: on-time row; [12:00, 13:00) gets finalized and emitted
+    write_batch("f2", [(3, "2024-01-01 14:30:00")])
+    # batch 3: late row for the already-finalized window -> dropped
+    write_batch("f3", [(4, "2024-01-01 12:30:00")])
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    i = 0
+    for d in ["f1", "f2", "f3"]:
+        for f in sorted(os.listdir(src / d)):
+            if f.endswith(".parquet"):
+                os.link(src / d / f, flat / f"{i}.parquet")
+                os.utime(flat / f"{i}.parquet", (1000 + i * 100,) * 2)
+                i += 1
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    got = {str(r.ws): r.n for r in rows}
+    # the finalized window holds ONLY the on-time row; the late row
+    # neither re-emitted the window nor bumped its count
+    assert got.get("2024-01-01 12:00:00") == 1
+    assert len(rows) == 1
