@@ -1,0 +1,48 @@
+"""Regenerate PLANS.md: formatted physical plans for headline queries.
+
+Usage: python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from agnes_spark import get_spark
+from agnes_spark.plans import plan_string
+
+SHOWCASE = [
+    ("q6_forecast_revenue", "all predicates pushed to the scan; zero data shuffle"),
+    ("q1_pricing_summary", "8 aggregates, one partial+final pass, whole-stage codegen"),
+    ("q10_returned_items", "broadcast dims; TakeOrderedAndProject (no global sort)"),
+    ("dedup_minhash", "candidate generation is an equi-join on (band, bucket)"),
+    ("curation_pipeline", "three scorers fused into one projection over kept docs"),
+    ("merge_upsert", "full-outer MERGE shape"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("dump_plans")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — physical plans of headline queries\n",
+        "Regenerate with `python scripts/dump_plans.py` "
+        f"(sf dir: `{sf_dir}`). What to look for: `PushedFilters` on\n"
+        "scans, pruned `ReadSchema`, `BroadcastHashJoin` for dims,\n"
+        "`WholeStageCodegen` spans, and the absence of\n"
+        "`CartesianProduct`.\n",
+    ]
+    for name, why in SHOWCASE:
+        df = qs[name](spark, sf_dir)
+        out.append(f"\n## {name}\n\n*{why}*\n\n```\n{plan_string(df).strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
