@@ -37,3 +37,24 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-per-row text source (`value` column); whole=True reads one
+    row per file — raw-corpus ingestion before parsing."""
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content) one
+    row per file — the ingestion path for multimodal payloads (images/
+    audio land as `content: binary` ready for operators/multimodal.py).
+    Scale note: binaryFile never splits a file; parallelism is
+    per-file, so pack small media into fewer large containers first.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -167,3 +167,15 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     assert abs(got["__ALL__"] - exact_all) / exact_all < 0.05
     for k, n in exact_per.items():
         assert abs(got[k] - n) / n < 0.05
+
+
+def test_observed_metrics_zero_extra_pass(spark, sf_dir):
+    from agnes_spark.operators.quality import observed
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df, obs = observed(cust, null_check_cols=["c_name"], range_check_col="c_acctbal")
+    n = df.count()  # the action that also computes the metrics
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["null_c_name"] == 0
+    assert m["min_c_acctbal"] <= m["max_c_acctbal"]

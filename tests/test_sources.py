@@ -76,3 +76,44 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "extra"}
     rows = {r.id: r.extra for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion -> media metadata -> decode stub: the
+    end-to-end multimodal loading path."""
+    from agnes_spark.operators.multimodal import attach_media_meta, decode_image_meta
+    from agnes_spark.sources.formats import read_binary_files
+    from pyspark.sql import functions as F
+
+    payloads = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert files.count() == 4
+    ided = files.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col("content"),
+        F.col("length"),
+    )
+    media = attach_media_meta(ided, "content", "image")
+    assert "media_meta" in media.columns
+    out = decode_image_meta(media, "content", "media_id")
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.width >= 16 and r.height >= 16 for r in rows)
+
+
+def test_text_source_and_zstd_parquet(spark, tmp_path):
+    from agnes_spark.sources.formats import read_text
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    lines = read_text(spark, str(tmp_path / "a.txt"))
+    assert {r.value for r in lines.collect()} == {"line one", "line two"}
+    whole = read_text(spark, str(tmp_path / "a.txt"), whole=True)
+    assert whole.count() == 1
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    df.write.option("compression", "zstd").parquet(str(tmp_path / "z"))
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 100
