@@ -52,6 +52,96 @@ def brute_force_topk(
     )
 
 
+class IvfIndex:
+    """A built IVF-flat index: corpus rows assigned to KMeans cells
+    (hash-partitioned by cell, persisted) + the centroid table.
+
+    Build once, serve many query batches — at 100 TB the (cell -> rows)
+    layout is written to a bucketed table and every query batch is an
+    equi-join on cell id. `topk` is that join + exact rerank.
+    """
+
+    def __init__(self, assigned: DataFrame, centers: DataFrame, n_cells: int):
+        self.assigned = assigned
+        self.centers = centers
+        self.n_cells = n_cells
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        corpus_id: str,
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        max_iter: int = 10,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        """Train KMeans (the iterative part — at 100 TB train on a
+        sample) and assign every corpus row to its cell."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = corpus.select(
+            F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
+        ).withColumn("n_norm", l2_norm(F.col("n_v")))
+        feat = c.withColumn("features", array_to_vector("n_v"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+        assigned = (
+            model.transform(feat)
+            .select("n_id", "n_v", "n_norm", F.col("prediction").alias("cell"))
+            .repartition("cell")
+            .persist()
+        )
+        centers = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            "cell int, ctr array<double>",
+        )
+        return cls(assigned, centers, n_cells)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        query_id: str,
+        vec_col: str = "embedding",
+        k: int = 5,
+        n_probe: int = 3,
+    ) -> DataFrame:
+        """Probe each query's n_probe nearest cells, exact rerank."""
+        q = queries.select(
+            F.col(query_id).alias("q_id"), vec_double(F.col(vec_col)).alias("q_v")
+        ).withColumn("q_norm", l2_norm(F.col("q_v")))
+        d2 = F.aggregate(
+            F.zip_with(F.col("q_v"), F.col("ctr"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wp = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+        probes = (
+            q.crossJoin(F.broadcast(self.centers))
+            .withColumn("d2", d2)
+            .withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= n_probe)
+            .select("q_id", "q_v", "q_norm", "cell")
+        )
+        scored = (
+            self.assigned.join(F.broadcast(probes), on="cell")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .withColumn(
+                "cos",
+                dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm")),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", F.round("cos", 6).alias("cos"))
+        )
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,65 +154,17 @@ def ivf_topk(
     max_iter: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: KMeans partitions the corpus into
-    `n_cells` inverted lists; each query exactly reranks only its
-    `n_probe` nearest cells.
-
-    The index build is the iterative part (distributed KMeans,
-    `max_iter` passes over the corpus); at 100 TB you train on a
-    sample, persist (cell -> rows) hash-partitioned by cell, and every
-    query batch is then an equi-join on cell id — same shuffle shape
-    as the LSH path but with data-adaptive buckets (better recall on
-    clustered corpora). Recall/cost dial: n_probe/n_cells.
+    """One-shot IVF-flat approximate top-k: build the index, probe it.
+    Reuse `IvfIndex.build(...)` directly when serving many query
+    batches against one corpus. Recall/cost dial: n_probe/n_cells.
 
     Non-SQL-expressible (iterative training) — rows-only gate check;
     tests pin recall against brute_force_topk.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
-    ).withColumn("n_norm", l2_norm(F.col("n_v")))
-    feat = c.withColumn("features", array_to_vector("n_v"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
-    assigned = model.transform(feat).select(
-        "n_id", "n_v", "n_norm", F.col("prediction").alias("cell")
+    index = IvfIndex.build(
+        corpus, corpus_id, vec_col, n_cells=n_cells, max_iter=max_iter, seed=seed
     )
-    centers = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "cell int, ctr array<double>",
-    )
-    q = queries.select(
-        F.col(query_id).alias("q_id"), vec_double(F.col(vec_col)).alias("q_v")
-    ).withColumn("q_norm", l2_norm(F.col("q_v")))
-    # n_probe nearest centroids per query: |Q| x n_cells distances, tiny
-    d2 = F.aggregate(
-        F.zip_with(F.col("q_v"), F.col("ctr"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("d2", d2)
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= n_probe)
-        .select("q_id", "q_v", "q_norm", "cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), on="cell")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos", dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm"))
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "n_id", F.round("cos", 6).alias("cos"))
-    )
+    return index.topk(queries, query_id, vec_col=vec_col, k=k, n_probe=n_probe)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:

@@ -39,6 +39,27 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int, out_path: str | None = None
+) -> None:
+    """Rewrite a parquet directory into `target_files` files — the
+    small-files compaction every streaming/incremental pipeline needs
+    (a 100 TB table of 4 KB files dies on open() overhead; NameNode/
+    listing pressure scales with file count, not bytes).
+
+    In-place (out_path=None) stages to `<path>__compact` then swaps,
+    so a crash never leaves the table half-written.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    staged = out_path or (path.rstrip("/") + "__compact")
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    if out_path is None:
+        shutil.rmtree(path)
+        shutil.move(staged, path)
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Line-per-row text source (`value` column); whole=True reads one
     row per file — raw-corpus ingestion before parsing."""

@@ -179,3 +179,23 @@ def test_observed_metrics_zero_extra_pass(spark, sf_dir):
     assert m["n_rows"] == n
     assert m["null_c_name"] == 0
     assert m["min_c_acctbal"] <= m["max_c_acctbal"]
+
+
+def test_melt_pivot_roundtrip(spark, sf_dir):
+    """pivot(melt(x)) == x — the unpivot/pivot inverse invariant."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.sources.memory import table
+
+    wide = table(
+        spark,
+        {"id": [1, 2], "a": [10.0, 20.0], "b": [30.0, 40.0]},
+        types={"id": "long", "a": "double", "b": "double"},
+    )
+    from agnes_spark.operators.melt import melt
+
+    long_form = melt(wide, ["a", "b"], "key", "val")
+    back = (
+        long_form.groupBy("id").pivot("key", ["a", "b"]).agg(F.first("val")).orderBy("id")
+    )
+    assert [r.asDict() for r in back.collect()] == [r.asDict() for r in wide.orderBy("id").collect()]

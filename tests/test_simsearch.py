@@ -61,3 +61,19 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
         q, emb, "vec_id", "vec_id", k=5, n_cells=4, n_probe=2
     ).collect()}
     assert again == approx_set
+
+
+def test_ivf_index_reuse_matches_oneshot(spark, sf_dir):
+    from agnes_spark.operators.simsearch import IvfIndex, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    index = IvfIndex.build(emb, "vec_id", n_cells=4)
+    q1 = emb.filter(F.col("vec_id") < 3)
+    q2 = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+    got1 = {(r.q_id, r.rank, r.n_id) for r in index.topk(q1, "vec_id", n_probe=2).collect()}
+    got2 = {(r.q_id, r.rank, r.n_id) for r in index.topk(q2, "vec_id", n_probe=2).collect()}
+    oneshot = {(r.q_id, r.rank, r.n_id) for r in
+               ivf_topk(emb.filter(F.col("vec_id") < 6), emb, "vec_id", "vec_id",
+                        n_cells=4, n_probe=2).collect()}
+    index.unpersist()
+    assert got1 | got2 == oneshot

@@ -117,3 +117,17 @@ def test_text_source_and_zstd_parquet(spark, tmp_path):
     df = spark.range(100).withColumnRenamed("id", "v")
     df.write.option("compression", "zstd").parquet(str(tmp_path / "z"))
     assert spark.read.parquet(str(tmp_path / "z")).count() == 100
+
+
+def test_compact_parquet_in_place(spark, tmp_path):
+    from agnes_spark.sources.formats import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(1000).repartition(16).write.parquet(p)
+    import os
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(p))
+    assert n_before >= 16
+    compact_parquet(spark, p, target_files=2)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(p))
+    assert n_after <= 2
+    assert spark.read.parquet(p).count() == 1000
