@@ -154,3 +154,20 @@ class DataView:
 
     def __repr__(self) -> str:
         return f"DataView({self._df.columns})"
+
+    def __getattr__(self, name: str):
+        """Transparent passthrough: any DataFrame attribute not shadowed
+        by an agnes-shaped method works on the view directly, and
+        DataFrame-returning calls come back re-wrapped — a DataView is
+        a strict superset of a DataFrame, so plain-Spark code keeps
+        working mid-chain."""
+        if name.startswith("_"):  # never proxy privates/dunders (breaks pickling)
+            raise AttributeError(name)
+        attr = getattr(self._df, name)
+        if callable(attr):
+            def wrapped(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                return DataView(out) if isinstance(out, DataFrame) else out
+
+            return wrapped
+        return DataView(attr) if isinstance(attr, DataFrame) else attr

@@ -64,3 +64,23 @@ def test_merge_collision_rename(spark):
 def test_to_json_rows(spark):
     df = table(spark, {"a": [1]}, types={"a": "int"})
     assert DataView(df).to_json_rows() == ['{"a":1}']
+
+
+def test_dataview_dataframe_passthrough(spark, sf_dir):
+    """DataView is a strict superset of DataFrame: unshadowed
+    DataFrame methods work directly and re-wrap their results."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark import DataView
+
+    v = DataView(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    # DataFrame-returning methods re-wrap
+    out = v.where("c_acctbal > 1000").limit(10)
+    assert isinstance(out, DataView)
+    assert out.nrows() == 10
+    # intermediate non-DataFrame objects (GroupedData) come back raw,
+    # and their results are plain DataFrames — the plain-Spark escape
+    agg = v.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 5
+    # non-callable attributes pass through
+    assert isinstance(v.columns, list) and "c_custkey" in v.columns
