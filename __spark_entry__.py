@@ -1164,6 +1164,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with LEARNED (KMeans-cell) blocking and
+    2-nearest multi-assignment — no hand-picked block column. Iterative
+    training — rows-only check; recall vs exhaustive pairs pinned in
+    tests."""
+    from agnes_spark.operators.dedup import embedding_dedup_auto
+
+    return embedding_dedup_auto(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35, n_cells=8
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10
     (operators/simsearch.py) — the exact baseline."""
@@ -1362,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_auto": dedup_embedding_auto,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

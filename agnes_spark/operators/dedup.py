@@ -211,6 +211,59 @@ def simhash_pairs(
     )
 
 
+def embedding_dedup_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs with LEARNED blocking: KMeans cells
+    (IvfIndex) replace a hand-supplied block column. Each vector is
+    assigned to its TWO nearest cells, so near-dups straddling a cell
+    boundary still share a block; the pair join stays equi (on cell)
+    and pairs are deduped afterwards. Standard blocking recall
+    tradeoff otherwise applies — raise n_cells for speed, lower it
+    (or add assignments) for recall."""
+    from pyspark.sql import Window
+
+    from agnes_spark.operators.simsearch import IvfIndex
+
+    index = IvfIndex.build(df, id_col, vec_col, n_cells=n_cells, seed=seed)
+    # distance of every vector to every centroid; keep 2 nearest cells
+    d2 = F.aggregate(
+        F.zip_with(F.col("n_v"), F.col("ctr"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("n_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned2 = (
+        index.assigned.drop("cell")
+        .crossJoin(F.broadcast(index.centers))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("cell", "n_id", "n_v", "n_norm")
+    )
+    a = assigned2.select(
+        "cell", F.col("n_id").alias("a_id"), F.col("n_v").alias("a_v"), F.col("n_norm").alias("a_n")
+    )
+    b = assigned2.select(
+        "cell", F.col("n_id").alias("b_id"), F.col("n_v").alias("b_v"), F.col("n_norm").alias("b_n")
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v", "a_n", "b_n")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cos", dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+    return pairs
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -84,3 +84,29 @@ def test_embedding_dedup_blocked_pairs(spark):
     )
     out = embedding_dedup_pairs(df, "vec_id", "embedding", "label", threshold=0.99).collect()
     assert [(r.a_id, r.b_id) for r in out] == [(1, 2)]
+
+
+def test_embedding_dedup_auto_recall(spark, sf_dir):
+    """Learned (KMeans) blocking recovers most true near-dup pairs
+    found by exhaustive all-pairs comparison."""
+    import numpy as np
+
+    from agnes_spark.operators.dedup import embedding_dedup_auto
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    exact = set()
+    mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    sims = mat @ mat.T
+    tau = 0.35
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= tau:
+                exact.add((ids[i], ids[j]))
+    got = {(r.a_id, r.b_id) for r in
+           embedding_dedup_auto(emb, "vec_id", threshold=tau, n_cells=4).collect()}
+    assert got <= exact or not exact  # no false positives (exact cosine verify)
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.6  # blocking recall
