@@ -1084,6 +1084,40 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h windows, 1h slide): each event
+    lands in two overlapping windows — one Expand+groupBy pass, no
+    self-join."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n")
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization (native session_window merging-
+    windows state) driven to completion through a memory sink.
+    Streaming-engine output — rows-only check; the batch lag+cumsum
+    twin (`sessionize`) is the oracle-checked semantics."""
+    import os as _os
+    import tempfile
+
+    from agnes_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_windows,
+    )
+
+    d = tempfile.mkdtemp(prefix="agnes_sess_")
+    _os.symlink(_os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet"))
+    ev = read_events_stream(spark, d)
+    sess = session_windows(ev, gap="1 hour", watermark="100 days")
+    run_stream_to_memory(sess, "stream_sess_out", output_mode="complete")
+    return spark.sql("SELECT * FROM stream_sess_out")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing end-to-end: text bytes as the opaque
     binary payload, typed media_meta struct attached, dimensions filled
@@ -1365,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count": word_count,
         "normalize_text": normalize_text,
         "latest_event_per_user": latest_event_per_user,
+        "events_sliding": events_sliding,
+        "stream_sessionize": stream_sessionize,
         "multimodal_decode": multimodal_decode,
         "stream_windowed": stream_windowed,
         "events_windowed": events_windowed,
@@ -1834,6 +1870,12 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn FROM events"
             ") WHERE rn = 1"
+        ),
+        "events_sliding": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL (i) HOUR AS ws, "
+            "event_type, count(*) AS n "
+            "FROM events, UNNEST([0, 1]) AS t(i) "
+            "GROUP BY 1, 2"
         ),
         "multimodal_decode": (
             "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 200), "
