@@ -821,6 +821,20 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, "user_id", top_n=10)
 
 
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of skew_profile: approx_top_k heavy hitters in one
+    mergeable-sketch pass (no exact per-key groupBy shuffle at 100 TB).
+    Sketch-based — rows-only check; agreement with the exact profile
+    is pinned in tests."""
+    ev = _events(spark, sf_dir)
+    tk = ev.agg(F.expr("approx_top_k(user_id, 10)").alias("tk"))
+    return (
+        tk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+    )
+
+
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical time rollup (hour + day + month pre-aggregates in
     ONE pass) via GROUPING SETS — the hypertable-continuous-aggregate
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": json_funcs,
         "dedup_clusters": dedup_clusters,
         "skew_profile": skew_profile,
+        "approx_heavy_hitters": approx_heavy_hitters,
         "time_rollup": time_rollup,
         "geo_mean": geo_mean,
         "ols_slope": ols_slope,

@@ -199,3 +199,12 @@ def test_melt_pivot_roundtrip(spark, sf_dir):
         long_form.groupBy("id").pivot("key", ["a", "b"]).agg(F.first("val")).orderBy("id")
     )
     assert [r.asDict() for r in back.collect()] == [r.asDict() for r in wide.orderBy("id").collect()]
+
+
+def test_approx_heavy_hitters_tracks_exact(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    exact = {r.user_id for r in entry.skew_profile(spark, sf_dir).collect()}
+    approx = {r.user_id for r in entry.approx_heavy_hitters(spark, sf_dir).collect()}
+    # at test scale the sketch should recover most of the true top-10
+    assert len(exact & approx) >= 6
