@@ -541,6 +541,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance without a table format: apply
+    a change feed to a versioned dimension — changed keys get their
+    open row CLOSED (valid_to set) plus a NEW open row; unchanged keys
+    carry over. One semi/anti pair + union, no per-row logic."""
+    eff = F.lit("2024-06-01").cast("date")
+    t0 = F.lit("2020-01-01").cast("date")
+    none_d = F.lit(None).cast("date")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 500.0, 2).alias("new_bal")
+    )
+    closed = (
+        cust.join(changes, "c_custkey", "left_semi")
+        .select("c_custkey", "c_acctbal", t0.alias("valid_from"), eff.alias("valid_to"))
+    )
+    opened = changes.select(
+        "c_custkey",
+        F.col("new_bal").alias("c_acctbal"),
+        eff.alias("valid_from"),
+        none_d.alias("valid_to"),
+    )
+    carried = (
+        cust.join(changes, "c_custkey", "left_anti")
+        .select("c_custkey", "c_acctbal", t0.alias("valid_from"), none_d.alias("valid_to"))
+    )
+    return closed.unionByName(opened).unionByName(carried)
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra: (high-balance customers INTERSECT building segment)
     EXCEPT tiny-nation customers — distinct set semantics end to end."""
@@ -1382,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_null_safe": join_null_safe,
         "join_cross": join_cross,
         "merge_upsert": merge_upsert,
+        "scd2_apply": scd2_apply,
         "set_ops": set_ops,
         "window_ranks": window_ranks,
         "null_handling": null_handling,
@@ -1626,6 +1656,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey IS NULL THEN 'insert' "
             "WHEN u_custkey IS NULL THEN 'carry' ELSE 'update' END AS op "
             "FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey"
+        ),
+        "scd2_apply": (
+            "WITH changes AS (SELECT c_custkey, round(c_acctbal + 500.0, 2) AS new_bal "
+            "FROM customer WHERE c_custkey % 10 = 0) "
+            "SELECT c_custkey, c_acctbal, DATE '2020-01-01' AS valid_from, "
+            "DATE '2024-06-01' AS valid_to FROM customer "
+            "WHERE c_custkey IN (SELECT c_custkey FROM changes) "
+            "UNION ALL "
+            "SELECT c_custkey, new_bal AS c_acctbal, DATE '2024-06-01' AS valid_from, "
+            "CAST(NULL AS DATE) AS valid_to FROM changes "
+            "UNION ALL "
+            "SELECT c_custkey, c_acctbal, DATE '2020-01-01' AS valid_from, "
+            "CAST(NULL AS DATE) AS valid_to FROM customer "
+            "WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)"
         ),
         "set_ops": (
             "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
