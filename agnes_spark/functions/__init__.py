@@ -70,6 +70,34 @@ def hashed_shingles(col, n: int = 3) -> Column:
     return F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
 
 
+def hashed_shingles_fast(col, n: int = 3) -> Column:
+    """Distinct n-word shingle hashes as array<long>, pure Catalyst,
+    with the string work minimized: each TOKEN is hashed exactly once
+    (xxhash64), then each shingle hash combines n consecutive token
+    hashes with one more xxhash64 over longs — no per-shingle string
+    concat, no per-shingle array slice. The remaining cost is the
+    interpreted higher-order transform over ~|tokens| elements of
+    integer-only hashing.
+
+    Hash identity differs from hashed_shingles/_udf, which is fine for
+    every caller (dedup jaccard/minhash need only a consistent 64-bit
+    hash; set sizes and jaccard values are hash-independent modulo
+    ~n^2/2^64 collisions).
+    """
+    toks = ws_tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+        )
+    )
+
+
 def word_shingles_udf(n: int = 3):
     """Vectorized twin of word_shingles (array<string> of distinct
     n-word shingles) as an Arrow-batched pandas UDF.

@@ -175,7 +175,17 @@ def simhash_pairs(
     max_hamming+1 chunks; any pair within distance k agrees exactly on
     >= 1 chunk, so candidates = equi-join on (chunk_idx, chunk_value),
     then verify with bit_count(xor). Equi-join only — no n^2.
+
+    max_hamming must be >= 1: with 0 the single chunk would be the full
+    64-bit fingerprint and pack_bits' acc*2+b accumulation overflows the
+    sign bit (and hamming=0 is exact dedup — use exact_dedup on the
+    fingerprint instead).
     """
+    if max_hamming < 1:
+        raise ValueError(
+            "max_hamming must be >= 1 (got "
+            f"{max_hamming}); for exact matches use exact_dedup"
+        )
     chunks = max_hamming + 1
     bits = 64 // chunks
     fp = (

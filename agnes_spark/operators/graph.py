@@ -5,22 +5,33 @@ CLUSTERS — the step between candidate generation (minhash/simhash/
 jaccard joins in operators/dedup.py) and "keep one canonical document
 per cluster" in a curation pipeline.
 
-Algorithm: min-label propagation (a DataFrame-native union-find).
-Every node starts labeled with its own id; each round every node takes
-the min of its label and its neighbors' labels. Rounds needed =
-component diameter — for dedup graphs (tiny, dense clusters) that is
-2-4; the loop stops as soon as a round changes nothing.
+Two algorithms:
 
-Scale notes: each round is one shuffle (groupBy node) against
-edges pre-partitioned once by src; lineage is truncated every round
-with localCheckpoint so plans stay O(1) deep. For graphs with huge
-diameters (paths), switch to the alternating large/small-star
-algorithm — same primitive ops, O(log n) rounds.
+- `connected_components`: min-label propagation (a DataFrame-native
+  union-find). Rounds needed = component diameter — for dedup graphs
+  (tiny, dense clusters) that is 2-4. Each round runs exactly ONE job:
+  the changed-row count rides the materializing action as an observed
+  metric (pyspark Observation), instead of a separate count job.
+- `connected_components_star`: alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) — O(log n) rounds regardless of diameter, for path-shaped /
+  high-diameter graphs where label propagation would need O(n) rounds.
+  Convergence (edge-set fixpoint) is read from a count+hash signature
+  computed in the same job that materializes each round's edges.
+
+Scale notes: every round is shuffle-bounded (groupBy node / join on
+node); lineage is truncated EVERY round with localCheckpoint (served
+from the round's cache, so it never recomputes). This is mandatory,
+not a nicety: each star round references the previous edge frame
+~12-16 times, so without per-round truncation the logical plan grows
+16^rounds and the driver OOMs building plan strings within ~8 rounds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -33,7 +44,11 @@ def connected_components(
     """Return (id, cluster_id) with cluster_id = min node id reachable.
 
     Isolated nodes don't appear (callers union them back with their own
-    id as cluster if needed).
+    id as cluster if needed). Needs O(component diameter) rounds; for
+    high-diameter graphs use `connected_components_star` (O(log n)).
+    Warns if max_iter is hit before convergence — the result is then a
+    partial clustering (labels are an over-segmentation, never wrong
+    merges).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -43,32 +58,158 @@ def connected_components(
         .persist()
     )
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    for _ in range(max_iter):
+    prev_persisted: DataFrame | None = None
+    changed = 0
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # fold the convergence check into the materializing job: the
+        # changed-row count is an observed metric of the SAME action
+        # that caches the new labels — one job per round, not two.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl"))
+                .cast("long")
+                .alias("__chg"),
             )
-            .localCheckpoint()  # truncate lineage; also materializes
+            .observe(obs, F.sum("__chg").alias("changed"))
+            .drop("__chg")
+            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # count() is the round's one full job: it caches new_labels AND
+        # delivers the observed changed-count (localCheckpoint would not
+        # fire the observation listener, so checkpointing happens after,
+        # served from the cache — the plan is never recomputed)
+        new_labels.count()
+        changed = int(obs.get["changed"] or 0)
+        # truncate lineage EVERY round: each round's plan references the
+        # previous round's ~3x, so deferring truncation grows the plan
+        # 3^k and driver-side analysis time with it
+        cp = new_labels.localCheckpoint()
+        new_labels.unpersist()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = cp
+        labels = cp
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} with {changed} labels "
+            "still changing — clusters are partially merged (over-segmented). "
+            "Raise max_iter or use connected_components_star for high-diameter "
+            "graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Attach every neighbor v > u to min(N(u) ∪ {u}). Edge frame in,
+    edge frame out; one groupBy + one join, both equi on node id."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then attach every smaller neighbor
+    (and u itself) to the minimum neighbor."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select(F.col("u"), F.col("m").alias("v"))
+    return leaves.unionByName(centers).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14): converges in O(log n) rounds even on
+    path-shaped graphs where min-label propagation needs O(diameter).
+
+    At the fixpoint the edge set is a collection of stars centered at
+    each component's minimum node, so labels read directly off the
+    edges. Same output contract as `connected_components`:
+    (id, cluster_id), isolated nodes omitted.
+
+    Convergence = edge-set fixpoint, detected by a (count, hash-sum)
+    signature computed in the SAME aggregation job that materializes
+    each round — no separate comparison pass.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    prev_sig: tuple[int, int] | None = None
+    prev_persisted: DataFrame = e
+    converged = False
+    for i in range(max_iter):
+        new_e = _small_star(_large_star(e)).persist()
+        # one full job: materializes new_e and returns the fixpoint
+        # signature. pmod bounds each term to 2^30 so the sum can't
+        # overflow long under ANSI mode even with billions of edges
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        # truncate lineage EVERY round (reads the cache — no recompute).
+        # One star round references `e` ~12-16 times, so plan size is
+        # 16^k in uncheckpointed rounds: deferring even 4 rounds put the
+        # plan string at the 2 GiB cap and OOMed the driver.
+        cp = new_e.localCheckpoint()
+        new_e.unpersist()
+        prev_persisted.unpersist()
+        prev_persisted = cp
+        e = cp
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star hit max_iter={max_iter} before the "
+            "edge-set fixpoint — labels may be partially merged.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    leaves = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return leaves.unionByName(roots).distinct()
 
 
 def canonical_per_cluster(

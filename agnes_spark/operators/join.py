@@ -81,7 +81,17 @@ def band_join(
     replicated into its 3 neighboring buckets and the join becomes a
     hash-partitioned EQUI-join on bucket id with an exact post-filter —
     a nested-loop O(n*m) becomes O(n + m + matches), shuffled on bucket.
+
+    Only how='inner'/'left' preserve plain-join semantics: the right
+    side is replicated 3x, so right/full outer joins would emit each
+    unmatched right row 3 times — flip the sides and use 'left'.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "band_join supports how='inner' or 'left' only: the right side is "
+            "replicated into 3 neighbor buckets, so right/full outer joins "
+            f"would triplicate unmatched right rows (got how={how!r})"
+        )
     lb = F.floor(F.col(left_on) / F.lit(width)).cast("long")
     rb = F.floor(F.col(right_on) / F.lit(width)).cast("long")
     l2 = left.withColumn("__lb", lb)
@@ -144,9 +154,14 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
+        # __side asc puts right rows (side=0) before left rows at equal
+        # __t, so an exact-timestamp match is visible to the left row —
+        # mirroring backward (where __t asc, __side asc does the same)
+        # and pandas merge_asof, whose forward direction includes exact
+        # matches by default.
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").desc(), F.col("__side").desc())
+            .orderBy(F.col("__t").desc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = list(right_values) + ["__rt"]

@@ -26,10 +26,19 @@ def salted_join(
     value. The join key becomes (key, salt), splitting each hot key's
     rows across `salt_factor` shuffle partitions.
 
-    Results are identical to the plain join; cost is replicating the
-    right side salt_factor times — use when one side is modest and the
-    other has hot keys that AQE's split threshold misses.
+    Results are identical to the plain join for how='inner'/'left'
+    (the only modes allowed): each left row carries exactly one salt
+    value, so it meets each matching right key exactly once. Right/full
+    outer joins would emit every UNMATCHED right row once per replica
+    (salt_factor copies), so they are rejected — flip the sides and use
+    how='left' instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports how='inner' or 'left' only: the right side "
+            "is replicated per salt value, so right/full outer joins would "
+            f"duplicate unmatched right rows {salt_factor}x (got how={how!r})"
+        )
     on = list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor))
     l2 = left.withColumn("__salt", salt)

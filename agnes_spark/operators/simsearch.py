@@ -138,6 +138,111 @@ class IvfIndex:
             .select("q_id", "rank", "n_id", F.round("cos", 6).alias("cos"))
         )
 
+    def save(self, path: str) -> None:
+        """Persist the built index to parquet so it survives sessions:
+        `<path>/assigned` holds the cell-partitioned corpus rows (at
+        100 TB this is the expensive artifact — KMeans training plus a
+        full corpus pass — rebuilt never, reloaded per query batch),
+        `<path>/centers` the tiny centroid table."""
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            path + "/assigned"
+        )
+        self.centers.write.mode("overwrite").parquet(path + "/centers")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reload a saved index — no KMeans retrain, no corpus re-scan
+        beyond the parquet read. Partition pruning on `cell` means a
+        probe touches only the probed cells' files."""
+        assigned = (
+            spark.read.parquet(path + "/assigned")
+            .select("n_id", "n_v", "n_norm", "cell")
+            .repartition("cell")
+            .persist()
+        )
+        centers = spark.read.parquet(path + "/centers")
+        return cls(assigned, centers, centers.count())
+
+    def autotune_n_probe(
+        self,
+        queries: DataFrame,
+        query_id: str,
+        vec_col: str = "embedding",
+        k: int = 5,
+        target_recall: float = 0.9,
+    ) -> tuple[int, dict[int, float]]:
+        """Smallest n_probe whose recall@k vs exact search meets
+        `target_recall`, plus the full recall curve.
+
+        ONE distributed plan measures every n_probe value at once: for
+        each (query, true-neighbor) pair from exact top-k, find the
+        probe rank of the neighbor's cell for that query; the recall
+        curve is the cumulative distribution of those ranks. No
+        per-n_probe loop, no repeated scoring. At 100 TB run this on a
+        query SAMPLE — cost is one brute-force pass over the corpus for
+        the sampled queries (the same cost as validating recall at all).
+        """
+        q = queries.select(
+            F.col(query_id).alias("q_id"), vec_double(F.col(vec_col)).alias("q_v")
+        ).withColumn("q_norm", l2_norm(F.col("q_v")))
+        # exact ground truth straight off the assigned corpus rows
+        truth = (
+            self.assigned.join(F.broadcast(q), on=F.col("q_id") != F.col("n_id"))
+            .withColumn(
+                "cos",
+                dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm")),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("q_id").orderBy(
+                        F.col("cos").desc(), F.col("n_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id")
+        )
+        # probe rank of every cell for every query (cells are few)
+        d2 = F.aggregate(
+            F.zip_with(F.col("q_v"), F.col("ctr"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wp = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+        probe_rank = (
+            q.crossJoin(F.broadcast(self.centers))
+            .withColumn("d2", d2)
+            .withColumn("pr", F.row_number().over(wp))
+            .select("q_id", "cell", "pr")
+        )
+        neighbor_cell = self.assigned.select("n_id", "cell")
+        ranks = (
+            truth.join(neighbor_cell, "n_id")
+            .join(probe_rank, ["q_id", "cell"])
+            .groupBy("pr")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pr")
+            .collect()  # <= n_cells rows
+        )
+        total = sum(r["n"] for r in ranks)
+        curve: dict[int, float] = {}
+        cum = 0
+        best = self.n_cells
+        for r in ranks:
+            cum += r["n"]
+            curve[r["pr"]] = cum / total
+        # curve has gaps where no neighbor lands at that probe rank —
+        # recall at pr is the last cum value at or below pr
+        rec = 0.0
+        for pr in range(1, self.n_cells + 1):
+            rec = curve.get(pr, rec)
+            curve[pr] = rec
+            if rec >= target_recall:
+                best = pr
+                break
+        return best, curve
+
     def unpersist(self) -> None:
         self.assigned.unpersist()
 

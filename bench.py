@@ -16,7 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from agnes_spark import get_spark
 
-BENCH_QUERIES = [
+# the r1 headline set — the JSON "value" stays the sum over THESE 30
+# so the metric is comparable round-over-round even as coverage grows
+HEADLINE_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -49,6 +51,36 @@ BENCH_QUERIES = [
     "curation_pipeline",
 ]
 
+# round-2 additions: the heaviest remaining operators (dedup/ANN tails,
+# sketches, text, windows) so regressions in them are visible per round;
+# timed identically, reported in "queries" but not in the headline sum
+EXTRA_QUERIES = [
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_embedding_auto",
+    "dedup_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "doc_fingerprint",
+    "doc_winnow",
+    "word_count",
+    "normalize_text",
+    "time_rollup",
+    "skew_profile",
+    "approx_heavy_hitters",
+    "approx_percentiles",
+    "approx_distinct_parts",
+    "hll_sketch_rollup",
+    "window_ranks",
+    "scd2_apply",
+    "merge_upsert",
+    "latest_event_per_user",
+    "rolling_7d_revenue",
+    "serialize_roundtrip",
+]
+
+BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,27 +99,29 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")
     width = spark.sparkContext.defaultParallelism
     spark.range(100 * width).repartition(width).select(_warm("id").alias("x")).count()
-    runs = int(os.environ.get("AGNES_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("AGNES_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        best = None
-        for _ in range(runs):  # best-of-N: steady-state, JVM noise out
+        samples: list[float] = []
+        for _ in range(runs):  # median-of-N: robust to JVM/GC noise
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)
-                n = df.count()
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best is None else min(best, dt)
+                df.count()
+                samples.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # noqa: BLE001
                 print(f"bench error {name}: {e}", file=sys.stderr)
-                best = -1.0
+                samples = []
                 break
             # drop per-query persisted frames so queries stay
             # independent (not part of the timed region)
             spark.catalog.clearCache()
-        timings[name] = best
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+        timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
+    total = round(
+        sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
+    )
+    total_all = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -96,6 +130,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "agg": "median",
+                "total_all_queries": total_all,
             }
         )
     )

@@ -1,8 +1,15 @@
 """Connected components + canonical-doc selection."""
 
+import warnings
+
+import pytest
 from pyspark.sql import functions as F
 
-from agnes_spark.operators.graph import canonical_per_cluster, connected_components
+from agnes_spark.operators.graph import (
+    canonical_per_cluster,
+    connected_components,
+    connected_components_star,
+)
 from agnes_spark.sources.memory import table
 
 
@@ -26,6 +33,47 @@ def test_components_path_diameter(spark):
         types={"a_id": "long", "b_id": "long"},
     )
     got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_components_max_iter_warns(spark):
+    # a 12-node path can't converge in 2 rounds of label propagation;
+    # the partial result must come with a RuntimeWarning (ADVICE r1)
+    n = 12
+    edges = table(
+        spark,
+        {"a_id": list(range(n - 1)), "b_id": list(range(1, n))},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        connected_components(edges, max_iter=2).collect()
+
+
+def test_components_star_matches_label_propagation(spark):
+    edges = table(
+        spark,
+        {"a_id": [1, 2, 3, 5], "b_id": [2, 3, 9, 6]},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    got = {r.id: r.cluster_id for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_components_star_long_path_converges_fast(spark):
+    # 200-node path: label propagation needs ~200 rounds, large/small
+    # star must finish within O(log n) rounds (max_iter=12 << 200)
+    n = 200
+    edges = table(
+        spark,
+        {"a_id": list(range(n - 1)), "b_id": list(range(1, n))},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no max_iter warning
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components_star(edges, max_iter=12).collect()
+        }
     assert got == {i: 0 for i in range(n)}
 
 

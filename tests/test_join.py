@@ -73,6 +73,25 @@ def test_asof_join_forward(spark):
     assert out.collect()[0].bid == 1.1
 
 
+def test_asof_join_exact_timestamp_match(spark):
+    """Both directions include a right row at exactly the left timestamp
+    (pandas merge_asof default, allow_exact_matches=True)."""
+    trades = table(
+        spark,
+        {"sym": ["A", "A"], "ts": [3, 6], "px": [1.0, 2.0]},
+        types={"sym": "string", "ts": "bigint", "px": "double"},
+    )
+    quotes = table(
+        spark,
+        {"sym": ["A", "A"], "ts": [3, 6], "bid": [0.9, 1.1]},
+        types={"sym": "string", "ts": "bigint", "bid": "double"},
+    )
+    fwd = asof_join(trades, quotes, on="ts", by=["sym"], right_values=["bid"], direction="forward")
+    assert {r.ts: r.bid for r in fwd.collect()} == {3: 0.9, 6: 1.1}
+    bwd = asof_join(trades, quotes, on="ts", by=["sym"], right_values=["bid"])
+    assert {r.ts: r.bid for r in bwd.collect()} == {3: 0.9, 6: 1.1}
+
+
 def test_asof_join_tolerance(spark):
     """Matches further than tolerance_seconds are nulled (pandas
     merge_asof parity)."""

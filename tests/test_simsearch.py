@@ -77,3 +77,42 @@ def test_ivf_index_reuse_matches_oneshot(spark, sf_dir):
                         n_cells=4, n_probe=2).collect()}
     index.unpersist()
     assert got1 | got2 == oneshot
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """A reloaded index answers identically to the one it was saved
+    from — no retrain drift (VERDICT r1 item 8)."""
+    from agnes_spark.operators.simsearch import IvfIndex
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    index = IvfIndex.build(emb, "vec_id", n_cells=4)
+    before = {(r.q_id, r.rank, r.n_id) for r in index.topk(q, "vec_id", n_probe=2).collect()}
+    path = str(tmp_path / "ivf_index")
+    index.save(path)
+    index.unpersist()
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.n_cells == 4
+    after = {(r.q_id, r.rank, r.n_id) for r in loaded.topk(q, "vec_id", n_probe=2).collect()}
+    loaded.unpersist()
+    assert after == before
+
+
+def test_ivf_autotune_n_probe_hits_target_recall(spark, sf_dir):
+    """autotune_n_probe returns the smallest probe count whose measured
+    recall@k vs brute force meets the target (VERDICT r1 item 8)."""
+    from agnes_spark.operators.simsearch import IvfIndex
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    index = IvfIndex.build(emb, "vec_id", n_cells=4)
+    n_probe, curve = index.autotune_n_probe(q, "vec_id", k=5, target_recall=0.9)
+    assert 1 <= n_probe <= 4
+    # measure actual recall at the chosen n_probe against brute force
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(q, emb, "vec_id", "vec_id", k=5).collect()}
+    approx = {(r.q_id, r.n_id) for r in index.topk(q, "vec_id", k=5, n_probe=n_probe).collect()}
+    index.unpersist()
+    assert len(approx & exact) / len(exact) >= 0.9
+    # curve is a CDF: nondecreasing, ends at 1.0 when all cells probed
+    vals = [curve[pr] for pr in sorted(curve)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
