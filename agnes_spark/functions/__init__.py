@@ -132,7 +132,13 @@ def hashed_shingles_udf(n: int = 3):
     Arrow boundary and never shuffle. This is the bulk-dedup fast
     path; hash identity doesn't matter to callers (any consistent
     64-bit hash yields the same set sizes / jaccard, collision odds
-    ~n^2/2^64)."""
+    ~n^2/2^64).
+
+    Measured (scripts/bench_shingles.py, sf0.1 documents, 32 cores,
+    median of 3): udf 0.63s, expression form 0.89s, token-hash-once
+    expression (hashed_shingles_fast) 4.33s — the Arrow-batched UDF
+    wins, so dedup keeps it; the interpreted higher-order transforms
+    lose despite staying JVM-side."""
     import hashlib
 
     @F.pandas_udf("array<long>")
