@@ -1401,6 +1401,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp(_t(spark, sf_dir, "documents"), "text").select("doc_id", "fingerprint")
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (n-gram overlap): flag training docs
+    sharing any 8-gram with the held-out eval slice — the benchmark
+    hygiene pass of an LLM training pipeline (operators/textprep.py).
+    Eval shingle set broadcast; train side never shuffles."""
+    from agnes_spark.operators.textprep import decontaminate as _dc
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = _dc(train, ev, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_shared",
+        "overlap_frac",
+    )
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source shard (max_len 512)
+    — where each doc's tokens land in the packed token stream
+    (operators/textprep.py). Pure window arithmetic."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.textprep import pack_chunks as _pc
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(ws_tokens(F.col("text")))
+    )
+    return _pc(docs, "source", "doc_id", "n_tok", 512)
+
+
+def split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sentence segmentation exploded to one row per sentence
+    (operators/textprep.py)."""
+    from agnes_spark.operators.textprep import split_sentences as _ss
+
+    return _ss(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # invariant gates: deterministic cross-checks for the hash/sketch/sample
 # operators that have no SQL-expressible oracle. Each returns a frame of
@@ -1559,6 +1599,75 @@ def check_stratified_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFram
     return not_in_source.unionByName(rate_breach)
 
 
+def check_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: greedy no-split packing (a) never overfills a
+    sequence except a single flagged oversized doc, (b) packs every
+    source doc exactly once, and (c) flags overflow iff
+    n_tokens > max_len. Violations -> empty (pack_greedy is a
+    sequential per-group fold in applyInPandas — not SQL-expressible,
+    so its contract is gated instead of its rows)."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.textprep import pack_greedy as _pg
+
+    max_len = 512
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(ws_tokens(F.col("text")))
+    )
+    g = _pg(docs, "source", "doc_id", "n_tok", max_len)
+    overfull = (
+        g.groupBy("source", "seq_id")
+        .agg(
+            F.sum("n_tokens").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("overflow").cast("int")).alias("o"),
+        )
+        .filter((F.col("s") > max_len) & ~((F.col("c") == 1) & (F.col("o") == 1)))
+        .select(F.lit("overfull_seq").alias("kind"), F.col("seq_id").alias("detail"))
+    )
+    missing = docs.join(g, "doc_id", "left_anti").select(
+        F.lit("doc_missing").alias("kind"), F.col("doc_id").alias("detail")
+    )
+    extra = g.join(docs.select("doc_id"), "doc_id", "left_anti").select(
+        F.lit("doc_extra").alias("kind"), F.col("doc_id").alias("detail")
+    )
+    wrong_flag = g.filter(
+        F.col("overflow") != (F.col("n_tokens") > max_len)
+    ).select(F.lit("wrong_overflow_flag").alias("kind"), F.col("doc_id").alias("detail"))
+    return overfull.unionByName(missing).unionByName(extra).unionByName(wrong_flag)
+
+
+def check_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: the seeded global shuffle is layout-independent — the
+    same seed yields the exact same ORDER whether the input comes
+    straight off the parquet files or repartitioned 13 ways — and loses
+    or invents no rows. Violations -> empty."""
+    from pyspark.sql import Window
+
+    from agnes_spark.operators.textprep import shuffle_deterministic as _sd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.xxhash64(F.lit(7), F.col("doc_id"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        return _sd(df, ["doc_id"], seed=7).withColumn(
+            "pos", F.row_number().over(Window.orderBy(h, F.col("doc_id")))
+        )
+
+    p1 = positions(docs).select("pos", F.col("doc_id").alias("id1"))
+    p2 = positions(docs.repartition(13)).select("pos", F.col("doc_id").alias("id2"))
+    order_mismatch = (
+        p1.join(p2, "pos", "full")
+        .filter(
+            ~F.col("id1").eqNullSafe(F.col("id2"))
+        )
+        .select(F.lit("order_mismatch").alias("kind"), F.col("pos").alias("detail"))
+    )
+    lost = docs.join(p1, docs.doc_id == p1.id1, "left_anti").select(
+        F.lit("row_lost").alias("kind"), F.col("doc_id").alias("detail")
+    )
+    return order_mismatch.unionByName(lost)
+
+
 def check_fingerprint_layout_independent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INVARIANT: doc_fingerprint and doc_winnow produce identical
     results regardless of input partitioning (repartition(7) vs the
@@ -1656,6 +1765,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_approx_percentile_error": check_approx_percentile_error,
         "check_stratified_sample_bounds": check_stratified_sample_bounds,
         "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
+        # training-data prep (operators/textprep.py)
+        "decontaminate": decontaminate,
+        "pack_chunks": pack_chunks,
+        "split_sentences": split_sentences,
+        "check_pack_greedy": check_pack_greedy,
+        "check_shuffle_deterministic": check_shuffle_deterministic,
         # --- driver-verified green in round 1 ---
         "q1_pricing_summary": q1_pricing_summary,
         "subview": subview,
@@ -1853,6 +1968,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "check_fingerprint_layout_independent": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "tsh AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM ("
+            "SELECT doc_id, list_distinct(list_transform(range(1, len(w)-8+2), i -> array_to_string(w[i:i+7], ' '))) AS sh "
+            "FROM w WHERE doc_id % 50 <> 0 AND len(w) >= 8)), "
+            "esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-8+2), i -> array_to_string(w[i:i+7], ' ')))) AS s "
+            "FROM w WHERE doc_id % 50 = 0 AND len(w) >= 8) "
+            "SELECT doc_id, n_shingles, count(DISTINCT tsh.s) AS n_shared, "
+            "round(count(DISTINCT tsh.s) / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac "
+            "FROM tsh JOIN esh ON tsh.s = esh.s GROUP BY doc_id, n_shingles"
+        ),
+        "pack_chunks": (
+            "WITH t AS (SELECT source, doc_id, "
+            "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT source, doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+            "SELECT source, doc_id, n_tokens, CAST(floor(cb / 512) AS BIGINT) AS start_seq, "
+            "cb % 512 AS start_off, CAST(floor((cb + n_tokens - 1) / 512) AS BIGINT) AS end_seq FROM c"
+        ),
+        "split_sentences": (
+            "SELECT doc_id, unnest(range(1, len(l)+1)) AS sent_idx, unnest(l) AS sentence "
+            "FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '[.!?]+\\s+'), "
+            "s -> trim(s) <> '') AS l FROM documents WHERE doc_id < 200)"
+        ),
+        "check_pack_greedy": (
+            "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS detail WHERE 1=0"
+        ),
+        "check_shuffle_deterministic": (
+            "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS detail WHERE 1=0"
         ),
         "pivot_linestatus": (
             "SELECT l_returnflag, "

@@ -262,14 +262,20 @@ def embedding_dedup_auto(
     b = assigned2.select(
         "cell", F.col("n_id").alias("b_id"), F.col("n_v").alias("b_v"), F.col("n_norm").alias("b_n")
     )
+    # score and threshold BEFORE deduplicating boundary pairs: the
+    # candidate set (all pairs within a cell) is ~1000x larger than the
+    # surviving near-dups, and each candidate row carries two vectors —
+    # deduplicating first shuffles all that vector payload, while
+    # filtering first shuffles only (a_id, b_id, cos) for the survivors.
+    # Pairs assigned to two shared cells compute cos twice (same value,
+    # same rounded output), which is far cheaper than the wide shuffle.
     pairs = (
         a.join(b, on="cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v", "a_n", "b_n")
-        .dropDuplicates(["a_id", "b_id"])
         .withColumn("cos", dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+        .dropDuplicates(["a_id", "b_id"])
     )
     return pairs
 

@@ -89,15 +89,20 @@ def connected_components(
         # served from the cache — the plan is never recomputed)
         new_labels.count()
         changed = int(obs.get["changed"] or 0)
-        # truncate lineage EVERY round: each round's plan references the
-        # previous round's ~3x, so deferring truncation grows the plan
-        # 3^k and driver-side analysis time with it
-        cp = new_labels.localCheckpoint()
-        new_labels.unpersist()
+        # truncate lineage every 3rd round: label-prop plans grow only
+        # ~3x per round (vs 16x for the star rounds, which truncate
+        # every round), so 3^3=27x between truncations stays cheap to
+        # analyze while skipping two checkpoint jobs out of three. The
+        # checkpoint reads the round's cache — never recomputes.
+        if i % 3 == 2:
+            nxt = new_labels.localCheckpoint()
+            new_labels.unpersist()
+        else:
+            nxt = new_labels
         if prev_persisted is not None:
             prev_persisted.unpersist()
-        prev_persisted = cp
-        labels = cp
+        prev_persisted = nxt
+        labels = nxt
         if changed == 0:
             break
     if changed != 0:

@@ -84,7 +84,11 @@ class IvfIndex:
         c = corpus.select(
             F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
         ).withColumn("n_norm", l2_norm(F.col("n_v")))
-        feat = c.withColumn("features", array_to_vector("n_v"))
+        # cache the feature frame: k-means|| init + every training
+        # iteration + the final assignment pass all re-read it — without
+        # the cache each pass re-runs the parquet scan and the
+        # array->vector conversion
+        feat = c.withColumn("features", array_to_vector("n_v")).persist()
         model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
         assigned = (
             model.transform(feat)
@@ -92,6 +96,8 @@ class IvfIndex:
             .repartition("cell")
             .persist()
         )
+        assigned.count()  # materialize before dropping the feature cache
+        feat.unpersist()
         centers = corpus.sparkSession.createDataFrame(
             [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
             "cell int, ctr array<double>",

@@ -1,0 +1,196 @@
+"""Training-data preparation operators: the last mile between a curated
+corpus and a pretraining run.
+
+- `decontaminate`: flag training documents sharing any n-gram with an
+  evaluation set (benchmark-hygiene dedup — the n-gram-overlap
+  decontamination used for LLM training corpora). The eval side is
+  small by definition, so the join broadcasts the eval shingle set and
+  the training corpus is scanned ONCE with no shuffle of its text;
+  only 8-byte shingle hashes ever leave the scan.
+- `pack_chunks`: concat-and-chunk sequence packing — every document
+  gets (start_seq, start_offset, end_seq) under "concatenate all text
+  in order, cut every max_len tokens". Pure window arithmetic, one
+  shuffle on the group key; this is the packing most pretraining
+  pipelines actually use.
+- `pack_greedy`: greedy no-split bin packing per group (documents are
+  never cut; a doc longer than the budget gets its own overflowing
+  sequence, flagged). Sequential by construction, so it runs per
+  group via applyInPandas — parallel across groups/shards, which is
+  how a 100 TB corpus is packed in practice (per shard, not global).
+- `split_sentences`: regex sentence segmentation, exploded to one row
+  per sentence with its index.
+- `shuffle_deterministic`: a seeded, layout-independent global shuffle
+  (sort by xxhash64(seed, keys)) — reproducible example order for
+  training, independent of file/partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import hashed_shingles, ws_tokens
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training docs sharing >= min_shared distinct n-gram shingles with
+    ANY eval document: (id, n_shingles, n_shared, overlap_frac).
+
+    Shingles are hashed to int64 before the join (a collision can only
+    add a spurious shared shingle, odds ~|shingles|^2/2^64); the eval
+    shingle set is broadcast, so the train side never shuffles.
+    """
+    tr = train.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("arr")
+    ).select(
+        F.col(id_col),
+        F.size("arr").alias("n_shingles"),
+        F.explode("arr").alias("sh"),
+    )
+    ev = (
+        eval_df.select(F.explode(hashed_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.countDistinct("sh").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col,
+    max_len: int,
+) -> DataFrame:
+    """Concat-and-chunk packing: within each group, documents are laid
+    end-to-end in id order and cut every `max_len` tokens. Returns
+    (group, id, n_tokens, start_seq, start_off, end_seq) — where the
+    doc's first token lands, at which offset, and where its last token
+    lands (end_seq > start_seq means the doc straddles a cut).
+
+    One shuffle (the group window); at 100 TB the group key is the
+    shard, so packing is embarrassingly parallel across shards.
+    """
+    toks = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col(group_col), F.col(id_col), toks.cast("long").alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.floor(F.col("cum_before") / max_len).alias("start_seq"),
+            (F.col("cum_before") % max_len).alias("start_off"),
+            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / max_len).alias(
+                "end_seq"
+            ),
+        )
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    max_len: int,
+) -> DataFrame:
+    """Greedy no-split packing per group: docs in id order, each
+    appended to the current sequence unless it would overflow, in which
+    case a new sequence starts. Docs longer than max_len get a
+    dedicated sequence with overflow=true. Returns
+    (group, id, n_tokens, seq_id, overflow).
+
+    The fold is sequential within a group (inherent to greedy packing),
+    so it runs as an Arrow-batched applyInPandas per group — parallel
+    across groups, which is the unit of packing at corpus scale.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {id_col} long, n_tokens long, "
+        "seq_id long, overflow boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        seq, cur = 0, 0
+        seqs, overflows = [], []
+        first = True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if not first and cur + t > max_len:
+                seq += 1
+                cur = 0
+            first = False
+            seqs.append(seq)
+            overflows.append(t > max_len)
+            cur += t
+            if t > max_len:  # oversized doc owns its sequence entirely
+                seq += 1
+                cur = 0
+                first = True
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "seq_id": seqs,
+                "overflow": overflows,
+            }
+        )
+
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def split_sentences(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per sentence: (id, sent_idx, sentence). Split on
+    sentence-final punctuation followed by whitespace — deliberately a
+    pattern both java.util.regex and RE2 (DuckDB) interpret identically,
+    so the op stays oracle-checkable."""
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[.!?]+\s+"),
+        lambda s: F.trim(s) != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    ).withColumn("sent_idx", (F.col("sent_idx") + 1).cast("long"))
+
+
+def shuffle_deterministic(df: DataFrame, cols: list[str], seed: int = 0) -> DataFrame:
+    """Seeded, layout-independent global shuffle: order by
+    xxhash64(seed, key columns), key columns as tie-break. The order
+    depends only on VALUES (never on partitioning or file layout), so
+    training example order is reproducible across clusters. One range
+    shuffle — the same cost as any global sort."""
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
+    return df.orderBy(h, *[F.col(c) for c in cols])

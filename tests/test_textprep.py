@@ -1,0 +1,86 @@
+"""Training-data prep: decontamination, packing, sentences, shuffle."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.textprep import (
+    decontaminate,
+    pack_chunks,
+    pack_greedy,
+    shuffle_deterministic,
+    split_sentences,
+)
+from agnes_spark.sources.memory import table
+
+
+def test_decontaminate_flags_overlapping_doc(spark):
+    train = table(
+        spark,
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "completely different words about nothing in particular here now",
+            ],
+        },
+        types={"doc_id": "long", "text": "string"},
+    )
+    ev = table(
+        spark,
+        {"doc_id": [9], "text": ["xx the quick brown fox jumps over the lazy dog yy"]},
+        types={"doc_id": "long", "text": "string"},
+    )
+    out = decontaminate(train, ev, "doc_id", "text", n=8).collect()
+    assert [r.doc_id for r in out] == [1]
+    # "the quick brown fox jumps over the lazy dog today" has three
+    # 8-grams; the first two appear in the eval doc, the last does not
+    assert out[0].n_shingles == 3 and out[0].n_shared == 2
+
+
+def test_pack_chunks_offsets(spark):
+    docs = table(
+        spark,
+        {"g": ["a"] * 3, "i": [1, 2, 3], "t": [6, 3, 5]},
+        types={"g": "string", "i": "long", "t": "long"},
+    )
+    got = {r.i: (r.start_seq, r.start_off, r.end_seq) for r in
+           pack_chunks(docs, "g", "i", "t", 8).collect()}
+    # token stream: doc1 [0..5], doc2 [6..8], doc3 [9..13]; cuts at 8, 16
+    assert got == {1: (0, 0, 0), 2: (0, 6, 1), 3: (1, 1, 1)}
+
+
+def test_pack_greedy_no_split_and_overflow(spark):
+    docs = table(
+        spark,
+        {"g": ["a"] * 4, "i": [1, 2, 3, 4], "t": [5, 5, 12, 2]},
+        types={"g": "string", "i": "long", "t": "long"},
+    )
+    got = {r.i: (r.seq_id, r.overflow) for r in
+           pack_greedy(docs, "g", "i", "t", 10).collect()}
+    # 5 fits seq0; +5 fits seq0 exactly; 12 overflows into its own seq1;
+    # 2 starts fresh seq2
+    assert got == {1: (0, False), 2: (0, False), 3: (1, True), 4: (2, False)}
+
+
+def test_split_sentences(spark):
+    docs = table(
+        spark,
+        {"doc_id": [1], "text": ["One two. Three four! Five"]},
+        types={"doc_id": "long", "text": "string"},
+    )
+    got = [(r.sent_idx, r.sentence) for r in split_sentences(docs, "doc_id", "text").collect()]
+    assert got == [(1, "One two"), (2, "Three four"), (3, "Five")]
+
+
+def test_shuffle_deterministic_layout_independent(spark):
+    docs = table(
+        spark,
+        {"doc_id": list(range(100))},
+        types={"doc_id": "long"},
+    )
+    o1 = [r.doc_id for r in shuffle_deterministic(docs, ["doc_id"], seed=3).collect()]
+    o2 = [r.doc_id for r in shuffle_deterministic(docs.repartition(7), ["doc_id"], seed=3).collect()]
+    assert o1 == o2
+    assert sorted(o1) == list(range(100))
+    assert o1 != list(range(100))  # it actually shuffles
+    o3 = [r.doc_id for r in shuffle_deterministic(docs, ["doc_id"], seed=4).collect()]
+    assert o1 != o3  # seed matters
