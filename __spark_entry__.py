@@ -1668,6 +1668,54 @@ def check_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_mismatch.unionByName(lost)
 
 
+def check_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: after late rows arrive for two months, refreshing ONLY
+    those months' partitions (operators/incremental.py dynamic-overwrite
+    refresh) yields a rollup identical to a from-scratch build over the
+    full facts — per (month, status): equal counts, sums within fp
+    tolerance, no missing/extra groups. Violations -> empty."""
+    import tempfile
+
+    from agnes_spark.operators.incremental import (
+        build_rollup,
+        incremental_refresh,
+        write_rollup,
+    )
+
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    orders = _t(spark, sf_dir, "orders").select(
+        month, "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total"),
+    ]
+    # "late" rows: a slice of two specific months arrives after the
+    # initial build — their partitions must be rebuilt, others untouched
+    late = orders.filter(
+        F.col("month").isin("1995-03", "1996-07") & (F.col("o_orderkey") % 5 == 0)
+    )
+    v1 = orders.exceptAll(late)
+    base = tempfile.mkdtemp(prefix="agnes_roll_")
+    write_rollup(
+        build_rollup(v1, "month", ["o_orderstatus"], aggs), base, "month"
+    )
+    incremental_refresh(orders, late, base, "month", ["o_orderstatus"], aggs)
+    got = spark.read.parquet(base).select(
+        "month", "o_orderstatus", "n_orders", "total"
+    )
+    expected = build_rollup(orders, "month", ["o_orderstatus"], aggs)
+    j = expected.alias("e").join(
+        got.alias("g"), ["month", "o_orderstatus"], "full"
+    )
+    return j.filter(
+        F.col("e.n_orders").isNull()
+        | F.col("g.n_orders").isNull()
+        | (F.col("e.n_orders") != F.col("g.n_orders"))
+        | (F.abs(F.col("e.total") - F.col("g.total")) > 0.01)
+    ).select("month", "o_orderstatus")
+
+
 def check_fingerprint_layout_independent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INVARIANT: doc_fingerprint and doc_winnow produce identical
     results regardless of input partitioning (repartition(7) vs the
@@ -1771,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": split_sentences,
         "check_pack_greedy": check_pack_greedy,
         "check_shuffle_deterministic": check_shuffle_deterministic,
+        "check_incremental_rollup": check_incremental_rollup,
         # --- driver-verified green in round 1 ---
         "q1_pricing_summary": q1_pricing_summary,
         "subview": subview,
@@ -1999,6 +2048,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "check_shuffle_deterministic": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS detail WHERE 1=0"
+        ),
+        "check_incremental_rollup": (
+            "SELECT CAST(NULL AS VARCHAR) AS month, CAST(NULL AS VARCHAR) AS o_orderstatus WHERE 1=0"
         ),
         "pivot_linestatus": (
             "SELECT l_returnflag, "

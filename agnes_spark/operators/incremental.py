@@ -1,0 +1,76 @@
+"""Incremental, partition-level rollup maintenance.
+
+At 100 TB a daily/monthly rollup over an append-mostly fact table must
+never rescan history: when new, late, or corrected rows arrive, only
+the partitions they touch are recomputed — from the FULL fact rows of
+those partitions — and the write replaces exactly those partitions via
+dynamic partition overwrite (same mechanism as the idempotent
+streaming sink in streaming/sinks.py). Untouched partitions are never
+read and never rewritten.
+
+Because each affected partition is rebuilt from its complete fact
+rows (not patched via deltas), the refreshed rollup is always exactly
+a from-scratch build restricted to those partitions — no drift
+accumulates across refreshes. `check_incremental_rollup` gates this
+equivalence against a full recompute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_rollup(
+    facts: DataFrame,
+    partition_col: str,
+    group_cols: Sequence[str],
+    agg_exprs: Sequence[Column],
+) -> DataFrame:
+    """The rollup definition: one groupBy over (partition, group keys).
+    Used for both the initial full build and per-partition rebuilds."""
+    return facts.groupBy(partition_col, *group_cols).agg(*agg_exprs)
+
+
+def write_rollup(rollup: DataFrame, out_path: str, partition_col: str) -> None:
+    """Write rollup rows partitioned by `partition_col`, replacing ONLY
+    the partitions present in `rollup` (dynamic partition overwrite) —
+    an overwrite of 3 partitions out of 3,000 touches 3 directories."""
+    (
+        rollup.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(out_path)
+    )
+
+
+def incremental_refresh(
+    facts: DataFrame,
+    updates: DataFrame,
+    out_path: str,
+    partition_col: str,
+    group_cols: Sequence[str],
+    agg_exprs: Sequence[Column],
+) -> list:
+    """Refresh the rollup at `out_path` for exactly the partitions the
+    `updates` rows touch. `facts` is the full (already-updated) fact
+    table; the partition filter prunes its scan to the affected
+    partitions, so cost scales with the update's spread, not history.
+
+    The affected-partition list is collected to the driver — it is
+    small by construction (a refresh touching thousands of partitions
+    should be a full rebuild); the list also makes the scan filter a
+    static IN, which partition-prunes at planning time.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return []
+    scoped = facts.filter(F.col(partition_col).isin(parts))
+    write_rollup(
+        build_rollup(scoped, partition_col, group_cols, agg_exprs),
+        out_path,
+        partition_col,
+    )
+    return parts

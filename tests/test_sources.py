@@ -131,3 +131,21 @@ def test_compact_parquet_in_place(spark, tmp_path):
     n_after = sum(f.endswith(".parquet") for f in os.listdir(p))
     assert n_after <= 2
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_orc_roundtrip_typed(spark, tmp_path):
+    """ORC write/read preserves types and values (the third columnar
+    format next to parquet; read_orc existed, write_orc closes it)."""
+    from agnes_spark.sources.formats import read_orc, write_orc
+
+    df = table(
+        spark,
+        {"k": [1, 2, 3], "s": ["a", None, "c"], "x": [1.5, 2.5, None]},
+        types={"k": "long", "s": "string", "x": "double"},
+    )
+    write_orc(df, str(tmp_path / "o"))
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert back.schema == df.schema
+    assert sorted(back.collect(), key=lambda r: r.k) == sorted(
+        df.collect(), key=lambda r: r.k
+    )
