@@ -1441,6 +1441,24 @@ def split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ss(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "doc_id", "text")
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (operators/textanalysis.py) —
+    corpus-level term weighting, fully native (explode + two aggs +
+    broadcast corpus size). Rank ties break on rounded score then term
+    so both engines order identically."""
+    from agnes_spark.operators.textanalysis import tfidf_top_terms as _tt
+
+    return _tt(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding (operators/embeddings.py)
+    — class prototypes / drift monitoring over the embedding corpus."""
+    from agnes_spark.operators.embeddings import label_centroids as _lc
+
+    return _lc(_t(spark, sf_dir, "embeddings"), "label", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # invariant gates: deterministic cross-checks for the hash/sketch/sample
 # operators that have no SQL-expressible oracle. Each returns a frame of
@@ -1820,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_pack_greedy": check_pack_greedy,
         "check_shuffle_deterministic": check_shuffle_deterministic,
         "check_incremental_rollup": check_incremental_rollup,
+        "tfidf_top_terms": tfidf_top_terms,
+        "label_centroids": label_centroids,
         # --- driver-verified green in round 1 ---
         "q1_pricing_summary": q1_pricing_summary,
         "subview": subview,
@@ -2051,6 +2071,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "check_incremental_rollup": (
             "SELECT CAST(NULL AS VARCHAR) AS month, CAST(NULL AS VARCHAR) AS o_orderstatus WHERE 1=0"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "s AS (SELECT doc_id, term, round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+            "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim, "
+            "unnest(embedding) AS val FROM embeddings), "
+            "pd AS (SELECT label, dim, avg(CAST(val AS DOUBLE)) AS m, count(*) AS n FROM e GROUP BY 1, 2) "
+            "SELECT label, max(n) AS n_vecs, list(round(m, 6) ORDER BY dim) AS centroid "
+            "FROM pd GROUP BY label"
         ),
         "pivot_linestatus": (
             "SELECT l_returnflag, "

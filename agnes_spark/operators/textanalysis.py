@@ -153,3 +153,50 @@ def winnow_fingerprints(
         return texts.apply(one)
 
     return df.withColumn(out_col, _win(F.col(text_col)))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF: (id, rank, term, tfidf).
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1
+    (smoothed — never zero, never divides by zero). Ties break on term
+    asc for a deterministic result.
+
+    All native: one explode + two aggregations + a broadcast of the
+    (tiny) corpus size. The document-frequency table is aggregated
+    map-side first (partial agg on term), so the shuffle carries one
+    row per (partition, term), not per token — at 100 TB the term
+    vocabulary, not the token count, bounds the df shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            # rank on the ROUNDED score: equal (tf, df) pairs then tie
+            # identically in any engine, so ordering is reproducible
+            # across runtimes (raw doubles can differ by an ulp of ln)
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
+    )

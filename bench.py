@@ -77,6 +77,9 @@ EXTRA_QUERIES = [
     "latest_event_per_user",
     "rolling_7d_revenue",
     "serialize_roundtrip",
+    "decontaminate",
+    "pack_chunks",
+    "split_sentences",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -116,3 +116,21 @@ def test_ivf_autotune_n_probe_hits_target_recall(spark, sf_dir):
     # curve is a CDF: nondecreasing, ends at 1.0 when all cells probed
     vals = [curve[pr] for pr in sorted(curve)]
     assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    from agnes_spark.operators.embeddings import label_centroids
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.collect()
+    got = {r.label: (r.n_vecs, r.centroid) for r in
+           label_centroids(emb, "label", "embedding").collect()}
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        n, cent = got[lbl]
+        assert n == len(vecs)
+        expect = np.round(np.mean(vecs, axis=0), 6)
+        assert np.allclose(cent, expect, atol=2e-6)

@@ -94,3 +94,26 @@ def test_winnow_identical_docs_identical_fingerprints(spark):
     )
     out = [r.fingerprints for r in winnow_fingerprints(docs, "text").collect()]
     assert out[0] == out[1] and len(out[0]) > 0
+
+
+def test_tfidf_top_terms(spark):
+    from agnes_spark.operators.textanalysis import tfidf_top_terms
+
+    docs = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["apple apple banana", "banana cherry", "cherry cherry cherry date"],
+        },
+        types={"doc_id": "long", "text": "string"},
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert by_doc[1] == [(1, "apple"), (2, "banana")]
+    # doc 3: cherry tf=3 wins over date tf=1 df=1
+    assert by_doc[3][0][1] == "cherry"
+    # every score positive, ranks contiguous per doc
+    assert all(r.tfidf > 0 for r in out)
