@@ -1031,10 +1031,12 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     out = winnow_fingerprints(docs, "text", k=8, w=4)
+    # scalar digest of the fingerprint set (array columns crash the
+    # driver's canonicalizer — gate outputs must be scalar-typed)
     return out.select(
         "doc_id",
         F.size("fingerprints").alias("n_fp"),
-        F.sort_array("fingerprints").alias("fps"),
+        F.xxhash64(F.array_join(F.sort_array("fingerprints"), ",")).alias("fp_digest"),
     )
 
 
@@ -1073,8 +1075,10 @@ def collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_array makes it canonical)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))).alias("line_numbers"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))), ","
+        ).alias("line_numbers"),
     )
 
 
@@ -1350,7 +1354,9 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check; tests pin the rank error."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
     )
 
 
@@ -1580,7 +1586,9 @@ def check_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame
     j = approx.join(exact, "l_returnflag").withColumn(
         "max_rel",
         F.array_max(
-            F.zip_with("pcts", "ex", lambda a, e: F.abs(a - e) / e)
+            F.zip_with(
+                F.array("p50", "p90", "p99"), "ex", lambda a, e: F.abs(a - e) / e
+            )
         ),
     )
     return j.filter(F.col("max_rel") > 0.01).select(
@@ -1664,15 +1672,23 @@ def check_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agnes_spark.operators.textprep import shuffle_deterministic as _sd
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    h = F.xxhash64(F.lit(7), F.col("doc_id"))
 
-    def positions(df: DataFrame) -> DataFrame:
-        return _sd(df, ["doc_id"], seed=7).withColumn(
-            "pos", F.row_number().over(Window.orderBy(h, F.col("doc_id")))
+    def positions(df: DataFrame, alias: str) -> DataFrame:
+        # capture the operator's EMITTED order, not a recomputed sort:
+        # monotonically_increasing_id is nondecreasing in (partition
+        # index, row order), and the shuffle's range sort orders the
+        # output partitions, so mono rank == emitted global position.
+        # (The old version re-sorted by the same hash expression, which
+        # passes even when the operator is broken.)
+        tagged = _sd(df, ["doc_id"], seed=7).withColumn(
+            "mono", F.monotonically_increasing_id()
         )
+        return tagged.withColumn(
+            "pos", F.row_number().over(Window.orderBy("mono"))
+        ).select("pos", F.col("doc_id").alias(alias))
 
-    p1 = positions(docs).select("pos", F.col("doc_id").alias("id1"))
-    p2 = positions(docs.repartition(13)).select("pos", F.col("doc_id").alias("id2"))
+    p1 = positions(docs, "id1")
+    p2 = positions(docs.repartition(13), "id2")
     order_mismatch = (
         p1.join(p2, "pos", "full")
         .filter(
@@ -1763,6 +1779,102 @@ def check_fingerprint_layout_independent(spark: SparkSession, sf_dir: str) -> Da
     return fp_bad.unionByName(wf_bad)
 
 
+def check_embedding_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: the learned-blocking near-dup pairs (a) are a SUBSET
+    of the exhaustive all-pairs cosine pairs at the same threshold (the
+    exact verify step admits no false positives) and (b) recover >= 50%
+    of them (2-nearest KMeans blocking recall; measured well above the
+    bound at sf0.01 with the gate's n_cells=8). Violations -> empty."""
+    from agnes_spark.operators.dedup import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = embedding_dedup_pairs(
+        emb.withColumn("_all", F.lit(1)), "vec_id", "embedding", "_all", threshold=0.35
+    ).select("a_id", "b_id")
+    got = dedup_embedding_auto(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    false_pos = got.join(exact, ["a_id", "b_id"], "left_anti").select(
+        F.lit("false_positive").alias("kind"), F.col("a_id").cast("double").alias("detail")
+    )
+    low_recall = (
+        exact.join(got, ["a_id", "b_id"], "left")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("recall"))
+        .filter(F.col("recall") < 0.5)
+        .select(F.lit("low_recall").alias("kind"), F.round("recall", 6).alias("detail"))
+    )
+    return false_pos.unionByName(low_recall)
+
+
+def check_heavy_hitters_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: the approx_top_k sketch's top-10 matches the exact
+    heavy-hitter profile (skew_profile): same key set, and every
+    reported count within 1% of the exact count (the sketch is exact at
+    gate scale; the tolerance admits only sketch-capacity error, not
+    wrong-key bugs). Violations -> empty."""
+    exact = skew_profile(spark, sf_dir).select(
+        "user_id", F.col("n").alias("ex_n")
+    )
+    approx = approx_heavy_hitters(spark, sf_dir).select(
+        "user_id", F.col("n").alias("ap_n")
+    )
+    return (
+        exact.join(approx, "user_id", "full")
+        .filter(
+            F.col("ex_n").isNull()
+            | F.col("ap_n").isNull()
+            | (F.abs(F.col("ap_n") - F.col("ex_n")) > F.col("ex_n") * 0.01)
+        )
+        .select("user_id", "ex_n", "ap_n")
+    )
+
+
+def check_sketch_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: every hll_sketch_rollup estimate — each per-group
+    sketch AND the sketch-union grand total — is within 2.5% of the
+    exact distinct count for that group (union of sketches must
+    estimate the distinct-union, not the sum). Violations -> empty."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ex")
+    )
+    total = li.agg(
+        F.lit("__ALL__").alias("l_returnflag"),
+        F.countDistinct("l_partkey").alias("ex"),
+    )
+    est = hll_sketch_rollup(spark, sf_dir)
+    return (
+        est.join(per_group.unionByName(total), "l_returnflag", "full")
+        .filter(
+            F.col("ex").isNull()
+            | F.col("est_parts").isNull()
+            | (F.abs(F.col("est_parts") - F.col("ex")) > F.col("ex") * 0.025)
+        )
+        .select("l_returnflag", "est_parts", "ex")
+    )
+
+
+def check_stream_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: the streaming session_window output agrees with the
+    batch lag+cumsum sessionize per (user_id, session_start): same
+    session set, same event counts (session_window.start is the first
+    event's ts, exactly the batch session_start; the streaming .end
+    adds the gap, so it is not compared). Violations -> empty."""
+    batch = sessionize(spark, sf_dir).select(
+        "user_id", F.col("session_start").alias("st"), F.col("n_events").alias("b_n")
+    )
+    stream = stream_sessionize(spark, sf_dir).select(
+        "user_id", F.col("session_start").alias("st"), F.col("n_events").alias("s_n")
+    )
+    return (
+        batch.join(stream, ["user_id", "st"], "full")
+        .filter(
+            F.col("b_n").isNull() | F.col("s_n").isNull() | (F.col("b_n") != F.col("s_n"))
+        )
+        .select("user_id", F.col("st").alias("session_start"), "b_n", "s_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1774,37 +1886,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round 1 verified the (then) first 50; round 2 front-loads the 38 keys
-    # that have never received a driver CORRECTNESS row (all LLM-pipeline
-    # dedup/ANN/text ops, streaming twins, sketch twins, sessionize, etc.)
-    # plus newly added keys, then the previously-green keys.
+    # Round-3 window (counted to exactly 50 before the green block):
+    #   1-5:   the 5 keys that landed past r2's window and have NEVER
+    #          been graded
+    #   6-10:  the 5 keys red in r2 (2 oracle HUGEINT casts, 3 array-
+    #          column outputs), all fixed this round
+    #   11-14: the 4 NEW check twins (added r3)
+    #   15-25: the 11 rows-only keys (re-graded; most now have a green
+    #          check twin inside the same window)
+    #   26-50: previously-green keys, re-confirmed
     return {
-        # --- never driver-verified in r1: LLM pipeline (§2.3) ---
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        # --- never graded (positions 51-55 in r2) ---
+        "check_pack_greedy": check_pack_greedy,
+        "check_shuffle_deterministic": check_shuffle_deterministic,
+        "check_incremental_rollup": check_incremental_rollup,
+        "tfidf_top_terms": tfidf_top_terms,
+        "label_centroids": label_centroids,
+        # --- red in r2, fixed this round ---
+        "pack_chunks": pack_chunks,
+        "curation_pipeline": curation_pipeline,
+        "collect_values": collect_values,
+        "approx_percentiles": approx_percentiles,
+        "doc_winnow": doc_winnow,
+        # --- new invariant twins (round 3) ---
+        "check_embedding_auto_recall": check_embedding_auto_recall,
+        "check_heavy_hitters_agree": check_heavy_hitters_agree,
+        "check_sketch_rollup_bound": check_sketch_rollup_bound,
+        "check_stream_sessionize_parity": check_stream_sessionize_parity,
+        # --- rows-only keys, re-graded alongside their twins ---
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
         "dedup_embedding_auto": dedup_embedding_auto,
-        "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "doc_fingerprint": doc_fingerprint,
+        "stratified_sample": stratified_sample,
+        "stream_sessionize": stream_sessionize,
+        "approx_heavy_hitters": approx_heavy_hitters,
+        "approx_distinct_parts": approx_distinct_parts,
+        "hll_sketch_rollup": hll_sketch_rollup,
+        # --- previously green (r1/r2), re-confirmed in remaining slots ---
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
         "quality_score": quality_score,
         "token_count": token_count,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_winnow": doc_winnow,
         "geo_mean": geo_mean,
         "ols_slope": ols_slope,
         "rolling_7d_revenue": rolling_7d_revenue,
         "minmax_by": minmax_by,
-        "curation_pipeline": curation_pipeline,
         "multimodal_decode": multimodal_decode,
-        # --- never driver-verified in r1: §2.2 tail + streaming + sketches ---
         "time_rollup": time_rollup,
         "word_count": word_count,
-        "collect_values": collect_values,
-        "stratified_sample": stratified_sample,
         "train_test_split": train_test_split,
         "fill_missing_hours": fill_missing_hours,
         "normalize_text": normalize_text,
@@ -1813,16 +1948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": events_sliding,
         "sessionize": sessionize,
         "stream_windowed": stream_windowed,
-        "stream_sessionize": stream_sessionize,
         "skew_profile": skew_profile,
-        "approx_heavy_hitters": approx_heavy_hitters,
-        "approx_distinct_parts": approx_distinct_parts,
-        "approx_percentiles": approx_percentiles,
-        "hll_sketch_rollup": hll_sketch_rollup,
-        # --- new in round 2 ---
         "serialize_roundtrip": serialize_roundtrip,
-        # invariant gates: violations must be EMPTY; the empty-relation
-        # oracle makes rows+schema+hash a hard check for hash/sketch ops
+        "decontaminate": decontaminate,
+        "split_sentences": split_sentences,
+        # invariant gates graded green in r2
         "check_minhash_subset_exact": check_minhash_subset_exact,
         "check_simhash_verified": check_simhash_verified,
         "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
@@ -1831,16 +1961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_approx_percentile_error": check_approx_percentile_error,
         "check_stratified_sample_bounds": check_stratified_sample_bounds,
         "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
-        # training-data prep (operators/textprep.py)
-        "decontaminate": decontaminate,
-        "pack_chunks": pack_chunks,
-        "split_sentences": split_sentences,
-        "check_pack_greedy": check_pack_greedy,
-        "check_shuffle_deterministic": check_shuffle_deterministic,
-        "check_incremental_rollup": check_incremental_rollup,
-        "tfidf_top_terms": tfidf_top_terms,
-        "label_centroids": label_centroids,
-        # --- driver-verified green in round 1 ---
         "q1_pricing_summary": q1_pricing_summary,
         "subview": subview,
         "relabel": relabel,
@@ -2038,6 +2158,21 @@ def oracle_sql() -> dict[str, str]:
         "check_fingerprint_layout_independent": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
         ),
+        "check_embedding_auto_recall": (
+            "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS DOUBLE) AS detail WHERE 1=0"
+        ),
+        "check_heavy_hitters_agree": (
+            "SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS ex_n, "
+            "CAST(NULL AS BIGINT) AS ap_n WHERE 1=0"
+        ),
+        "check_sketch_rollup_bound": (
+            "SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS BIGINT) AS est_parts, "
+            "CAST(NULL AS BIGINT) AS ex WHERE 1=0"
+        ),
+        "check_stream_sessionize_parity": (
+            "SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS session_start, "
+            "CAST(NULL AS BIGINT) AS b_n, CAST(NULL AS BIGINT) AS s_n WHERE 1=0"
+        ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "
             "tsh AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM ("
@@ -2056,7 +2191,8 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT source, doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
             "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
             "SELECT source, doc_id, n_tokens, CAST(floor(cb / 512) AS BIGINT) AS start_seq, "
-            "cb % 512 AS start_off, CAST(floor((cb + n_tokens - 1) / 512) AS BIGINT) AS end_seq FROM c"
+            "CAST(cb % 512 AS BIGINT) AS start_off, "
+            "greatest(CAST(floor(cb / 512) AS BIGINT), CAST(floor((cb + n_tokens - 1) / 512) AS BIGINT)) AS end_seq FROM c"
         ),
         "split_sentences": (
             "SELECT doc_id, unnest(range(1, len(l)+1)) AS sent_idx, unnest(l) AS sentence "
@@ -2389,15 +2525,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' "
             "WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' "
             "ELSE 'fr' END AS pred_lang FROM m) "
-            "SELECT source, count(*) AS n_docs, sum(ws_tokens) AS total_tokens, "
+            "SELECT source, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS total_tokens, "
             "round(avg(quality), 4) AS avg_quality FROM scored "
             "WHERE quality >= 0.5 AND pred_lang = 'en' "
             "GROUP BY source ORDER BY source"
         ),
         "collect_values": (
-            "SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, "
-            "list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))) AS line_numbers "
-            "FROM lineitem GROUP BY l_returnflag"
+            "SELECT l_returnflag, "
+            "array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses, "
+            "array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))), ',') "
+            "AS line_numbers FROM lineitem GROUP BY l_returnflag"
         ),
         "fill_missing_hours": (
             "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n "

@@ -96,11 +96,14 @@ def ngram_jaccard_pairs(
             F.first(F.col("y.sz")).alias("sy"),
         )
         .filter(
+            # alpha = ceil(t(|X|+|Y|)/(1+t)) done in integer form:
+            # bound*(1+t) >= t*(sx+sy) - eps, so an exact-integer alpha
+            # never rounds UP in fp (e.g. t=0.25, sx=2, sy=3 gives
+            # fp product 1.0000000000000002 -> ceil 2 vs true alpha 1,
+            # which would prune threshold-exact true pairs)
             F.least(F.col("sx") - F.col("px"), F.col("sy") - F.col("py"))
-            >= F.ceil(
-                F.lit(threshold) / F.lit(1.0 + threshold)
-                * (F.col("sx") + F.col("sy"))
-            )
+            * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("sx") + F.col("sy")) - F.lit(1e-9)
         )
         .select("a_id", "b_id")
     )
@@ -256,25 +259,41 @@ def embedding_dedup_auto(
     and pairs are deduped afterwards. Standard blocking recall
     tradeoff otherwise applies — raise n_cells for speed, lower it
     (or add assignments) for recall."""
-    from pyspark.sql import Window
-
     from agnes_spark.operators.simsearch import IvfIndex
 
     index = IvfIndex.build(df, id_col, vec_col, n_cells=n_cells, seed=seed)
-    # distance of every vector to every centroid; keep 2 nearest cells
-    d2 = F.aggregate(
-        F.zip_with(F.col("n_v"), F.col("ctr"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Two nearest cells per vector in ONE projection: the centers are
+    # tiny, so fold them into a single-row array and broadcast-join it
+    # onto every vector (zero shuffle, no row multiplication). The old
+    # crossJoin(centers) + row_number window multiplied every row
+    # x n_cells WITH its vector payload and shuffled all of it through
+    # the window exchange — a 16x payload blowup at corpus scale.
+    centers_arr = index.centers.agg(
+        F.collect_list(F.struct("cell", "ctr")).alias("cs")
     )
-    w = Window.partitionBy("n_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("n_v"), c["ctr"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    # struct array_sort orders by (d2 asc, cell asc) — same tie-break
+    # as the old window
     assigned2 = (
         index.assigned.drop("cell")
-        .crossJoin(F.broadcast(index.centers))
-        .withColumn("d2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
-        .select("cell", "n_id", "n_v", "n_norm")
+        .join(F.broadcast(centers_arr))
+        .select(
+            "n_id",
+            "n_v",
+            "n_norm",
+            F.explode(F.slice(F.array_sort(dists), 1, 2)).alias("nearest"),
+        )
+        .select(F.col("nearest.cell").alias("cell"), "n_id", "n_v", "n_norm")
     )
     a = assigned2.select(
         "cell", F.col("n_id").alias("a_id"), F.col("n_v").alias("a_v"), F.col("n_norm").alias("a_n")

@@ -175,19 +175,25 @@ def connected_components_star(
         .distinct()
         .persist()
     )
-    prev_sig: tuple[int, int] | None = None
+    prev_sig: tuple | None = None
     prev_persisted: DataFrame = e
     converged = False
     for i in range(max_iter):
         new_e = _small_star(_large_star(e)).persist()
         # one full job: materializes new_e and returns the fixpoint
-        # signature. pmod bounds each term to 2^30 so the sum can't
-        # overflow long under ANSI mode even with billions of edges
+        # signature. pmod bounds each term to 2^30 so the sums can't
+        # overflow long under ANSI mode even with billions of edges.
+        # Two independently-seeded hash sums plus min/max widen the
+        # signature to ~2^-60 collision odds per round (a single 2^30
+        # sum colliding would silently declare convergence early).
         row = new_e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))).alias("h"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))).alias("h1"),
+            F.sum(F.pmod(F.xxhash64(F.lit(77), "u", "v"), F.lit(1 << 30))).alias("h2"),
+            F.min(F.xxhash64("u", "v")).alias("lo"),
+            F.max(F.xxhash64("u", "v")).alias("hi"),
         ).first()
-        sig = (row["n"], row["h"])
+        sig = (row["n"], row["h1"], row["h2"], row["lo"], row["hi"])
         # truncate lineage EVERY round (reads the cache — no recompute).
         # One star round references `e` ~12-16 times, so plan size is
         # 16^k in uncheckpointed rounds: deferring even 4 rounds put the

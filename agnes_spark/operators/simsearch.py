@@ -239,14 +239,15 @@ class IvfIndex:
             cum += r["n"]
             curve[r["pr"]] = cum / total
         # curve has gaps where no neighbor lands at that probe rank —
-        # recall at pr is the last cum value at or below pr
+        # recall at pr is the last cum value at or below pr; fill ALL
+        # ranks (the curve is the promised deliverable, `best` is just
+        # the first rank meeting the target)
         rec = 0.0
         for pr in range(1, self.n_cells + 1):
             rec = curve.get(pr, rec)
             curve[pr] = rec
-            if rec >= target_recall:
+            if rec >= target_recall and best > pr:
                 best = pr
-                break
         return best, curve
 
     def unpersist(self) -> None:

@@ -103,9 +103,11 @@ def pack_chunks(
             "n_tokens",
             F.floor(F.col("cum_before") / max_len).alias("start_seq"),
             (F.col("cum_before") % max_len).alias("start_off"),
-            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / max_len).alias(
-                "end_seq"
-            ),
+            # clamp: zero-token docs would otherwise get end_seq = start_seq - 1
+            F.greatest(
+                F.floor(F.col("cum_before") / max_len),
+                F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / max_len),
+            ).alias("end_seq"),
         )
     )
 

@@ -103,6 +103,7 @@ def main() -> None:
     width = spark.sparkContext.defaultParallelism
     spark.range(100 * width).repartition(width).select(_warm("id").alias("x")).count()
     runs = int(os.environ.get("AGNES_BENCH_RUNS", "3"))
+    all_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -120,6 +121,7 @@ def main() -> None:
             # drop per-query persisted frames so queries stay
             # independent (not part of the timed region)
             spark.catalog.clearCache()
+        all_samples[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
     total = round(
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
@@ -136,6 +138,9 @@ def main() -> None:
                 "runs": runs,
                 "agg": "median",
                 "total_all_queries": total_all,
+                # raw per-run samples: makes noise-vs-regression decidable
+                # without rerunning (r2 verdict request)
+                "samples": all_samples,
             }
         )
     )

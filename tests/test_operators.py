@@ -116,7 +116,7 @@ def test_approx_twins_error_bounds(spark, sf_dir):
     exact_med = {r.l_returnflag: r.med for r in li.groupBy("l_returnflag")
                  .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")).collect()}
     for r in entry.approx_percentiles(spark, sf_dir).collect():
-        assert abs(r.pcts[0] - exact_med[r.l_returnflag]) / exact_med[r.l_returnflag] < 0.05
+        assert abs(r.p50 - exact_med[r.l_returnflag]) / exact_med[r.l_returnflag] < 0.05
 
 
 def test_stratified_sample_rates(spark, sf_dir):
