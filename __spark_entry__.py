@@ -25,15 +25,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros (exactly
-    what DuckDB's nanos->micros cast does), keeping the ts column name
-    and type stable for oracle comparison."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    # integer `div`, not `/`: double division of ~1e18 nanos loses the
-    # low bits (53-bit mantissa) and drifts the timestamp by 1 us
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it
+    depends on version: 4.1+ reads it natively as timestamp_ntz
+    (micros-truncated, correct values; the legacy nanosAsLong conf is
+    ignored); older readers need nanosAsLong=true and hand truncation.
+    Branch on the read dtype so both paths yield a plain `timestamp`
+    column (session tz is UTC, so wall-clock matches DuckDB's
+    nanos->micros TIMESTAMP cast either way)."""
+    from agnes_spark.sources.events import read_events
+
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +329,13 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1 h inactivity): lag + cumulative sum
-    windows per user — one shuffle on user_id, no Python."""
+    windows per user — one shuffle on user_id, no Python.
+
+    Boundary semantics match Spark's native session_window: a session
+    spans [start, last_ts + gap), so an event arriving EXACTLY gap
+    seconds after the previous one starts a NEW session (diff >= gap
+    splits). Keeps the batch operator and its streaming twin
+    bit-identical at the boundary (ADVICE r3)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
@@ -336,7 +343,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     gap = F.when(
         F.lag("ts").over(w).isNull()
-        | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > 3600),
+        | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) >= 3600),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -1459,8 +1466,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise mean embedding (operators/embeddings.py)
-    — class prototypes / drift monitoring over the embedding corpus."""
-    from agnes_spark.operators.embeddings import label_centroids as _lc
+    — class prototypes / drift monitoring over the embedding corpus.
+    Long format (label, dim, val, n_vecs): scalar columns only, so the
+    driver can hash it (r3: the array<double> form crashed the
+    canonicalizer); the array variant stays available as
+    embeddings.label_centroids for vector consumers."""
+    from agnes_spark.operators.embeddings import label_centroids_long as _lc
 
     return _lc(_t(spark, sf_dir, "embeddings"), "label", "embedding")
 
@@ -1808,25 +1819,38 @@ def check_embedding_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def check_heavy_hitters_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INVARIANT: the approx_top_k sketch's top-10 matches the exact
-    heavy-hitter profile (skew_profile): same key set, and every
-    reported count within 1% of the exact count (the sketch is exact at
-    gate scale; the tolerance admits only sketch-capacity error, not
-    wrong-key bugs). Violations -> empty."""
+    heavy-hitter profile (skew_profile): every key BOTH report has a
+    count within 1% (the sketch is exact at gate scale), and the key
+    sets agree for every key strictly ABOVE the exact rank-10 boundary
+    count. Keys tied AT the boundary are excluded from the set check —
+    when several keys share the 10th-place count, which one a top-10
+    list includes is tie-break-dependent in both engines, so comparing
+    them produces spurious violations (ADVICE r3). Violations -> empty."""
     exact = skew_profile(spark, sf_dir).select(
         "user_id", F.col("n").alias("ex_n")
     )
     approx = approx_heavy_hitters(spark, sf_dir).select(
         "user_id", F.col("n").alias("ap_n")
     )
-    return (
-        exact.join(approx, "user_id", "full")
-        .filter(
-            F.col("ex_n").isNull()
-            | F.col("ap_n").isNull()
-            | (F.abs(F.col("ap_n") - F.col("ex_n")) > F.col("ex_n") * 0.01)
-        )
+    boundary = exact.agg(F.min("ex_n").alias("b"))
+    count_viol = (
+        exact.join(approx, "user_id")
+        .filter(F.abs(F.col("ap_n") - F.col("ex_n")) > F.col("ex_n") * 0.01)
         .select("user_id", "ex_n", "ap_n")
     )
+    missing = (
+        exact.crossJoin(F.broadcast(boundary))
+        .filter(F.col("ex_n") > F.col("b"))
+        .join(approx, "user_id", "left_anti")
+        .select("user_id", "ex_n", F.lit(None).cast("long").alias("ap_n"))
+    )
+    extra = (
+        approx.crossJoin(F.broadcast(boundary))
+        .filter(F.col("ap_n") > F.col("b"))
+        .join(exact, "user_id", "left_anti")
+        .select("user_id", F.lit(None).cast("long").alias("ex_n"), "ap_n")
+    )
+    return count_viol.unionByName(missing).unionByName(extra)
 
 
 def check_sketch_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,8 +2247,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim, "
             "unnest(embedding) AS val FROM embeddings), "
             "pd AS (SELECT label, dim, avg(CAST(val AS DOUBLE)) AS m, count(*) AS n FROM e GROUP BY 1, 2) "
-            "SELECT label, max(n) AS n_vecs, list(round(m, 6) ORDER BY dim) AS centroid "
-            "FROM pd GROUP BY label"
+            "SELECT label, CAST(dim AS BIGINT) AS dim, round(m, 6) AS val, n AS n_vecs FROM pd"
         ),
         "pivot_linestatus": (
             "SELECT l_returnflag, "
@@ -2594,7 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL "
-            "OR (epoch(ts) - epoch(lag(ts) OVER w)) > 3600 THEN 1 ELSE 0 END AS new_sess "
+            "OR (epoch(ts) - epoch(lag(ts) OVER w)) >= 3600 THEN 1 ELSE 0 END AS new_sess "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g) "

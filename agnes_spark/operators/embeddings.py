@@ -13,27 +13,29 @@ from pyspark.sql import functions as F
 from agnes_spark.functions import vec_double
 
 
+def _per_dim_means(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """posexplode -> groupBy(label, dim) -> avg. The explode multiplies
+    rows by the dimension count but each row is 16 bytes, so the
+    shuffled volume equals the raw vector data; no Python, no collect.
+    At 100 TB partial aggregation collapses each map partition to
+    |labels| x dims rows before the shuffle."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_double(F.col(vec_col))).alias("dim", "val"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Element-wise mean vector per label: (label, n_vecs, centroid).
-
-    posexplode -> groupBy(label, dim) -> avg -> reassemble in dim order.
-    Two shuffles, both on (label[, dim]) — the explode multiplies rows
-    by the dimension count but each row is 16 bytes, so the shuffled
-    volume equals the raw vector data; no Python, no collect. At 100 TB
-    partial aggregation collapses each map partition to
-    |labels| x dims rows before the shuffle.
-    """
-    exploded = df.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(vec_double(F.col(vec_col))).alias("dim", "val"),
-    )
-    per_dim = exploded.groupBy("label", "dim").agg(
-        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n")
-    )
+    """Element-wise mean vector per label: (label, n_vecs, centroid
+    array<double>) — reassembled in dim order for downstream vector use."""
+    per_dim = _per_dim_means(df, label_col, vec_col)
     return (
         per_dim.groupBy("label")
         .agg(
@@ -44,4 +46,22 @@ def label_centroids(
             ).alias("centroid"),
         )
         .select("label", "n_vecs", "centroid")
+    )
+
+
+def label_centroids_long(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-format centroids: one row per (label, dim) with the mean and
+    the vector count. Cheaper than the array form (one shuffle, no
+    collect_list) and emits only scalar columns — the shape the driver's
+    canonicalizer (and any SQL consumer) can hash."""
+    per_dim = _per_dim_means(df, label_col, vec_col)
+    return per_dim.select(
+        "label",
+        "dim",
+        F.round(F.col("m"), 6).alias("val"),
+        F.col("n").alias("n_vecs"),
     )

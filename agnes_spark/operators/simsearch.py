@@ -98,8 +98,18 @@ class IvfIndex:
         )
         assigned.count()  # materialize before dropping the feature cache
         feat.unpersist()
+        ctrs = model.clusterCenters()
+        # a degenerate build (KMeans collapsing to <2 cells) would make
+        # every cell-equi consumer silently return empty/garbage — the
+        # condition-less broadcast join in embedding_dedup_auto yields
+        # zero pairs instead of erroring (ADVICE r3). Fail loudly here.
+        if len(ctrs) < 2:
+            raise ValueError(
+                f"IvfIndex.build: degenerate index — KMeans produced "
+                f"{len(ctrs)} cell(s) (requested {n_cells}); need >= 2"
+            )
         centers = corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(ctrs)],
             "cell int, ctr array<double>",
         )
         return cls(assigned, centers, n_cells)

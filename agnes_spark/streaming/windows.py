@@ -16,22 +16,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts long, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """Parquet-directory stream of the events table (ts arrives as
-    nanos-long; converted to timestamp exactly like the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Parquet-directory stream of the events table.
+
+    readStream requires an explicit schema; instead of hardcoding one
+    (which broke when Spark 4.1 started reading TIMESTAMP(NANOS) as
+    timestamp_ntz rather than rejecting it / nanos-long), take the
+    schema from a driver-side batch read of the same directory —
+    metadata-only, no data scan — then normalize ts exactly like the
+    batch loader so streaming and batch agree on the event-time domain.
+    """
+    from agnes_spark.sources.events import normalize_event_ts
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch_schema = spark.read.parquet(src_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark, raw)
 
 
 def windowed_counts(

@@ -127,6 +127,17 @@ def main() -> None:
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
     )
     total_all = round(sum(t for t in timings.values() if t >= 0), 3)
+    # raw per-run samples go to a SIDE FILE (r3 verdict: embedding them
+    # in the metric line made it unparseable by the driver's tail-capture)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
+            "w",
+        ) as f:
+            json.dump({"sf": sf, "runs": runs, "samples": all_samples}, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write BENCH_SAMPLES.json: {e}", file=sys.stderr)
+    # the FINAL stdout line is the one compact metric JSON the driver parses
     print(
         json.dumps(
             {
@@ -138,9 +149,6 @@ def main() -> None:
                 "runs": runs,
                 "agg": "median",
                 "total_all_queries": total_all,
-                # raw per-run samples: makes noise-vs-regression decidable
-                # without rerunning (r2 verdict request)
-                "samples": all_samples,
             }
         )
     )

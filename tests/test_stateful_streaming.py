@@ -45,7 +45,6 @@ def test_running_user_stats_final_state_matches_batch(spark, sf_dir, events_dir)
         """
     ).collect()
     got = {r.user_id: (r.n_events, r.total_value) for r in final}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .groupBy("user_id")

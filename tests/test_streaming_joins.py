@@ -17,9 +17,9 @@ def events_dir(sf_dir, tmp_path_factory):
 
 
 def _batch_events(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from agnes_spark.sources.events import read_events
+
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def test_enrich_stream_matches_batch(spark, sf_dir, events_dir):

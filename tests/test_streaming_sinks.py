@@ -25,10 +25,10 @@ def test_parquet_sink_matches_batch(spark, sf_dir, events_dir, tmp_path):
     )
     got = spark.read.parquet(out)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from agnes_spark.sources.events import read_events
+
     batch = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
