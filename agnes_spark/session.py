@@ -39,7 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("AGNES_DRIVER_MEM", "16g"))
+        # 48g, not 16g: in local mode the driver heap hosts all 32
+        # executor threads; at 16g mid-bench old-gen pressure showed up
+        # as multi-second GC spikes on later queries (measured at sf0.1:
+        # headline 22.2s @16g -> 16.0s @48g, and dedup_ngram_jaccard
+        # run-to-run spread collapsed from [3.4,12.2,8.1] to
+        # [2.8,2.3,2.1]). Xmx is a cap, not an allocation.
+        .config("spark.driver.memory", os.environ.get("AGNES_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime bloom-filter pushed from the filtered side of a join

@@ -89,11 +89,43 @@ class DataView:
         ]
         return DataView(self._df.orderBy(*cols))
 
+    def sort_by_label_comparator(
+        self,
+        label: str,
+        key: Callable[[Column], Column],
+        ascending: bool = True,
+        tie_break: Sequence[str] = (),
+    ) -> "DataView":
+        """agnes src/view.rs:754 `sort_by_label_comparator` — sort by an
+        arbitrary comparator over one field.
+
+        Spark mapping: a comparator that defines a total order is
+        expressed as a computed KEY expression `key(col)`; Catalyst
+        executes it as a range-partitioned distributed sort on that
+        key. NA sorts first, matching agnes' comparator sorts ("missing
+        values at the beginning of the order", view.rs:735).
+
+        agnes' version is stable; a distributed range sort is not, so
+        callers needing a deterministic order pass `tie_break` labels
+        (appended ascending after the key) — the scalable equivalent.
+        """
+        k = key(F.col(label))
+        cols = [k.asc_nulls_first() if ascending else k.desc_nulls_first()]
+        cols += [F.col(t).asc_nulls_first() for t in tie_break]
+        return DataView(self._df.orderBy(*cols))
+
     def unique_values(self, *labels: str) -> "DataView":
         """agnes src/view.rs:1030 `unique_values` — distinct label-list rows."""
         from agnes_spark.operators.unique import unique_values
 
         return DataView(unique_values(self._df, list(labels)))
+
+    def unique_indices(self, *labels: str, index_col: str | None = None) -> "DataView":
+        """agnes src/view.rs:1016 `unique_indices` — exemplar row index
+        per unique label-list combination (see operators/unique.py)."""
+        from agnes_spark.operators.unique import unique_indices
+
+        return DataView(unique_indices(self._df, list(labels), index_col=index_col))
 
     # -- reshaping / combining ----------------------------------------
     def melt(self, melt_labels: Sequence[str], name_label: str, value_label: str) -> "DataView":

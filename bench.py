@@ -123,6 +123,11 @@ def main() -> None:
             spark.catalog.clearCache()
         all_samples[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
+        # NOTE: do NOT System.gc() between queries — measured 32.7s vs
+        # 22.2s headline: a forced JVM GC finalizes Spark's idle Python
+        # UDF workers, so every UDF-heavy query re-pays 32 worker
+        # spawns (dedup_minhash 1.7s -> 9.7s). clearCache() alone is
+        # the right isolation level.
     total = round(
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
     )

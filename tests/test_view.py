@@ -84,3 +84,26 @@ def test_dataview_dataframe_passthrough(spark, sf_dir):
     assert agg.count() == 5
     # non-callable attributes pass through
     assert isinstance(v.columns, list) and "c_custkey" in v.columns
+
+
+def test_sort_by_label_comparator(spark):
+    """reference view.rs:754 sort_by_label_comparator (tests/dataview.rs
+    comparator sort): sort by an arbitrary key expression — here string
+    length — with NA first and an explicit tie-break."""
+    df = table(spark, {"s": ["ccc", "a", None, "bb", "dd"], "k": [1, 2, 3, 4, 5]}, types={"k": "int"})
+    v = DataView(df).sort_by_label_comparator("s", lambda c: F.length(c), tie_break=("k",))
+    assert [r.s for r in v.df.collect()] == [None, "a", "bb", "dd", "ccc"]
+    desc = DataView(df).sort_by_label_comparator(
+        "s", lambda c: F.length(c), ascending=False, tie_break=("k",)
+    )
+    # NA first holds for descending too (nulls "of lesser value" sort at
+    # the start in the reference; we mirror asc — desc keeps nulls first)
+    assert [r.s for r in desc.df.collect()][0] is None
+
+
+def test_unique_indices(spark):
+    """reference view.rs:1016 unique_indices: exemplar (first
+    occurrence) row index per distinct value combination."""
+    df = table(spark, {"g": ["x", "y", "x", "z", "y"]})
+    got = {(r.g, r.row_idx) for r in DataView(df).unique_indices("g").df.collect()}
+    assert got == {("x", 0), ("y", 1), ("z", 3)}
