@@ -1484,6 +1484,44 @@ def split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ss(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "doc_id", "text")
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (operators/textanalysis.py): duplicate-word fraction and
+    top-bigram fraction — the repetition filters a pretraining
+    pipeline cuts template spam with."""
+    from agnes_spark.operators.textanalysis import repetition_metrics as _rm
+
+    return _rm(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/textprep.py). The synthetic corpus
+    contains no natural PII, so the gate deterministically INJECTS
+    emails/phones/IPs keyed on doc_id (same expression on both engines,
+    like multimodal_decode's derived dims) — the scrub+count logic is
+    then exercised non-vacuously and hash-compared end to end."""
+    from agnes_spark.operators.textprep import pii_scrub as _ps
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com or 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 1, F.lit(" call 555-123-4567 now"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return _ps(docs, "doc_id", "text")
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (operators/textanalysis.py) —
     corpus-level term weighting, fully native (explode + two aggs +
@@ -1967,9 +2005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- _events users green in r1, never re-graded ---
         "asof_join_events": asof_join_events,
         "json_funcs": json_funcs,
-        # --- NEW this round (§2.1 deltas closed) ---
+        # --- NEW this round (§2.1 deltas closed + 2 pipeline ops) ---
         "sort_comparator": sort_comparator,
         "unique_indices": unique_indices,
+        "repetition_metrics": repetition_metrics,
+        "pii_scrub": pii_scrub,
         # --- rows-only keys, re-graded alongside their twins ---
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2005,9 +2045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_views": union_views,
         "embedding_norms": embedding_norms,
         "corr_stats": corr_stats,
+        # ---------------- end of the 50-key window ----------------
         "histogram_totalprice": histogram_totalprice,
         "q14_promo_effect": q14_promo_effect,
-        # ---------------- end of the 50-key window ----------------
         "tfidf_top_terms": tfidf_top_terms,
         "pack_chunks": pack_chunks,
         "curation_pipeline": curation_pipeline,
@@ -2286,6 +2326,35 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) "
             "SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5"
+        ),
+        "repetition_metrics": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "b AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct, "
+            "unnest(CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+            "ELSE [NULL] END) AS bg FROM w), "
+            "pb AS (SELECT doc_id, n_words, n_distinct, bg, count(*) AS c FROM b GROUP BY 1, 2, 3, 4), "
+            "r AS (SELECT doc_id, n_words, n_distinct, "
+            "max(CASE WHEN bg IS NOT NULL THEN c END) AS top_c, "
+            "sum(CASE WHEN bg IS NOT NULL THEN c END) AS tot_c FROM pb GROUP BY 1, 2, 3) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "CASE WHEN n_words > 0 THEN round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS dup_word_frac, "
+            "CASE WHEN tot_c IS NOT NULL THEN round(top_c / CAST(tot_c AS DOUBLE), 6) ELSE 0.0 END AS top_bigram_frac "
+            "FROM r"
+        ),
+        "pii_scrub": (
+            "WITH d AS (SELECT doc_id, text || CASE "
+            "WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "WHEN doc_id % 5 = 1 THEN ' call 555-123-4567 now' "
+            "ELSE '' END AS text FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip "
+            "FROM d"
         ),
         "label_centroids": (
             "WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim, "

@@ -200,3 +200,64 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (id, n_words, dup_word_frac, top_bigram_frac).
+
+    - dup_word_frac: 1 - |distinct words| / |words| — how much of the
+      doc is repeated vocabulary.
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams — boilerplate and template spam score near 1.
+
+    These are the repetition filters used to cut low-quality documents
+    from pretraining corpora (Gopher/MassiveText-class heuristics).
+
+    Shape at scale: one explode keyed by (id, bigram) with map-side
+    partial aggregation, then a per-id rollup — both shuffles carry
+    one row per distinct (id, gram), never per token. Docs with fewer
+    than 2 words get 0.0 for both fractions.
+    """
+    toks = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("w"))
+    # ordered (non-distinct) bigram list — word_shingles would dedupe
+    k = F.size("w") - F.lit(1)
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select(
+        F.col(id_col),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.explode_outer(bigrams).alias("bg"),
+    )
+    per_bg = base.groupBy(id_col, "n_words", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bg.groupBy(id_col, "n_words", "n_distinct")
+        .agg(
+            F.max(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("top_c"),
+            F.sum(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("tot_c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+            F.when(
+                F.col("tot_c").isNotNull(),
+                F.round(F.col("top_c") / F.col("tot_c"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

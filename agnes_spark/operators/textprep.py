@@ -206,3 +206,36 @@ def shuffle_deterministic(df: DataFrame, cols: list[str], seed: int = 0) -> Data
     shuffle — the same cost as any global sort."""
     h = F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
     return df.orderBy(h, *[F.col(c) for c in cols])
+
+
+# PII patterns chosen for java.util.regex / RE2 dialect parity (no
+# backreferences, no lookaround): the same strings match in Spark and
+# in DuckDB/RE2-based oracles.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Redact common PII (emails, NANP-style phone numbers, IPv4
+    addresses) from a text column: (id, scrubbed, n_email, n_phone,
+    n_ip) — the privacy-hygiene pass of a training-data pipeline.
+
+    Counts come from regexp_extract_all on the ORIGINAL text;
+    redaction chains regexp_replace in PII_PATTERNS order (email
+    first: an email can contain digit runs, never vice versa). All
+    JVM-side regex built-ins — one projection, no shuffle, no Python;
+    at 100 TB this fuses into the scan it follows.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)

@@ -117,3 +117,25 @@ def test_tfidf_top_terms(spark):
     assert by_doc[3][0][1] == "cherry"
     # every score positive, ranks contiguous per doc
     assert all(r.tfidf > 0 for r in out)
+
+
+def test_repetition_metrics(spark):
+    from agnes_spark.operators.textanalysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 words, 2 distinct; bigrams: "a b"x3, "b a"x2
+            (2, "w x y z"),          # all distinct; 3 distinct bigrams
+            (3, "solo"),             # 1 word -> no bigrams
+            (4, ""),                 # empty
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in repetition_metrics(df, "id", "text").collect()}
+    assert rows[1].n_words == 6
+    assert abs(rows[1].dup_word_frac - (1 - 2 / 6)) < 1e-6
+    assert abs(rows[1].top_bigram_frac - 3 / 5) < 1e-6
+    assert rows[2].dup_word_frac == 0.0
+    assert abs(rows[2].top_bigram_frac - 1 / 3) < 1e-6
+    assert rows[3].n_words == 1 and rows[3].top_bigram_frac == 0.0
+    assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0

@@ -84,3 +84,23 @@ def test_shuffle_deterministic_layout_independent(spark):
     assert o1 != list(range(100))  # it actually shuffles
     o3 = [r.doc_id for r in shuffle_deterministic(docs, ["doc_id"], seed=4).collect()]
     assert o1 != o3  # seed matters
+
+
+def test_pii_scrub(spark):
+    from agnes_spark.operators.textprep import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@example.org then call 555-123-4567 from 10.0.0.7"),
+            (2, "no pii here at all"),
+            (3, "two mails: x@y.io and z@w.co"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in pii_scrub(df, "id", "text").collect()}
+    assert rows[1].scrubbed == "mail <EMAIL> then call <PHONE> from <IP>"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (1, 1, 1)
+    assert rows[2].scrubbed == "no pii here at all"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 0, 0)
+    assert rows[3].scrubbed == "two mails: <EMAIL> and <EMAIL>"
+    assert rows[3].n_email == 2
