@@ -80,6 +80,11 @@ EXTRA_QUERIES = [
     "decontaminate",
     "pack_chunks",
     "split_sentences",
+    # round-3/4 additions
+    "tfidf_top_terms",
+    "label_centroids",
+    "repetition_metrics",
+    "pii_scrub",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
@@ -103,9 +108,15 @@ def main() -> None:
     width = spark.sparkContext.defaultParallelism
     spark.range(100 * width).repartition(width).select(_warm("id").alias("x")).count()
     runs = int(os.environ.get("AGNES_BENCH_RUNS", "3"))
+    # test hook: AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum"
+    # restricts the run so the output contract is pytest-checkable in
+    # seconds (tests/test_bench_contract.py)
+    only = {
+        q for q in os.environ.get("AGNES_BENCH_ONLY", "").split(",") if q
+    }
     all_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        if name not in qs:
+        if name not in qs or (only and name not in only):
             continue
         samples: list[float] = []
         for _ in range(runs):  # median-of-N: robust to JVM/GC noise

@@ -21,6 +21,8 @@ SHOWCASE = [
     ("dedup_minhash", "candidate generation is an equi-join on (band, bucket)"),
     ("curation_pipeline", "three scorers fused into one projection over kept docs"),
     ("merge_upsert", "full-outer MERGE shape"),
+    ("pii_scrub", "regex scrub+counts fused into one zero-shuffle projection over the scan"),
+    ("decontaminate", "eval shingles broadcast; the train side is scanned once, never shuffled"),
 ]
 
 

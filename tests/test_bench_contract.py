@@ -1,0 +1,47 @@
+"""Pin bench.py's driver contract: the LAST stdout line must be one
+self-contained JSON object with the agreed keys — r3's official bench
+number was lost because per-run samples got embedded in that line and
+the driver's tail-capture could no longer parse it.
+
+Runs bench.py as a subprocess on two cheap queries at sf0.001 so the
+whole check stays under a minute.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_last_line_is_compact_parseable_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        AGNES_SHUFFLE_PARTITIONS="4",
+        AGNES_BENCH_RUNS="1",
+        AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    d = json.loads(last)  # must parse as ONE object on ONE line
+    assert d["metric"] == "headline_queries_total_runtime"
+    assert d["unit"] == "sec"
+    assert isinstance(d["value"], (int, float))
+    assert set(d["queries"]) == {"q1_pricing_summary", "aggregate_sum"}
+    assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    # samples belong in the side file, never in the metric line
+    assert "samples" not in d
+    side = os.path.join(REPO, "BENCH_SAMPLES.json")
+    assert os.path.exists(side)
+    assert "q1_pricing_summary" in json.load(open(side))["samples"]
