@@ -75,21 +75,37 @@ class IvfIndex:
         n_cells: int = 16,
         max_iter: int = 10,
         seed: int = 42,
+        max_train_rows: int = 100_000,
     ) -> "IvfIndex":
-        """Train KMeans (the iterative part — at 100 TB train on a
-        sample) and assign every corpus row to its cell."""
+        """Train KMeans on a bounded sample, assign EVERY corpus row.
+
+        Training is the iterative part: k-means|| init plus max_iter
+        full passes. Re-reading a 100 TB corpus 11+ times for centroids
+        that converge on any large sample is the classic IVF-build
+        mistake — every production ANN index (FAISS et al.) trains on
+        a subsample. `max_train_rows` caps the training set via a
+        seeded Bernoulli sample (deterministic, layout-independent);
+        the single full-corpus pass that remains is the cell
+        assignment. Cells stay balanced because the sample is uniform.
+        """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         c = corpus.select(
             F.col(corpus_id).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
         ).withColumn("n_norm", l2_norm(F.col("n_v")))
-        # cache the feature frame: k-means|| init + every training
-        # iteration + the final assignment pass all re-read it — without
-        # the cache each pass re-runs the parquet scan and the
-        # array->vector conversion
+        # cache the feature frame: training (on the sample) + the final
+        # assignment pass both re-read it — without the cache each pass
+        # re-runs the parquet scan and the array->vector conversion
         feat = c.withColumn("features", array_to_vector("n_v")).persist()
-        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+        n = feat.count()  # also materializes the cache before training
+        if n > max_train_rows:
+            train = feat.sample(
+                withReplacement=False, fraction=max_train_rows / n, seed=seed
+            )
+        else:
+            train = feat
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
         assigned = (
             model.transform(feat)
             .select("n_id", "n_v", "n_norm", F.col("prediction").alias("cell"))
