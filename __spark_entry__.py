@@ -805,6 +805,124 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join chain with a symmetric nation-pair
+    predicate and per-year revenue. Both nation dims broadcast;
+    Catalyst reorders the fact joins; the pair disjunction is applied
+    after the two broadcast lookups, never as a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional order volume per
+    year — conditional aggregation over a 7-table join (region prunes
+    the customer side; part filter prunes the fact scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select("n_nationkey", "n_regionkey")  # customer-side region link
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution — LEFT
+    outer join so zero-order customers keep a 0 bucket, then a second
+    aggregation ON the aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted to this schema: high-balance customers
+    (above the global positive-balance average — an uncorrelated scalar
+    subquery Catalyst evaluates once and broadcasts) with NO order
+    since 2001-01-01 (anti join against the date-filtered orders),
+    grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar subquery): parts priced at
     their brand's minimum. Catalyst decorrelates this into an
@@ -2109,6 +2227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
+        # NEW in r4 (graded when the window rotates in r5)
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_custdist": q13_custdist,
+        "q22_lapsed_customers": q22_lapsed_customers,
     }
 
 
@@ -2536,6 +2659,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p "
             "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
             "WHERE p2.p_brand = p.p_brand)"
+        ),
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+            "round(sum(CASE WHEN n2.n_name = 'NATION_1' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "q13_custdist": (
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count "
+            "ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q22_lapsed_customers": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust, "
+            "round(sum(c_acctbal), 2) AS totacctbal "
+            "FROM customer c "
+            "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
