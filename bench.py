@@ -85,6 +85,10 @@ EXTRA_QUERIES = [
     "label_centroids",
     "repetition_metrics",
     "pii_scrub",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_custdist",
+    "q22_lapsed_customers",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
