@@ -923,6 +923,55 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max filter back onto the
+    same view. The revenue aggregate is computed once; Catalyst plans
+    the max as a one-row broadcast, not a re-aggregation per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems below
+    20% of their part's average quantity. Catalyst decorrelates the
+    per-part avg into one aggregation joined back on l_partkey (no
+    per-row subquery execution), exactly how it must run at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem_v")
+    p.createOrReplaceTempView("part_v17")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v l JOIN part_v17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem_v l2
+                            WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
 def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar subquery): parts priced at
     their brand's minimum. Catalyst decorrelates this into an
@@ -2232,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q13_custdist": q13_custdist,
         "q22_lapsed_customers": q22_lapsed_customers,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
     }
 
 
@@ -2659,6 +2710,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p "
             "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
             "WHERE p2.p_brand = p.p_brand)"
+        ),
+        "q15_top_supplier": (
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
+            "ORDER BY s_suppkey"
+        ),
+        "q17_small_quantity_revenue": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem l JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#1' "
+            "AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 "
+            "WHERE l2.l_partkey = l.l_partkey)"
         ),
         "q7_volume_shipping": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
