@@ -972,6 +972,31 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The equi part (p_partkey = l_partkey) still drives a hash join;
+    only the residual disjunction filters joined rows — the pattern
+    that degrades to a cartesian if the predicate is written without a
+    conjunct equi key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 25) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 35) & (F.col("p_size") <= 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar subquery): parts priced at
     their brand's minimum. Catalyst decorrelates this into an
@@ -2283,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_lapsed_customers": q22_lapsed_customers,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
     }
 
 
@@ -2710,6 +2736,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p "
             "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
             "WHERE p2.p_brand = p.p_brand)"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 10) "
+            "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size <= 20) "
+            "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size <= 30)"
         ),
         "q15_top_supplier": (
             "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
