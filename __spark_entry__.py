@@ -410,6 +410,26 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_csv(spark, out_dir, spec)
 
 
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (sources/formats.py read_xml/write_xml,
+    Spark 4 built-in datasource — closes reference FUTURE.md
+    "structured text data (XML)"): nation exported to XML, re-read
+    through an explicit schema, must match the parquet original."""
+    import tempfile
+
+    from agnes_spark.sources.formats import read_xml, write_xml
+
+    nat = _t(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="agnes_xml_") + "/nation"
+    write_xml(nat.coalesce(1), out_dir, row_tag="nation", root_tag="nations")
+    return read_xml(
+        spark,
+        out_dir,
+        row_tag="nation",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
 def serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed serialization round-trip (reference tests/serialize.rs:19
     csv_serialize_test asserts the serialized form is reproducible):
@@ -2309,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "xml_roundtrip": xml_roundtrip,
     }
 
 
@@ -2433,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "xml_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "serialize_roundtrip": (
             "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
         ),

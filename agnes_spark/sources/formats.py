@@ -86,3 +86,32 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema: str | None = None
+) -> DataFrame:
+    """XML source (Spark 4 built-in) — one row per `row_tag` element.
+    Closes the reference's FUTURE.md "structured text data (XML)" item.
+    Pass an explicit schema at scale: inference runs a full extra pass.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

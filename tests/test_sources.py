@@ -149,3 +149,17 @@ def test_orc_roundtrip_typed(spark, tmp_path):
     assert sorted(back.collect(), key=lambda r: r.k) == sorted(
         df.collect(), key=lambda r: r.k
     )
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML datasource (reference FUTURE.md lists XML
+    under future source types): write -> read with explicit schema."""
+    from agnes_spark.sources.formats import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", -1.0)], "id bigint, name string, x double"
+    )
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, row_tag="item", root_tag="items")
+    back = read_xml(spark, out, row_tag="item", schema="id bigint, name string, x double")
+    assert {(r.id, r.name, r.x) for r in back.collect()} == {(1, "a", 2.5), (2, "b", -1.0)}
