@@ -1696,6 +1696,19 @@ def split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ss(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "doc_id", "text")
 
 
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic stratified sample
+    (operators/sampling.py): exactly min(10, |stratum|) documents per
+    language, selected by a pure-arithmetic Knuth hash rank — fully
+    hash-comparable against the SQL oracle, unlike RNG sampleBy."""
+    from agnes_spark.operators.sampling import stratified_sample_exact as _sse
+
+    docs = _t(spark, sf_dir, "documents")
+    return _sse(docs, "lang", "doc_id", k=10, seed=7).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document
     (operators/textanalysis.py): duplicate-word fraction and
@@ -2330,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "xml_roundtrip": xml_roundtrip,
+        "stratified_sample_exact": stratified_sample_exact,
     }
 
 
@@ -2548,6 +2562,12 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) "
             "SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5"
+        ),
+        "stratified_sample_exact": (
+            "WITH r AS (SELECT doc_id, lang, source, row_number() OVER "
+            "(PARTITION BY lang ORDER BY ((doc_id % 2147483648) * 2654435761 + 7) % 4294967296, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT doc_id, lang, source FROM r WHERE rn <= 10"
         ),
         "repetition_metrics": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "

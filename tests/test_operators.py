@@ -208,3 +208,23 @@ def test_approx_heavy_hitters_tracks_exact(spark, sf_dir):
     approx = {r.user_id for r in entry.approx_heavy_hitters(spark, sf_dir).collect()}
     # at test scale the sketch should recover most of the true top-10
     assert len(exact & approx) >= 6
+
+
+def test_stratified_sample_exact_deterministic(spark, sf_dir):
+    """Exactly k per stratum, identical selection under any input
+    layout (pure arithmetic rank — no RNG stream dependence)."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = stratified_sample_exact(docs, "lang", "doc_id", k=5, seed=3)
+    b = stratified_sample_exact(docs.repartition(7), "lang", "doc_id", k=5, seed=3)
+    sa = {(r.doc_id, r.lang) for r in a.select("doc_id", "lang").collect()}
+    sb = {(r.doc_id, r.lang) for r in b.select("doc_id", "lang").collect()}
+    assert sa == sb
+    per = a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    avail = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("tot")).collect()
+    tot = {r.lang: r.tot for r in avail}
+    for r in per:
+        assert r.n == min(5, tot[r.lang])
