@@ -1747,6 +1747,16 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ps(docs, "doc_id", "text")
 
 
+def lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM surprise per document
+    (operators/textanalysis.py) — the self-scoring language-model
+    quality filter: flags documents whose word transitions are
+    improbable under the corpus's own bigram statistics."""
+    from agnes_spark.operators.textanalysis import lm_surprise as _lm
+
+    return _lm(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (operators/textanalysis.py) —
     corpus-level term weighting, fully native (explode + two aggs +
@@ -2344,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "xml_roundtrip": xml_roundtrip,
         "stratified_sample_exact": stratified_sample_exact,
+        "lm_surprise": lm_surprise,
     }
 
 
@@ -2562,6 +2573,22 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) "
             "SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5"
+        ),
+        "lm_surprise": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "db AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]}) "
+            "ELSE [] END) AS g FROM w), "
+            "d AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM db), "
+            "bg AS (SELECT w1, w2, count(*) AS c_bg FROM d GROUP BY 1, 2), "
+            "ug AS (SELECT unnest(w) AS w1 FROM w), "
+            "ugc AS (SELECT w1, count(*) AS c_ug FROM ug GROUP BY 1), "
+            "v AS (SELECT count(*) AS v FROM ugc) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(-ln((c_bg + 1) / CAST(c_ug + v AS DOUBLE))), 6) AS avg_surprise, "
+            "round(max(-ln((c_bg + 1) / CAST(c_ug + v AS DOUBLE))), 6) AS max_surprise "
+            "FROM d JOIN bg USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN v "
+            "GROUP BY doc_id"
         ),
         "stratified_sample_exact": (
             "WITH r AS (SELECT doc_id, lang, source, row_number() OVER "

@@ -261,3 +261,62 @@ def repetition_metrics(
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def lm_surprise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-bigram language-model surprise per document:
+    (id, n_bigrams, avg_surprise, max_surprise).
+
+    surprise(w_i | w_{i-1}) = -ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V))
+    with add-one smoothing over the corpus vocabulary V — the
+    self-scoring LM quality filter: documents whose transitions are
+    improbable under the corpus's own bigram statistics (gibberish,
+    boilerplate collisions, wrong-language shards) score high.
+
+    Shape at scale: two count tables (bigram, unigram) built with
+    map-side partial aggregation — shuffle volume is the distinct gram
+    vocabulary, not the token stream — then one equi-join back onto
+    per-doc bigrams and a per-doc rollup. V and the count tables are
+    corpus-global; at 100 TB they are exactly the side tables an LM
+    filter would precompute once and reuse.
+    """
+    toks = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("w"))
+    k = F.size("w") - F.lit(1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = toks.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ug_counts = (
+        toks.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_ug"))
+    )
+    vocab = ug_counts.agg(F.count(F.lit(1)).alias("v"))
+    surprise = -F.log(
+        (F.col("c_bg") + 1) / (F.col("c_ug") + F.col("v"))
+    )
+    return (
+        doc_bg.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(surprise), 6).alias("avg_surprise"),
+            F.round(F.max(surprise), 6).alias("max_surprise"),
+        )
+    )

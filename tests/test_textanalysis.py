@@ -139,3 +139,23 @@ def test_repetition_metrics(spark):
     assert abs(rows[2].top_bigram_frac - 1 / 3) < 1e-6
     assert rows[3].n_words == 1 and rows[3].top_bigram_frac == 0.0
     assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0
+
+
+def test_lm_surprise(spark):
+    """Hand-checked add-one-smoothed bigram surprise on a 2-doc corpus."""
+    import math
+
+    from agnes_spark.operators.textanalysis import lm_surprise
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "id long, text string"
+    )
+    # corpus: unigrams a:3 b:3 c:1 (V=3); bigrams: (a,b):3, (b,a):1, (b,c):1
+    rows = {r.id: r for r in lm_surprise(df, "id", "text").collect()}
+    s_ab = -math.log((3 + 1) / (3 + 3))   # c_bg=3, c_ug(a)=3, V=3
+    s_ba = -math.log((1 + 1) / (3 + 3))
+    s_bc = -math.log((1 + 1) / (3 + 3))
+    assert rows[1].n_bigrams == 3
+    assert abs(rows[1].avg_surprise - round((2 * s_ab + s_ba) / 3, 6)) < 1e-9
+    assert rows[2].n_bigrams == 2
+    assert abs(rows[2].max_surprise - round(max(s_ab, s_bc), 6)) < 1e-9
