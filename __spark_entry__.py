@@ -1747,6 +1747,15 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ps(docs, "doc_id", "text")
 
 
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BM25 terms per document (operators/textanalysis.py) —
+    Okapi BM25 with Lucene's +1-shifted idf; rank ties break on
+    rounded score then term so both engines order identically."""
+    from agnes_spark.operators.textanalysis import bm25_top_terms as _bm
+
+    return _bm(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
 def lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram LM surprise per document
     (operators/textanalysis.py) — the self-scoring language-model
@@ -2355,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": xml_roundtrip,
         "stratified_sample_exact": stratified_sample_exact,
         "lm_surprise": lm_surprise,
+        "bm25_top_terms": bm25_top_terms,
     }
 
 
@@ -2573,6 +2583,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) "
             "SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 5"
+        ),
+        "bm25_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "c AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl), "
+            "s AS (SELECT doc_id, term, "
+            "round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 "
+            "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25 "
+            "FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN c), "
+            "r AS (SELECT doc_id, term, bm25, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id, rank, term, bm25 FROM r WHERE rank <= 5"
         ),
         "lm_surprise": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents), "

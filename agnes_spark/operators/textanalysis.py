@@ -320,3 +320,48 @@ def lm_surprise(
             F.round(F.max(surprise), 6).alias("max_surprise"),
         )
     )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k terms per document by BM25: (id, rank, term, bm25) — the
+    standard retrieval scoring, Okapi form with the +1-shifted idf
+    (Lucene-style, never negative):
+
+      idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+      s(t, d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same plan shape as tfidf_top_terms: one explode, two partial-agg'd
+    count tables (term df, doc length), two tiny broadcasts (N, avgdl),
+    rank on the ROUNDED score with term-asc tie-break so ordering
+    reproduces across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("bm25", F.round(idf * F.col("tf") * (k1 + 1) / denom, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "bm25")
+    )
