@@ -945,8 +945,13 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-max filter back onto the
-    same view. The revenue aggregate is computed once; Catalyst plans
-    the max as a one-row broadcast, not a re-aggregation per row."""
+    same view. The max is a global window over the SINGLE revenue
+    aggregate (per-supplier output is small, so the one-partition
+    window exchange is a few KB), so both sides of the equality filter
+    come from one accumulation — two independent subplans could sum in
+    different orders and disagree at a .005 rounding boundary."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -960,11 +965,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        .withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -1534,7 +1538,8 @@ def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agnes_spark.operators.dedup import embedding_dedup_auto
 
     return embedding_dedup_auto(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35, n_cells=8
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35,
+        n_cells=8, cache_key=sf_dir,
     )
 
 

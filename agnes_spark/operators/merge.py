@@ -10,12 +10,19 @@ alignment must come from somewhere explicit:
 - `on=` key columns -> a plain equi-join (the scalable path; this is
   what "views over the same store" degenerate to when the store has a
   key).
-- positional (no key): each side is numbered with
+- `order_by=` (per side) -> positional alignment derived from an
+  explicit sort order: `row_number()` over the given columns on each
+  side, joined on the number. Stays entirely in Tungsten (no Python
+  RDD hop); the global window is a single-partition sort, the same
+  cost the reference's positional merge pays to define an order at
+  all. Prefer this whenever ANY ordering column exists.
+- positional (no key, no order): each side is numbered with
   `rdd.zipWithIndex` — a two-pass distributed numbering that preserves
   the incoming row order (partition sizes are counted, then each
   partition offsets locally; no single-point bottleneck) — and joined
   on the index. Order-sensitive by definition, exactly like the
-  reference; callers should sort both sides consistently first.
+  reference; the documented degenerate path for truly keyless,
+  orderless input.
 """
 
 from __future__ import annotations
@@ -42,11 +49,35 @@ def merge_views(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str] | None = None,
+    order_by: tuple[Sequence[str], Sequence[str]] | Sequence[str] | None = None,
 ) -> DataFrame:
+    """`on` > `order_by` > RDD positional (see module docstring).
+
+    `order_by` is either one column list applied to both sides or a
+    (left_cols, right_cols) pair when the sides name their ordering
+    columns differently."""
     if on:
         return left.join(right, on=list(on), how="inner")
-    lhs = with_row_index(left)
-    rhs = with_row_index(right)
+    if order_by:
+        from pyspark.sql import Window
+
+        if (
+            len(order_by) == 2
+            and not isinstance(order_by[0], str)
+            and not isinstance(order_by[1], str)
+        ):
+            l_ord, r_ord = list(order_by[0]), list(order_by[1])
+        else:
+            l_ord = r_ord = list(order_by)
+        lhs = left.withColumn(
+            _IDX, F.row_number().over(Window.orderBy(*[F.col(c) for c in l_ord]))
+        )
+        rhs = right.withColumn(
+            _IDX, F.row_number().over(Window.orderBy(*[F.col(c) for c in r_ord]))
+        )
+    else:
+        lhs = with_row_index(left)
+        rhs = with_row_index(right)
     # rename collisions on the right, matching agnes' relabel-before-merge
     for c in right.columns:
         if c in left.columns:

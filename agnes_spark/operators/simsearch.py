@@ -23,12 +23,29 @@ def brute_force_topk(
     corpus_id: str,
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast queries x corpus, windowed
-    top-k per query (rank on raw double score, deterministic id
-    tie-break). Cost is |Q| * |corpus| dot products, all codegen'd —
-    the right baseline, and exactly what an IVF probe does per cell.
+    """Exact top-k by cosine — ORACLE / SMALL-QUERY-SET ONLY.
+
+    Broadcast queries x corpus, windowed top-k per query (rank on raw
+    double score, deterministic id tie-break). Cost is |Q| * |corpus|
+    dot products via a BroadcastNestedLoopJoin — by construction, not
+    by accident: this IS the exact all-pairs baseline the ANN recall
+    gates (check_lsh_scores_exact, check_ivf_autotuned_recall) compare
+    against, and exactly what an IVF probe does per cell. Never point
+    it at a large query set — use `IvfIndex.topk` / `lsh_topk` there.
+    `max_queries` (default 10k) enforces that: the call fails fast if
+    the query side exceeds it; pass None only when you mean it.
     """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk: query side has > {max_queries} rows — "
+                "this is an exact all-pairs oracle (BroadcastNestedLoopJoin); "
+                "use IvfIndex.topk or lsh_topk for large query sets, or pass "
+                "max_queries=None to override"
+            )
     # norms are per-ROW, computed once before the pair join — inside
     # the join each pair costs one dot product, not dot + two norms
     # (the norm expression is identical, so cos is bit-stable)
@@ -84,9 +101,13 @@ class IvfIndex:
         that converge on any large sample is the classic IVF-build
         mistake — every production ANN index (FAISS et al.) trains on
         a subsample. `max_train_rows` caps the training set via a
-        seeded Bernoulli sample (deterministic, layout-independent);
-        the single full-corpus pass that remains is the cell
-        assignment. Cells stay balanced because the sample is uniform.
+        per-ROW hash filter on the id — pmod(xxhash64(id, seed), M) —
+        which, unlike DataFrame.sample (seeded per-PARTITION, so the
+        selected rows change with input layout), picks the same rows
+        whatever the partitioning: centroids and every downstream
+        IVF/dedup output are reproducible across repartitions. The
+        single full-corpus pass that remains is the cell assignment.
+        Cells stay balanced because the hash is uniform over ids.
         """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -100,11 +121,22 @@ class IvfIndex:
         feat = c.withColumn("features", array_to_vector("n_v")).persist()
         n = feat.count()  # also materializes the cache before training
         if n > max_train_rows:
-            train = feat.sample(
-                withReplacement=False, fraction=max_train_rows / n, seed=seed
+            _M = 1_000_000
+            thresh = int(_M * max_train_rows / n)
+            train = feat.filter(
+                F.pmod(F.xxhash64("n_id", F.lit(seed)), F.lit(_M)) < thresh
             )
         else:
             train = feat
+        # canonicalize the training layout: the row SELECTION above is
+        # layout-independent, but KMeans training itself is not —
+        # k-means|| init draws with a per-partition seeded RNG, so
+        # partition contents/order leak into the centroids. Hash-
+        # repartition by id + sort within partitions gives every input
+        # layout the same partitioning, so (seed -> centroids) is a
+        # pure function of the corpus content. The extra shuffle moves
+        # only the bounded training set.
+        train = train.repartition(32, "n_id").sortWithinPartitions("n_id")
         model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
         assigned = (
             model.transform(feat)

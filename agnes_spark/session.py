@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: half of physical RAM, capped at 48g and
+    floored at 4g. 48g is the measured sweet spot on the 128 GiB bench
+    host (headline 22.2s @16g -> 16.0s @48g), but a fixed 48g default
+    would drive smaller hosts into swap/OOM-kill — derive from the
+    machine, keep AGNES_DRIVER_MEM as the explicit override."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        total_gb = 32.0
+    return f"{max(4, min(48, int(total_gb / 2)))}g"
+
+
 def get_spark(
     app_name: str = "agnes_spark",
     master: str | None = None,
@@ -39,13 +54,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 48g, not 16g: in local mode the driver heap hosts all 32
-        # executor threads; at 16g mid-bench old-gen pressure showed up
-        # as multi-second GC spikes on later queries (measured at sf0.1:
-        # headline 22.2s @16g -> 16.0s @48g, and dedup_ngram_jaccard
-        # run-to-run spread collapsed from [3.4,12.2,8.1] to
-        # [2.8,2.3,2.1]). Xmx is a cap, not an allocation.
-        .config("spark.driver.memory", os.environ.get("AGNES_DRIVER_MEM", "48g"))
+        # large heap, not 16g: in local mode the driver heap hosts all
+        # 32 executor threads; at 16g mid-bench old-gen pressure showed
+        # up as multi-second GC spikes on later queries (measured at
+        # sf0.1: headline 22.2s @16g -> 16.0s @48g, and
+        # dedup_ngram_jaccard run-to-run spread collapsed from
+        # [3.4,12.2,8.1] to [2.8,2.3,2.1]). Xmx is a cap, not an
+        # allocation; sized to the host by _default_driver_mem.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("AGNES_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime bloom-filter pushed from the filtered side of a join

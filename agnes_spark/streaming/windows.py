@@ -25,6 +25,12 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     schema from a driver-side batch read of the same directory —
     metadata-only, no data scan — then normalize ts exactly like the
     batch loader so streaming and batch agree on the event-time domain.
+
+    If the directory has no files yet (the normal streaming bootstrap
+    state — the producer hasn't written its first batch), the batch
+    read can't infer anything, so fall back to the canonical events
+    schema; `normalize_event_ts` branches on the actual ts dtype either
+    way, so the two paths agree once data arrives.
     """
     from agnes_spark.sources.events import normalize_event_ts
 
@@ -32,7 +38,28 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    batch_schema = spark.read.parquet(src_dir).schema
+    try:
+        batch_schema = spark.read.parquet(src_dir).schema
+    except Exception:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        batch_schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
     raw = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)

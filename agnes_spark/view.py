@@ -142,11 +142,14 @@ class DataView:
         """
         return DataView(self._df.groupBy(*key_labels).agg(*aggs))
 
-    def merge(self, other: "DataView") -> "DataView":
-        """agnes src/view.rs:644 `merge` — horizontal row-aligned concat."""
+    def merge(self, other: "DataView", order_by=None) -> "DataView":
+        """agnes src/view.rs:644 `merge` — horizontal row-aligned
+        concat. Pass `order_by` (one column list, or a (left, right)
+        pair) whenever an ordering column exists — that keeps the
+        positional alignment in Tungsten instead of the RDD hop."""
         from agnes_spark.operators.merge import merge_views
 
-        return DataView(merge_views(self._df, other._df))
+        return DataView(merge_views(self._df, other._df, order_by=order_by))
 
     def join(self, other: "DataView", left_on: str, right_on: str, predicate: str = "==", how: str = "inner") -> "DataView":
         """agnes src/view.rs:661 `join` — predicate join (src/join.rs)."""

@@ -119,9 +119,21 @@ def main() -> None:
         q for q in os.environ.get("AGNES_BENCH_ONLY", "").split(",") if q
     }
     all_samples: dict[str, list[float]] = {}
+    # one UNTIMED warmup execution per query before its measured runs:
+    # the first run of a query in a cold JVM pays JIT + codegen-compile
+    # + parquet footer reads at 2-3x steady state (r4 driver samples:
+    # q1 [1.98, 0.73, 0.70]); with median-of-3 that still skews a cold
+    # session's median vs a warm one. AGNES_BENCH_WARMUP=0 disables.
+    warmup = os.environ.get("AGNES_BENCH_WARMUP", "1") != "0"
     for name in BENCH_QUERIES:
         if name not in qs or (only and name not in only):
             continue
+        if warmup:
+            try:
+                qs[name](spark, sf_dir).count()
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # the measured loop reports the error
         samples: list[float] = []
         for _ in range(runs):  # median-of-N: robust to JVM/GC noise
             t0 = time.perf_counter()

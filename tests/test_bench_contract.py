@@ -15,10 +15,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_last_line_is_compact_parseable_json():
+def test_bench_last_line_is_compact_parseable_json(sf_dir):
     env = dict(
         os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS="4",
         AGNES_SHUFFLE_PARTITIONS="4",
         AGNES_BENCH_RUNS="1",

@@ -110,3 +110,25 @@ def test_embedding_dedup_auto_recall(spark, sf_dir):
     assert got <= exact or not exact  # no false positives (exact cosine verify)
     if exact:
         assert len(got & exact) / len(exact) >= 0.6  # blocking recall
+
+
+def test_embedding_dedup_auto_cache_reuses_index(spark, sf_dir):
+    """cache_key= reuses the built IvfIndex across calls (no KMeans
+    retrain) and yields identical pairs — including after a
+    clearCache(), the state bench runs in between queries."""
+    from agnes_spark.operators.dedup import _AUTO_INDEX_CACHE, embedding_dedup_auto
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _AUTO_INDEX_CACHE.clear()
+    first = {(r.a_id, r.b_id) for r in embedding_dedup_auto(
+        emb, "vec_id", threshold=0.35, n_cells=4, cache_key="t"
+    ).collect()}
+    assert len(_AUTO_INDEX_CACHE) == 1
+    cached_index = next(iter(_AUTO_INDEX_CACHE.values()))
+    spark.catalog.clearCache()
+    second = {(r.a_id, r.b_id) for r in embedding_dedup_auto(
+        emb, "vec_id", threshold=0.35, n_cells=4, cache_key="t"
+    ).collect()}
+    assert second == first
+    assert next(iter(_AUTO_INDEX_CACHE.values())) is cached_index
+    _AUTO_INDEX_CACHE.clear()

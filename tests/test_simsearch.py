@@ -34,6 +34,41 @@ def test_brute_force_matches_numpy(spark, sf_dir):
         assert [nid for _, nid in sorted(neigh)] == expect
 
 
+def test_brute_force_guards_large_query_side(spark, sf_dir):
+    """brute_force_topk is the all-pairs oracle — it must refuse a
+    query side above max_queries instead of silently planning a huge
+    BroadcastNestedLoopJoin."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="oracle"):
+        brute_force_topk(emb, emb, "vec_id", "vec_id", k=3, max_queries=10)
+    # explicit opt-out still works
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 2), emb, "vec_id", "vec_id", k=2,
+        max_queries=None,
+    )
+    assert out.count() == 4
+
+
+def test_ivf_train_sample_is_layout_independent(spark, sf_dir):
+    """The bounded KMeans training sample is a hash filter on the id —
+    repartitioning the corpus must not change the built centroids
+    (DataFrame.sample would; ADVICE r4)."""
+    from agnes_spark.operators.simsearch import IvfIndex
+
+    emb = _emb(spark, sf_dir)
+    a = IvfIndex.build(emb, "vec_id", n_cells=4, max_iter=2, max_train_rows=200)
+    b = IvfIndex.build(
+        emb.repartition(7), "vec_id", n_cells=4, max_iter=2, max_train_rows=200
+    )
+    ca = sorted(tuple(r.ctr) for r in a.centers.collect())
+    cb = sorted(tuple(r.ctr) for r in b.centers.collect())
+    assert ca == cb
+    a.unpersist()
+    b.unpersist()
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)

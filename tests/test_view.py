@@ -54,6 +54,33 @@ def test_merge_positional(spark):
     assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
 
 
+def test_merge_order_by_stays_in_tungsten(spark):
+    """order_by= positional merge: correct alignment AND no Python-RDD
+    scan in the plan (the whole point vs zipWithIndex)."""
+    # spark.range sources (not table(), whose createDataFrame scan is
+    # itself an ExistingRDD) so the plan assertion sees only the merge
+    left = spark.range(1, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("int").alias("a")
+    )
+    letters = F.array(F.lit("x"), F.lit("y"), F.lit("z"))
+    right = spark.range(1, 4).select(
+        F.col("id").alias("r"),
+        F.element_at(letters, F.col("id").cast("int")).alias("b"),
+    )
+    merged = DataView(left).merge(DataView(right), order_by=(["k"], ["r"]))
+    rows = sorted((r.a, r.b) for r in merged.df.collect())
+    assert rows == [(10, "x"), (20, "y"), (30, "z")]
+    plan = merged.df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "existingrdd" not in plan.lower()
+
+
+def test_merge_order_by_single_list(spark):
+    left = table(spark, {"k": [2, 1], "a": [20, 10]}, types={"k": "int", "a": "int"})
+    right = table(spark, {"k": [1, 2], "b": ["x", "y"]}, types={"k": "int"})
+    merged = DataView(left).merge(DataView(right), order_by=["k"])
+    assert sorted((r.a, r.b) for r in merged.df.collect()) == [(10, "x"), (20, "y")]
+
+
 def test_merge_collision_rename(spark):
     left = table(spark, {"a": [1, 2]}, types={"a": "int"})
     right = table(spark, {"a": [10, 20]}, types={"a": "int"})
