@@ -1512,6 +1512,95 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5)
 
 
+def _docs_corpus_delta(spark: SparkSession, sf_dir: str):
+    """The incremental-dedup scenario split: docs with doc_id % 10 == 0
+    are the NEW shard (delta), the rest the already-deduped corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a NEW shard against the persisted corpus
+    hash store (operators/dedup_incremental.py) — the 100 TB pattern:
+    the store is (sha256, keeper) rows written BUCKETED by hash, the
+    shard anti-joins it without any corpus-text rescan. Output: delta
+    docs whose content is genuinely new (absent from corpus, first
+    occurrence within the delta)."""
+    import tempfile
+
+    from agnes_spark.operators.dedup_incremental import (
+        exact_hash_store,
+        incremental_exact_new,
+        write_exact_store,
+    )
+
+    corpus, delta = _docs_corpus_delta(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="agnes_hashstore_")
+    write_exact_store(
+        exact_hash_store(corpus, "doc_id", "text"), "agnes_hash_store_gate", path=path
+    )
+    store = spark.table("agnes_hash_store_gate")
+    return (
+        incremental_exact_new(delta, store, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs involving a NEW shard, found by probing the
+    corpus's persisted MinHash band index + shingle table (both
+    round-tripped through parquet here, as they would live at scale) —
+    no corpus text rescan, no corpus re-banding. Hash-based —
+    rows-only check; check_incremental_minhash_parity pins equality
+    with the full-corpus run."""
+    import tempfile
+
+    from agnes_spark.operators.dedup_incremental import (
+        incremental_minhash_pairs,
+        minhash_state,
+    )
+
+    corpus, delta = _docs_corpus_delta(spark, sf_dir)
+    bands, shingles = minhash_state(corpus, "doc_id", "text")
+    path = tempfile.mkdtemp(prefix="agnes_mhstate_")
+    bands.write.mode("overwrite").parquet(path + "/bands")
+    shingles.write.mode("overwrite").parquet(path + "/shingles")
+    return incremental_minhash_pairs(
+        delta,
+        spark.read.parquet(path + "/bands"),
+        spark.read.parquet(path + "/shingles"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+
+
+def check_incremental_minhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: incremental minhash (delta probed against persisted
+    corpus state) emits EXACTLY the full-corpus minhash pairs that
+    involve a delta doc — same pairs, same jaccard. Any missing or
+    extra pair is a violation. Violations -> empty."""
+    from agnes_spark.operators.dedup import minhash_lsh_pairs
+
+    full = (
+        minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5)
+        .filter((F.col("a_id") % 10 == 0) | (F.col("b_id") % 10 == 0))
+        .select("a_id", "b_id", "jaccard")
+    )
+    inc = dedup_incremental_minhash(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    missing = full.join(inc, ["a_id", "b_id", "jaccard"], "left_anti").select(
+        F.lit("missing").alias("kind"), "a_id", "b_id"
+    )
+    extra = inc.join(full, ["a_id", "b_id", "jaccard"], "left_anti").select(
+        F.lit("extra").alias("kind"), "a_id", "b_id"
+    )
+    return missing.unionByName(extra)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 3) via pigeonhole chunk
     bucketing. Hash-based — rows-only check."""
@@ -2261,6 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         # --- rows-only keys, re-graded alongside their twins ---
         "dedup_minhash": dedup_minhash,
+        "dedup_incremental": dedup_incremental,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
+        "check_incremental_minhash_parity": check_incremental_minhash_parity,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_auto": dedup_embedding_auto,
         "ann_lsh_topk": ann_lsh_topk,
@@ -2502,6 +2594,18 @@ def oracle_sql() -> dict[str, str]:
         # be the empty relation with this exact column set
         "check_minhash_subset_exact": (
             "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
+        ),
+        "dedup_incremental": (
+            "WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), "
+            "delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT d.doc_id FROM delta d "
+            "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = d.text) "
+            "AND NOT EXISTS (SELECT 1 FROM delta d2 WHERE d2.text = d.text "
+            "AND d2.doc_id < d.doc_id) ORDER BY d.doc_id"
+        ),
+        "check_incremental_minhash_parity": (
+            "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS a_id, "
+            "CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
         ),
         "check_simhash_verified": (
             "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id, "

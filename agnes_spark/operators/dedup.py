@@ -122,6 +122,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shash): each doc's distinct n-gram shingles hashed to
+    int64 — the unit every MinHash consumer (full, incremental, and
+    the exact-Jaccard verify step) shares, so their candidate/verify
+    decisions are bit-identical by construction."""
+    shingle_udf = hashed_shingles_udf(n)
+    return (
+        # repartition BEFORE the Python stage: a single-file source
+        # otherwise runs the whole UDF serially in one worker
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
+        .filter(F.size("shash") > 0)
+    )
+
+
+def minhash_bands(
+    base: DataFrame, id_col: str, num_perm: int = 64, num_bands: int = 16
+) -> DataFrame:
+    """(id, band, bucket) LSH band keys from a `shingle_sets` frame.
+    rows_per_band = num_perm/num_bands tunes the S-curve (16 bands x 4
+    rows targets recall ~1 at J>=0.5 for 64 perms)."""
+    rows_per_band = num_perm // num_bands
+    sig_udf = minhash_signature_udf(num_perm)
+    return base.select(
+        F.col(id_col), sig_udf(F.col("shash")).alias("sig")
+    ).select(
+        F.col(id_col),
+        F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -137,30 +170,13 @@ def minhash_lsh_pairs(
     `num_bands` bucket keys -> equi-self-join per (band, bucket) for
     candidates -> verify candidates with exact Jaccard >= threshold.
     Candidate generation cost is bounded by bucket sizes, never n^2;
-    verification touches only candidate pairs. rows_per_band =
-    num_perm/num_bands tunes the S-curve (16 bands x 4 rows targets
-    recall ~1 at J>=0.5 for 64 perms).
+    verification touches only candidate pairs.
     """
-    rows_per_band = num_perm // num_bands
-    shingle_udf = hashed_shingles_udf(n)
-    base = (
-        # repartition BEFORE the Python stage: a single-file source
-        # otherwise runs the whole UDF serially in one worker
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
-        .filter(F.size("shash") > 0)
-        # reused three times below (banding + both verify sides): keep
-        # the shingle sets materialized instead of re-tokenizing
-        .persist()
-    )
-    sig_udf = minhash_signature_udf(num_perm)
-    banded = base.select(
-        F.col(id_col), sig_udf(F.col("shash")).alias("sig")
-    ).select(
-        F.col(id_col),
-        F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
-            "band", "bucket"
-        ),
+    # reused three times below (banding + both verify sides): keep
+    # the shingle sets materialized instead of re-tokenizing
+    base = shingle_sets(df, id_col, text_col, n).persist()
+    banded = minhash_bands(
+        base, id_col, num_perm, num_bands
     ).persist()  # self-joined below — without this the signature UDF runs twice
     cand = (
         banded.alias("x")

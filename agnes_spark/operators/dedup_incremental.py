@@ -1,0 +1,145 @@
+"""Incremental (delta-shard) deduplication against persisted corpus state.
+
+The 100 TB pattern the one-shot dedup operators don't cover: the
+corpus was deduped once; every new shard arriving after that must be
+deduped against it WITHOUT rescanning corpus text. Dedup state lives
+in compact, joinable stores, and per-shard cost is O(|delta|) plus
+bucket-local lookups into the store:
+
+- exact: a content-hash store — one (sha256, keeper id) row per
+  distinct content — written BUCKETED by hash (write_bucketed), so
+  the shard's anti-join never reshuffles the store side; only the
+  delta's hashes move.
+- near-dup (MinHash): two stores — the band-bucket index
+  (band, bucket, id) and the shingle-set table (id, shash). A shard
+  computes its own bands, equi-joins the band index for candidate
+  corpus ids, then verifies exact Jaccard against only those ids'
+  shingle rows. Both joins are equi; nothing touches corpus text.
+
+Correctness contract (gated): incremental output == the one-shot
+operator run over (corpus ∪ delta), restricted to rows/pairs that
+involve the delta. Holds exactly because candidate generation and
+verification reuse the same shingle/band/hash code paths
+(dedup.shingle_sets / dedup.minhash_bands).
+
+Reference: agnes has no incremental dedup (its FUTURE.md lists
+streaming as future work); semantics here are defined by the
+restriction contract above, same as operators/incremental.py does for
+rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.dedup import minhash_bands, minhash_lsh_pairs, shingle_sets
+
+
+def exact_hash_store(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, keep_id): one row per distinct content — the
+    whole exact-dedup state, 40ish bytes per distinct doc."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def write_exact_store(
+    store: DataFrame, table_name: str, path: str | None = None, num_buckets: int = 32
+) -> None:
+    """Persist the hash store bucketed by content_hash: every future
+    shard's anti-join reads co-located buckets instead of reshuffling
+    the (corpus-sized) store. At 100 TB this asymmetry IS the feature —
+    the store is written once, shards only ever bucket-probe it."""
+    from agnes_spark.operators.partitioning import write_bucketed
+
+    write_bucketed(store, table_name, ["content_hash"], num_buckets, path=path)
+
+
+def incremental_exact_new(
+    delta: DataFrame, store: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Delta rows with genuinely NEW content: first occurrence (min id)
+    of their hash within the delta, and hash absent from the store.
+    Returns (id, content_hash) — exactly the rows to append to the
+    store after the shard is accepted."""
+    h = delta.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    first_in_delta = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return first_in_delta.join(
+        store.select("content_hash"), "content_hash", "left_anti"
+    ).select(id_col, "content_hash")
+
+
+def minhash_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the near-dup state for a corpus: (band index, shingle
+    table). Persist both with write.parquet / write_bucketed; the band
+    index is what shards probe, the shingle table is what verification
+    reads (candidate ids only)."""
+    base = shingle_sets(df, id_col, text_col, n)
+    bands = minhash_bands(base, id_col, num_perm, num_bands)
+    return bands, base
+
+
+def incremental_minhash_pairs(
+    delta: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All verified near-dup pairs involving the delta: delta-vs-corpus
+    via the persisted band index, plus delta-internal via the one-shot
+    operator on the (small) delta alone. Output (a_id, b_id, jaccard)
+    with a_id < b_id — the same orientation as minhash_lsh_pairs, so
+    the parity gate's comparison is a plain anti-join."""
+    d_base = shingle_sets(delta, id_col, text_col, n).persist()
+    d_banded = minhash_bands(d_base, id_col, num_perm, num_bands)
+    c_bands = corpus_bands.select(
+        F.col(id_col).alias("c_id"), "band", "bucket"
+    )
+    cand = (
+        d_banded.select(F.col(id_col).alias("d_id"), "band", "bucket")
+        .join(c_bands, ["band", "bucket"])
+        .select("d_id", "c_id")
+        .distinct()
+    )
+    d_sets = d_base.select(F.col(id_col).alias("d_id"), F.col("shash").alias("d_sh"))
+    c_sets = corpus_shingles.select(
+        F.col(id_col).alias("c_id"), F.col("shash").alias("c_sh")
+    )
+    cross = (
+        cand.join(d_sets, "d_id")
+        .join(c_sets, "c_id")
+        .withColumn("inter", F.size(F.array_intersect("d_sh", "c_sh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("d_sh") + F.size("c_sh") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("d_id", "c_id").alias("a_id"),
+            F.greatest("d_id", "c_id").alias("b_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    intra = minhash_lsh_pairs(
+        delta, id_col, text_col, n, num_perm, num_bands, threshold
+    ).select("a_id", "b_id", "jaccard")
+    # corpus ids and delta ids are disjoint, and intra pairs are
+    # delta-delta only, so the union is already duplicate-free
+    return cross.unionByName(intra)

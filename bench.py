@@ -80,6 +80,9 @@ EXTRA_QUERIES = [
     "decontaminate",
     "pack_chunks",
     "split_sentences",
+    # round-5 additions
+    "dedup_incremental",
+    "dedup_incremental_minhash",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",

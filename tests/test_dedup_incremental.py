@@ -1,0 +1,81 @@
+"""Incremental (delta-shard) dedup: equivalence with the one-shot
+operators restricted to the delta, and the bucketed-store scan shape."""
+
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from agnes_spark.operators.dedup_incremental import (
+    exact_hash_store,
+    incremental_exact_new,
+    incremental_minhash_pairs,
+    minhash_state,
+    write_exact_store,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _split(docs):
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def test_incremental_exact_matches_full_restriction(spark, sf_dir):
+    """New-content ids from the incremental path == keepers of the full
+    (corpus ∪ delta) dedup that are delta rows (a keeper from the delta
+    means no corpus or earlier-delta row had that content)."""
+    docs = _docs(spark, sf_dir)
+    corpus, delta = _split(docs)
+    store = exact_hash_store(corpus, "doc_id", "text")
+    got = {
+        r.doc_id
+        for r in incremental_exact_new(delta, store, "doc_id", "text").collect()
+    }
+    full_keepers = {
+        r.keep_id
+        for r in exact_dedup(docs, "doc_id", "text").collect()
+        if r.keep_id % 10 == 0
+    }
+    assert got == full_keepers
+    assert got  # scenario must actually exercise the path
+
+
+def test_incremental_exact_bucketed_store_scan(spark, sf_dir, tmp_path):
+    """The persisted store is a bucketed table: the anti-join plan must
+    read it bucketed (store side never reshuffles)."""
+    corpus, delta = _split(_docs(spark, sf_dir))
+    write_exact_store(
+        exact_hash_store(corpus, "doc_id", "text"),
+        "agnes_hash_store_test",
+        path=str(tmp_path / "store"),
+    )
+    store = spark.table("agnes_hash_store_test")
+    out = incremental_exact_new(delta, store, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert out.count() > 0
+
+
+def test_incremental_minhash_parity_with_full(spark, sf_dir):
+    """Incremental minhash pairs (delta probed against persisted corpus
+    band index + shingle table) == full-run pairs involving the delta."""
+    docs = _docs(spark, sf_dir)
+    corpus, delta = _split(docs)
+    bands, shingles = minhash_state(corpus, "doc_id", "text")
+    inc = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in incremental_minhash_pairs(
+            delta, bands, shingles, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        if r.a_id % 10 == 0 or r.b_id % 10 == 0
+    }
+    assert inc == full
+    assert inc  # the synthetic docs contain planted near-dups
