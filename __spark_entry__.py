@@ -1021,6 +1021,76 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    l_receiptdate columns): conditional priority counts over the
+    orders-lineitem join for LATE shipments — shipped in 1995, more
+    than 30 days after the order date; l_returnflag stands in for
+    shipmode as the group key. The signature is intact: one equi join,
+    CASE-bucketed counts, all JVM expressions, map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (lateness = shipped more
+    than 60 days after the order date, standing in for receipt >
+    commit): suppliers who were the SOLE late supplier in a
+    multi-supplier finalized order. The original's correlated
+    exists/not-exists pair is expressed as the decorrelated aggregate
+    Catalyst would produce anyway — one pass computing per-order
+    distinct-supplier and distinct-LATE-supplier counts, joined back —
+    which is also the only shape that scales (the per-row subquery
+    form re-probes lineitem twice per row). numwait counts qualifying
+    orders per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    qual = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar subquery): parts priced at
     their brand's minimum. Catalyst decorrelates this into an
@@ -2458,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q12_priority_shipments": q12_priority_shipments,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "xml_roundtrip": xml_roundtrip,
         "stratified_sample_exact": stratified_sample_exact,
         "lm_surprise": lm_surprise,
@@ -2938,6 +3010,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p "
             "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
             "WHERE p2.p_brand = p.p_brand)"
+        ),
+        "q12_priority_shipments": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q21_waiting_suppliers": (
+            "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+            "l_shipdate > o_orderdate + INTERVAL 60 DAY AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "per_order AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, "
+            "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late "
+            "FROM lo GROUP BY 1), "
+            "qual AS (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey "
+            "FROM lo JOIN per_order USING (l_orderkey) "
+            "WHERE lo.late AND per_order.n_supp >= 2 AND per_order.n_late = 1) "
+            "SELECT s_name, count(*) AS numwait FROM qual "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20"
         ),
         "q19_disjunctive_revenue": (
             "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

@@ -83,6 +83,8 @@ EXTRA_QUERIES = [
     # round-5 additions
     "dedup_incremental",
     "dedup_incremental_minhash",
+    "q12_priority_shipments",
+    "q21_waiting_suppliers",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",
