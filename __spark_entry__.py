@@ -2386,79 +2386,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-4 window (counted to exactly 50):
-    #   1-12:  the 12 keys red in r3 (the _events dtype class, the
-    #          stream schema, label_centroids) — all fixed this round
-    #   13-14: green-in-r1 _events users never re-graded since (would
-    #          have failed in r3; protected by the same fix)
-    #   15-16: NEW this round (comparator sort, unique_indices)
-    #   17-28: the 12 rows-only sketch/sample keys
-    #   29-41: their 13 invariant-gate twins
-    #   42-50: green keys last graded in r1
-    #   51+:   previously-green r2/r3 keys
+    # Round-5 window (counted to exactly 50) — pure grading rotation per
+    # the r4 verdict (everything below was judge-spot-checked green; the
+    # goal is a fresh DRIVER row per key):
+    #   1-11:  the 11 r4 keys that have never had a driver row
+    #   12-16: NEW this round (q12/q21, incremental dedup + twin)
+    #   17-50: 34 of the 41 keys whose last driver row is r1
+    #          (pre-Spark-4.1.2)
+    #   51-57: the 7 remaining r1-stale keys — all 7 judge-verified in
+    #          r4, so they carry the freshest independent check; they
+    #          rotate into the r6 window
+    #   58+:   r2/r3-graded keys, then the 50 keys graded green in r4
     return {
-        # --- red in r3, fixed this round ---
-        "label_centroids": label_centroids,
-        "time_rollup": time_rollup,
-        "fill_missing_hours": fill_missing_hours,
-        "latest_event_per_user": latest_event_per_user,
-        "events_windowed": events_windowed,
-        "events_sliding": events_sliding,
-        "sessionize": sessionize,
-        "stream_windowed": stream_windowed,
-        "skew_profile": skew_profile,
-        "approx_heavy_hitters": approx_heavy_hitters,
-        "check_heavy_hitters_agree": check_heavy_hitters_agree,
-        "check_stream_sessionize_parity": check_stream_sessionize_parity,
-        # --- _events users green in r1, never re-graded ---
-        "asof_join_events": asof_join_events,
-        "json_funcs": json_funcs,
-        # --- NEW this round (§2.1 deltas closed + 2 pipeline ops) ---
-        "sort_comparator": sort_comparator,
-        "unique_indices": unique_indices,
-        "repetition_metrics": repetition_metrics,
-        "pii_scrub": pii_scrub,
-        # --- rows-only keys, re-graded alongside their twins ---
-        "dedup_minhash": dedup_minhash,
+        # --- r4 keys with no driver row yet ---
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_custdist": q13_custdist,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "xml_roundtrip": xml_roundtrip,
+        "stratified_sample_exact": stratified_sample_exact,
+        "lm_surprise": lm_surprise,
+        "bm25_top_terms": bm25_top_terms,
+        # --- NEW this round ---
+        "q12_priority_shipments": q12_priority_shipments,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "dedup_incremental": dedup_incremental,
         "dedup_incremental_minhash": dedup_incremental_minhash,
         "check_incremental_minhash_parity": check_incremental_minhash_parity,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_auto": dedup_embedding_auto,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_winnow": doc_winnow,
-        "stratified_sample": stratified_sample,
-        "stream_sessionize": stream_sessionize,
-        "approx_percentiles": approx_percentiles,
-        "approx_distinct_parts": approx_distinct_parts,
-        "hll_sketch_rollup": hll_sketch_rollup,
-        # --- their invariant-gate twins ---
-        "check_embedding_auto_recall": check_embedding_auto_recall,
-        "check_sketch_rollup_bound": check_sketch_rollup_bound,
-        "check_minhash_subset_exact": check_minhash_subset_exact,
-        "check_simhash_verified": check_simhash_verified,
-        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
-        "check_lsh_scores_exact": check_lsh_scores_exact,
-        "check_hll_error_bound": check_hll_error_bound,
-        "check_approx_percentile_error": check_approx_percentile_error,
-        "check_stratified_sample_bounds": check_stratified_sample_bounds,
-        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
-        "check_pack_greedy": check_pack_greedy,
-        "check_shuffle_deterministic": check_shuffle_deterministic,
-        "check_incremental_rollup": check_incremental_rollup,
-        # --- green keys last graded in r1 ---
-        "dedup_clusters": dedup_clusters,
-        "csv_roundtrip": csv_roundtrip,
-        "correlated_min": correlated_min,
-        "rollup_agg": rollup_agg,
-        "union_views": union_views,
-        "embedding_norms": embedding_norms,
-        "corr_stats": corr_stats,
-        # ---------------- end of the 50-key window ----------------
-        "histogram_totalprice": histogram_totalprice,
+        # --- last driver row r1 (TPC-H shapes) ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
         "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        # --- last driver row r1 (core agnes surface) ---
+        "subview": subview,
+        "relabel": relabel,
+        "filter_pred": filter_pred,
+        "sort_two_keys": sort_two_keys,
+        "join_equal": join_equal,
+        "join_lt": join_lt,
+        "join_band": join_band,
+        "merge_views": merge_views,
+        "melt_wide": melt_wide,
+        "aggregate_sum": aggregate_sum,
+        "unique_values": unique_values,
+        "field_stats": field_stats,
+        "field_arith": field_arith,
+        # --- last driver row r1 (joins / windows / aggregates) ---
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "join_outer": join_outer,
+        "join_null_safe": join_null_safe,
+        "join_cross": join_cross,
+        "topk_per_group": topk_per_group,
+        "pivot_linestatus": pivot_linestatus,
+        "running_sum": running_sum,
+        "cube_agg": cube_agg,
+        "count_distinct_parts": count_distinct_parts,
+        "merge_upsert": merge_upsert,
+        "scd2_apply": scd2_apply,
+        "window_ranks": window_ranks,
+        "null_handling": null_handling,
+        # ---------------- end of the 50-key window ----------------
+        # r1-stale overflow (judge-verified r4; r6 window candidates)
+        "histogram_totalprice": histogram_totalprice,
+        "view_stats": view_stats,
+        "percentiles": percentiles,
+        "set_ops": set_ops,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "q4_order_priority": q4_order_priority,
+        # r2/r3-graded keys
+        "split_sentences": split_sentences,
         "tfidf_top_terms": tfidf_top_terms,
         "pack_chunks": pack_chunks,
         "curation_pipeline": curation_pipeline,
@@ -2480,60 +2485,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": normalize_text,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
-        "split_sentences": split_sentences,
-        "q1_pricing_summary": q1_pricing_summary,
-        "subview": subview,
-        "relabel": relabel,
-        "filter_pred": filter_pred,
-        "sort_two_keys": sort_two_keys,
-        "join_equal": join_equal,
-        "join_lt": join_lt,
-        "join_band": join_band,
-        "merge_views": merge_views,
-        "melt_wide": melt_wide,
-        "aggregate_sum": aggregate_sum,
-        "unique_values": unique_values,
-        "field_stats": field_stats,
-        "view_stats": view_stats,
-        "field_arith": field_arith,
-        "topk_per_group": topk_per_group,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "pivot_linestatus": pivot_linestatus,
-        "running_sum": running_sum,
-        "percentiles": percentiles,
-        "cube_agg": cube_agg,
-        "count_distinct_parts": count_distinct_parts,
-        "join_semi": join_semi,
-        "join_anti": join_anti,
-        "join_outer": join_outer,
-        "join_null_safe": join_null_safe,
-        "join_cross": join_cross,
-        "merge_upsert": merge_upsert,
-        "scd2_apply": scd2_apply,
-        "set_ops": set_ops,
-        "window_ranks": window_ranks,
-        "null_handling": null_handling,
-        "string_funcs": string_funcs,
-        "date_funcs": date_funcs,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q10_returned_items": q10_returned_items,
-        "q18_large_orders": q18_large_orders,
-        # NEW in r4 (graded when the window rotates in r5)
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q13_custdist": q13_custdist,
-        "q22_lapsed_customers": q22_lapsed_customers,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q12_priority_shipments": q12_priority_shipments,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "xml_roundtrip": xml_roundtrip,
-        "stratified_sample_exact": stratified_sample_exact,
-        "lm_surprise": lm_surprise,
-        "bm25_top_terms": bm25_top_terms,
+        # graded green in r4
+        "label_centroids": label_centroids,
+        "time_rollup": time_rollup,
+        "fill_missing_hours": fill_missing_hours,
+        "latest_event_per_user": latest_event_per_user,
+        "events_windowed": events_windowed,
+        "events_sliding": events_sliding,
+        "sessionize": sessionize,
+        "stream_windowed": stream_windowed,
+        "skew_profile": skew_profile,
+        "approx_heavy_hitters": approx_heavy_hitters,
+        "check_heavy_hitters_agree": check_heavy_hitters_agree,
+        "check_stream_sessionize_parity": check_stream_sessionize_parity,
+        "asof_join_events": asof_join_events,
+        "json_funcs": json_funcs,
+        "sort_comparator": sort_comparator,
+        "unique_indices": unique_indices,
+        "repetition_metrics": repetition_metrics,
+        "pii_scrub": pii_scrub,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_auto": dedup_embedding_auto,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_winnow": doc_winnow,
+        "stratified_sample": stratified_sample,
+        "stream_sessionize": stream_sessionize,
+        "approx_percentiles": approx_percentiles,
+        "approx_distinct_parts": approx_distinct_parts,
+        "hll_sketch_rollup": hll_sketch_rollup,
+        "check_embedding_auto_recall": check_embedding_auto_recall,
+        "check_sketch_rollup_bound": check_sketch_rollup_bound,
+        "check_minhash_subset_exact": check_minhash_subset_exact,
+        "check_simhash_verified": check_simhash_verified,
+        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
+        "check_lsh_scores_exact": check_lsh_scores_exact,
+        "check_hll_error_bound": check_hll_error_bound,
+        "check_approx_percentile_error": check_approx_percentile_error,
+        "check_stratified_sample_bounds": check_stratified_sample_bounds,
+        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
+        "check_pack_greedy": check_pack_greedy,
+        "check_shuffle_deterministic": check_shuffle_deterministic,
+        "check_incremental_rollup": check_incremental_rollup,
+        "dedup_clusters": dedup_clusters,
+        "csv_roundtrip": csv_roundtrip,
+        "correlated_min": correlated_min,
+        "rollup_agg": rollup_agg,
+        "union_views": union_views,
+        "embedding_norms": embedding_norms,
+        "corr_stats": corr_stats,
     }
 
 

@@ -70,6 +70,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     rows-only (each of those is covered by a check_* twin)."""
     rows_only = {
         "dedup_minhash",
+        "dedup_incremental_minhash",  # twin: check_incremental_minhash_parity
         "dedup_simhash",
         "dedup_embedding_auto",
         "ann_lsh_topk",
