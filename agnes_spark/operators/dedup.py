@@ -322,18 +322,18 @@ def embedding_dedup_auto(
     return _auto_pairs(index, threshold)
 
 
-def _auto_pairs(index, threshold: float) -> DataFrame:
-    """Candidate generation + exact verify over a built IvfIndex (the
-    non-iterative tail of embedding_dedup_auto)."""
-    # Two nearest cells per vector in ONE projection: the centers are
-    # tiny, so fold them into a single-row array and broadcast-join it
-    # onto every vector (zero shuffle, no row multiplication). The old
-    # crossJoin(centers) + row_number window multiplied every row
-    # x n_cells WITH its vector payload and shuffled all of it through
-    # the window exchange — a 16x payload blowup at corpus scale.
-    centers_arr = index.centers.agg(
-        F.collect_list(F.struct("cell", "ctr")).alias("cs")
-    )
+def two_nearest_cells(vectors: DataFrame, centers: DataFrame) -> DataFrame:
+    """(cell, n_id, n_v, n_norm): every input vector replicated to its
+    TWO nearest centroids — the boundary-covering multi-assignment the
+    cell-blocked pair joins rely on.
+
+    One projection, zero shuffle: the centers are tiny, so fold them
+    into a single-row array and broadcast-join it onto every vector.
+    (A crossJoin(centers) + row_number window would multiply every row
+    x n_cells WITH its vector payload and shuffle all of it through
+    the window exchange — a 16x payload blowup at corpus scale.)
+    Input must carry (n_id, n_v, n_norm)."""
+    centers_arr = centers.agg(F.collect_list(F.struct("cell", "ctr")).alias("cs"))
     dists = F.transform(
         F.col("cs"),
         lambda c: F.struct(
@@ -345,10 +345,10 @@ def _auto_pairs(index, threshold: float) -> DataFrame:
             c["cell"].alias("cell"),
         ),
     )
-    # struct array_sort orders by (d2 asc, cell asc) — same tie-break
-    # as the old window
-    assigned2 = (
-        index.assigned.drop("cell")
+    # struct array_sort orders by (d2 asc, cell asc) — deterministic
+    # tie-break
+    return (
+        vectors.select("n_id", "n_v", "n_norm")
         .join(F.broadcast(centers_arr))
         .select(
             "n_id",
@@ -358,6 +358,12 @@ def _auto_pairs(index, threshold: float) -> DataFrame:
         )
         .select(F.col("nearest.cell").alias("cell"), "n_id", "n_v", "n_norm")
     )
+
+
+def _auto_pairs(index, threshold: float) -> DataFrame:
+    """Candidate generation + exact verify over a built IvfIndex (the
+    non-iterative tail of embedding_dedup_auto)."""
+    assigned2 = two_nearest_cells(index.assigned.drop("cell"), index.centers)
     a = assigned2.select(
         "cell", F.col("n_id").alias("a_id"), F.col("n_v").alias("a_v"), F.col("n_norm").alias("a_n")
     )

@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from agnes_spark.operators.dedup import minhash_bands, minhash_lsh_pairs, shingle_sets
+from agnes_spark.operators.dedup import (
+    minhash_bands,
+    minhash_lsh_pairs,
+    shingle_sets,
+    two_nearest_cells,
+)
 
 
 def exact_hash_store(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -142,4 +147,79 @@ def incremental_minhash_pairs(
     ).select("a_id", "b_id", "jaccard")
     # corpus ids and delta ids are disjoint, and intra pairs are
     # delta-delta only, so the union is already duplicate-free
+    return cross.unionByName(intra)
+
+
+def embedding_cell_store(index) -> DataFrame:
+    """The persisted near-dup state for embeddings: every corpus vector
+    replicated to its TWO nearest cells of a built `IvfIndex` — write
+    this (partitioned by cell) next to the index; shards equi-probe it
+    by cell, never rescanning corpus vectors."""
+    return two_nearest_cells(index.assigned.drop("cell"), index.centers)
+
+
+def incremental_embedding_pairs(
+    delta: DataFrame,
+    centers: DataFrame,
+    cell_store: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs involving a NEW shard, against the
+    persisted corpus cell store (see `embedding_cell_store`): the shard
+    is assigned to its two nearest CORPUS-trained cells, equi-joined to
+    the store on cell, exact-cosine verified; shard-internal pairs use
+    the same cell blocking. No corpus rescan, no KMeans retrain.
+
+    Unlike the exact/minhash incremental paths this is NOT bit-equal to
+    a full re-run: a full run would retrain centroids on corpus ∪ delta
+    and may block differently. The invariants that hold (and are gated
+    by check_incremental_embedding) are no-false-positives (exact
+    verify) and bounded blocking recall vs the exhaustive pairs.
+    Output (a_id, b_id, cos) with a_id < b_id."""
+    from agnes_spark.functions import dot, l2_norm, vec_double
+
+    d = delta.select(
+        F.col(id_col).alias("n_id"), vec_double(F.col(vec_col)).alias("n_v")
+    ).withColumn("n_norm", l2_norm(F.col("n_v")))
+    d2 = two_nearest_cells(d, centers).persist()
+    d_side = d2.select(
+        "cell",
+        F.col("n_id").alias("d_id"),
+        F.col("n_v").alias("d_v"),
+        F.col("n_norm").alias("d_n"),
+    )
+    c_side = cell_store.select(
+        "cell",
+        F.col("n_id").alias("c_id"),
+        F.col("n_v").alias("c_v"),
+        F.col("n_norm").alias("c_n"),
+    )
+    cross = (
+        d_side.join(c_side, "cell")
+        .withColumn("cos", dot(F.col("d_v"), F.col("c_v")) / (F.col("d_n") * F.col("c_n")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("d_id", "c_id").alias("a_id"),
+            F.greatest("d_id", "c_id").alias("b_id"),
+            F.round("cos", 6).alias("cos"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    intra_b = d_side.select(
+        "cell",
+        F.col("d_id").alias("b_id"),
+        F.col("d_v").alias("b_v"),
+        F.col("d_n").alias("b_n"),
+    )
+    intra = (
+        d_side.join(intra_b, "cell")
+        .filter(F.col("d_id") < F.col("b_id"))
+        .withColumn("cos", dot(F.col("d_v"), F.col("b_v")) / (F.col("d_n") * F.col("b_n")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("d_id").alias("a_id"), "b_id", F.round("cos", 6).alias("cos"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # corpus and delta id spaces are disjoint -> no overlap to dedup
     return cross.unionByName(intra)

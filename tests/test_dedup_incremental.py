@@ -60,6 +60,45 @@ def test_incremental_exact_bucketed_store_scan(spark, sf_dir, tmp_path):
     assert out.count() > 0
 
 
+def test_incremental_embedding_no_false_pos_and_recall(spark, sf_dir):
+    """Delta-vs-corpus-state embedding pairs: every emitted pair is a
+    true near-dup (exact verify), and the corpus-trained 2-nearest cell
+    blocking recovers most exhaustive pairs involving the delta."""
+    import numpy as np
+
+    from agnes_spark.operators.dedup_incremental import (
+        embedding_cell_store,
+        incremental_embedding_pairs,
+    )
+    from agnes_spark.operators.simsearch import IvfIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    index = IvfIndex.build(corpus, "vec_id", "embedding", n_cells=4, max_iter=4)
+    got = {
+        (r.a_id, r.b_id)
+        for r in incremental_embedding_pairs(
+            delta, index.centers, embedding_cell_store(index),
+            "vec_id", "embedding", threshold=0.35,
+        ).collect()
+    }
+    index.unpersist()
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    sims = mat @ mat.T
+    exact = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.35 and (ids[i] % 10 == 0 or ids[j] % 10 == 0)
+    }
+    assert got <= exact  # exact cosine verify: no false positives
+    assert exact and len(got & exact) / len(exact) >= 0.5  # blocking recall
+
+
 def test_incremental_minhash_parity_with_full(spark, sf_dir):
     """Incremental minhash pairs (delta probed against persisted corpus
     band index + shingle table) == full-run pairs involving the delta."""

@@ -71,6 +71,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     rows_only = {
         "dedup_minhash",
         "dedup_incremental_minhash",  # twin: check_incremental_minhash_parity
+        "dedup_incremental_embedding",  # twin: check_incremental_embedding
         "dedup_simhash",
         "dedup_embedding_auto",
         "ann_lsh_topk",
