@@ -35,6 +35,45 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup with representative selection: one row per distinct
+    content keeping the HIGHEST-scoring duplicate (ties broken by
+    minimal id), not simply the minimal id — the shape a curation
+    pipeline needs when duplicates differ in provenance/quality
+    metadata (reference view.rs unique_values keeps first occurrence;
+    this is the score-aware generalization).
+
+    Same scale profile as exact_dedup: a single hash aggregate with
+    map-side partial combine on the 32-byte sha256 key. The argmax is
+    a max over a (score, -id) struct — deterministic under any
+    accumulation order, unlike max_by whose tie choice is
+    engine-private.
+    """
+    best = F.max(
+        F.struct(
+            F.col(score_col).cast("double").alias("s"),
+            (-F.col(id_col).cast("bigint")).alias("nid"),
+        )
+    )
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col),
+            F.col(score_col),
+        )
+        .groupBy("content_hash")
+        .agg(best.alias("__b"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "content_hash",
+            (-F.col("__b.nid")).alias("keep_id"),
+            F.col("__b.s").alias("best_score"),
+            "n_copies",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

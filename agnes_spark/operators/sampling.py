@@ -42,11 +42,7 @@ def stratified_sample_exact(
     below the exchange, so only ~k rows per stratum per map partition
     shuffle at 100 TB.
     """
-    key = F.pmod(
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(_M31)) * F.lit(_KNUTH)
-        + F.lit(seed),
-        F.lit(_M32),
-    )
+    key = _knuth_key(id_col, seed)
     w = Window.partitionBy(strata_col).orderBy(
         key.asc(), F.col(id_col).asc()
     )
@@ -55,3 +51,53 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _knuth_key(id_col: str, seed: int):
+    """(id mod 2^31) * KNUTH + seed, mod 2^32 — pure BIGINT arithmetic
+    any engine reproduces bit-exactly (see stratified_sample_exact)."""
+    return F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_M31)) * F.lit(_KNUTH)
+        + F.lit(seed),
+        F.lit(_M32),
+    )
+
+
+def sample_to_budget(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: float | dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixing sampler: deterministically select rows per stratum
+    until a per-stratum WEIGHT budget is met (token/char/byte counts —
+    how pretraining mixes are actually specified, e.g. "20 B tokens of
+    web, 5 B of code"), not a row count.
+
+    Rows rank within their stratum by the same Knuth arithmetic hash as
+    stratified_sample_exact; a row survives iff the cumulative weight of
+    the rows ranked BEFORE it is still below the stratum's budget, so
+    the selection always overshoots by at most one document and is
+    reproducible on any engine. `budget` is one number for every
+    stratum or a {stratum: budget} dict (missing strata get 0 — i.e.
+    excluded entirely, never silently everything).
+
+    One shuffle on the stratum key plus a running-sum window. The
+    window sorts each stratum; at 100 TB with few strata, pre-filter
+    with a cheap global cap (e.g. hash-threshold to ~2x the budget /
+    avg-weight rows) before the exact pass so the sort input is bounded.
+    """
+    key = _knuth_key(id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    if isinstance(budget, dict):
+        pairs = [x for kv in budget.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        bud = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
+    else:
+        bud = F.lit(float(budget))
+    cum_before = F.coalesce(
+        F.sum(F.col(weight_col).cast("double")).over(w) - F.col(weight_col).cast("double"),
+        F.lit(0.0),
+    )
+    return df.withColumn("__cb", cum_before).filter(F.col("__cb") < bud).drop("__cb")

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from agnes_spark.functions import ws_tokens
+from agnes_spark.functions import word_shingles, ws_tokens
 
 # Stopword profiles for the n-gram/stopword language-ID heuristic.
 # Deliberately small: membership of high-frequency function words is
@@ -259,6 +259,64 @@ def repetition_metrics(
                 F.col("tot_c").isNotNull(),
                 F.round(F.col("top_c") / F.col("tot_c"), 6),
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def interdoc_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """INTER-document repetition (C4/RefinedWeb-style boilerplate
+    signal): per document, the fraction of its distinct n-word shingles
+    that also occur in at least `min_docs - 1` OTHER documents —
+    near 1.0 for template spam / mirrored boilerplate that per-doc
+    repetition_metrics cannot see. Returns
+    (id, n_shingles, dup_shingles, dup_shingle_frac).
+
+    Shape at scale: shingles are deduped per doc BEFORE the shuffle and
+    carried as 8-byte xxhash64 keys, never strings; the document
+    frequency aggregate gets map-side partial combine, and the
+    join back to (id, hash) is equi. Nothing in the plan is quadratic —
+    a hot shingle costs one counter, not a pair explosion. Docs shorter
+    than n words yield 0 shingles and frac 0.0 (a hash collision can
+    only over-count a shingle's document frequency, which for this
+    filter-style signal is an accepted one-in-2^64 bias).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("__s"),
+    ).select(
+        F.col(id_col),
+        # xxhash64(NULL) is the seed (42), not NULL — gate it so docs
+        # with zero shingles don't materialize a phantom one
+        F.when(F.col("__s").isNotNull(), F.xxhash64("__s")).alias("__h"),
+    )
+    docfreq = (
+        sh.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    return (
+        sh.join(docfreq, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__h").alias("n_shingles"),
+            F.coalesce(
+                F.sum((F.col("__df") >= min_docs).cast("long")), F.lit(0)
+            ).alias("dup_shingles"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "dup_shingles",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("dup_shingles") / F.col("n_shingles"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_shingle_frac"),
         )
     )
 

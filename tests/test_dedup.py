@@ -132,3 +132,21 @@ def test_embedding_dedup_auto_cache_reuses_index(spark, sf_dir):
     assert second == first
     assert next(iter(_AUTO_INDEX_CACHE.values())) is cached_index
     _AUTO_INDEX_CACHE.clear()
+
+
+def test_exact_dedup_keep_best_argmax_and_ties(spark):
+    df = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aa bb", "aa bb", "aa bb", "cc dd", "cc dd"],
+            "score": [0.2, 0.9, 0.9, 0.5, 0.5],
+        },
+        types={"doc_id": "bigint", "text": "string", "score": "double"},
+    )
+    from agnes_spark.operators.dedup import exact_dedup_keep_best
+
+    out = exact_dedup_keep_best(df, "doc_id", "text", "score").collect()
+    by_keep = {r.keep_id: (r.best_score, r.n_copies) for r in out}
+    # highest score wins; score tie -> minimal id (2 over 3, 4 over 5)
+    assert by_keep == {2: (0.9, 3), 4: (0.5, 2)}

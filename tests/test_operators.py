@@ -228,3 +228,40 @@ def test_stratified_sample_exact_deterministic(spark, sf_dir):
     tot = {r.lang: r.tot for r in avail}
     for r in per:
         assert r.n == min(5, tot[r.lang])
+
+
+def test_sample_to_budget_fills_and_stops(spark):
+    """Selection per stratum stops once the budget is crossed (overshoot
+    at most one row), is layout-independent, and a dict budget applies
+    per stratum with 0 for unlisted strata (excluded)."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.sampling import sample_to_budget
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {
+            "id": list(range(12)),
+            "src": ["a"] * 6 + ["b"] * 6,
+            "w": [10.0] * 12,
+        },
+        types={"id": "bigint", "src": "string", "w": "double"},
+    )
+    out = sample_to_budget(df, "src", "id", "w", budget=25.0, seed=1)
+    per = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 25.0 budget over weight-10 rows: rows at cum-before 0/10/20 -> 3 per stratum
+    assert per == {"a": 3, "b": 3}
+    # layout independence
+    a = {(r.src, r.id) for r in out.select("src", "id").collect()}
+    b = {
+        (r.src, r.id)
+        for r in sample_to_budget(df.repartition(5), "src", "id", "w", budget=25.0, seed=1)
+        .select("src", "id")
+        .collect()
+    }
+    assert a == b
+    # dict budgets: stratum missing from the dict gets budget 0 -> excluded
+    d = sample_to_budget(df, "src", "id", "w", budget={"a": 45.0}, seed=1)
+    perd = {r.src: r.n for r in d.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert perd == {"a": 5}

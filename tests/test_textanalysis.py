@@ -159,3 +159,29 @@ def test_lm_surprise(spark):
     assert abs(rows[1].avg_surprise - round((2 * s_ab + s_ba) / 3, 6)) < 1e-9
     assert rows[2].n_bigrams == 2
     assert abs(rows[2].max_surprise - round(max(s_ab, s_bc), 6)) < 1e-9
+
+
+def test_interdoc_repetition_flags_shared_boilerplate(spark):
+    from agnes_spark.operators.textanalysis import interdoc_repetition
+    from agnes_spark.sources.memory import table
+
+    boiler = "the quick brown fox jumps"
+    df = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                boiler + " alpha beta gamma delta epsilon",
+                boiler + " zeta eta theta iota kappa",
+                "one two three four five six seven eight nine",
+                "tiny",  # shorter than n -> 0 shingles
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = {r.doc_id: r for r in interdoc_repetition(df, "doc_id", "text", n=5, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1 and 2 share exactly the one boilerplate 5-gram
+    assert out[1].dup_shingles == 1 and out[2].dup_shingles == 1
+    assert out[1].n_shingles == 6 and out[3].dup_shingles == 0
+    assert out[4].n_shingles == 0 and out[4].dup_shingle_frac == 0.0
