@@ -1750,6 +1750,30 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM stream_sess_out")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/stateful.py streaming_dedup):
+    dropDuplicates whose seen-key state store is bounded by the
+    watermark, driven to completion through a memory sink. Unlike the
+    session/window gates the streaming output here is deterministic
+    rows, so it hash-matches the batch DISTINCT oracle exactly."""
+    import os as _os
+    import tempfile
+
+    from agnes_spark.streaming.stateful import streaming_dedup
+    from agnes_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="agnes_sdd_")
+    _os.symlink(_os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet"))
+    # dedup on the HOUR-truncated event time: raw ts values are unique
+    # in the synthetic feed, so deduping on them would be vacuous —
+    # (user, type, hour) actually collapses rows and the watermark
+    # still rides the derived event-time column
+    ev = read_events_stream(spark, d).withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+    dd = streaming_dedup(ev, ["user_id", "event_type"], "ts_hour", "100 days")
+    run_stream_to_memory(dd, "stream_dedup_out", output_mode="append")
+    return spark.sql("SELECT user_id, event_type, ts_hour FROM stream_dedup_out")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing end-to-end: text bytes as the opaque
     binary payload, typed media_meta struct attached, dimensions filled
@@ -2070,7 +2094,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=3
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id",
+        k=5, n_cells=8, n_probe=3, cache_key=sf_dir,
     )
 
 
@@ -2755,13 +2780,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 verdict (everything below was judge-spot-checked green; the
     # goal is a fresh DRIVER row per key):
     #   1-11:  the 11 r4 keys that have never had a driver row
-    #   12-27: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
+    #   12-28: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
     #          shapes, incremental exact/minhash/embedding dedup + twins,
     #          dedup_keep_best / sample_to_budget / interdoc_repetition /
-    #          orc_roundtrip)
-    #   28-50: 23 of the 41 keys whose last driver row is r1
+    #          orc_roundtrip / stream_dedup)
+    #   29-50: 22 of the 41 keys whose last driver row is r1
     #          (pre-Spark-4.1.2)
-    #   51-68: the 18 remaining r1-stale keys — judge-verified in r4 or
+    #   51-69: the 19 remaining r1-stale keys — judge-verified in r4 or
     #          trivial-projection/reshape §2.1 keys with the least
     #          regression surface; they head the r6 window
     #   65+:   r2/r3-graded keys, then the 50 keys graded green in r4
@@ -2795,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_to_budget": sample_to_budget,
         "interdoc_repetition": interdoc_repetition,
         "orc_roundtrip": orc_roundtrip,
+        "stream_dedup": stream_dedup,
         # --- last driver row r1 (TPC-H shapes) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2819,10 +2845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus": pivot_linestatus,
         "running_sum": running_sum,
         "cube_agg": cube_agg,
-        "count_distinct_parts": count_distinct_parts,
         # ---------------- end of the 50-key window ----------------
         # r1-stale overflow (judge-verified r4 or trivial-projection
         # §2.1 keys; they head the r6 window)
+        "count_distinct_parts": count_distinct_parts,
         "merge_upsert": merge_upsert,
         "scd2_apply": scd2_apply,
         "window_ranks": window_ranks,
@@ -3037,6 +3063,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "stream_dedup": (
+            "SELECT DISTINCT user_id, event_type, "
+            "date_trunc('hour', ts) AS ts_hour FROM events"
         ),
         "csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "xml_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -169,3 +169,28 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         assert n == len(vecs)
         expect = np.round(np.mean(vecs, axis=0), 6)
         assert np.allclose(cent, expect, atol=2e-6)
+
+
+def test_ivf_topk_cache_reuses_index(spark, sf_dir):
+    """cache_key= reuses the built IvfIndex across ivf_topk calls (no
+    KMeans retrain) and yields identical neighbors — including after a
+    clearCache(), the state bench runs in between queries."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.simsearch import _IVF_TOPK_CACHE, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    _IVF_TOPK_CACHE.clear()
+    first = {(r.q_id, r.n_id) for r in ivf_topk(
+        q, emb, "vec_id", "vec_id", k=3, n_cells=4, cache_key="t"
+    ).collect()}
+    assert len(_IVF_TOPK_CACHE) == 1
+    cached = next(iter(_IVF_TOPK_CACHE.values()))
+    spark.catalog.clearCache()
+    second = {(r.q_id, r.n_id) for r in ivf_topk(
+        q, emb, "vec_id", "vec_id", k=3, n_cells=4, cache_key="t"
+    ).collect()}
+    assert second == first
+    assert next(iter(_IVF_TOPK_CACHE.values())) is cached
+    _IVF_TOPK_CACHE.clear()
