@@ -2408,6 +2408,58 @@ def check_ivf_autotuned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization
+    (operators/embeddings.py quantize_embeddings) — the 4x
+    storage/bandwidth lever for serving ANN at corpus scale. Long
+    format (vec_id, dim, qval, q_scale): scalar columns only, and the
+    arithmetic (max|v|/127 scale, round-half-away) is engine-portable,
+    so the gate gets a FULL value-hash oracle."""
+    from agnes_spark.operators.embeddings import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = quantize_embeddings(emb, "vec_id")
+    return q.select(
+        "vec_id", F.posexplode("q_vec").alias("dim", "qval"), "q_scale"
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("qval").cast("long").alias("qval"),
+        F.round("q_scale", 6).alias("q_scale"),
+    )
+
+
+def check_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: brute-force cosine top-5 over DEQUANTIZED int8
+    vectors recovers >= 0.9 of the exact float top-5 for 10 query
+    vectors — int8 scalar quantization must not change who the
+    neighbors are, only shave decimals off the scores. One violation
+    row when recall < 0.9, else empty."""
+    from agnes_spark.operators.embeddings import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from agnes_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dq = dequantize_embeddings(
+        quantize_embeddings(emb, "vec_id").select("vec_id", "q_vec", "q_scale")
+    )
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "vec_id", k=5
+    ).select("q_id", "n_id")
+    approx = brute_force_topk(
+        dq.filter(F.col("vec_id") < 10), dq, "vec_id", "vec_id", k=5
+    ).select("q_id", "n_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("recall")
+        )
+        .filter(F.col("recall") < 0.9)
+    )
+
+
 def check_lsh_scores_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INVARIANT: every cosine score the LSH path reports equals the
     directly recomputed cosine for that (query, neighbor) pair — the
@@ -2780,13 +2832,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 verdict (everything below was judge-spot-checked green; the
     # goal is a fresh DRIVER row per key):
     #   1-11:  the 11 r4 keys that have never had a driver row
-    #   12-28: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
+    #   12-30: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
     #          shapes, incremental exact/minhash/embedding dedup + twins,
     #          dedup_keep_best / sample_to_budget / interdoc_repetition /
-    #          orc_roundtrip / stream_dedup)
-    #   29-50: 22 of the 41 keys whose last driver row is r1
+    #          orc_roundtrip / stream_dedup / embedding_quantize + twin)
+    #   31-50: 20 of the 41 keys whose last driver row is r1
     #          (pre-Spark-4.1.2)
-    #   51-69: the 19 remaining r1-stale keys — judge-verified in r4 or
+    #   51-71: the 21 remaining r1-stale keys — judge-verified in r4 or
     #          trivial-projection/reshape §2.1 keys with the least
     #          regression surface; they head the r6 window
     #   65+:   r2/r3-graded keys, then the 50 keys graded green in r4
@@ -2821,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interdoc_repetition": interdoc_repetition,
         "orc_roundtrip": orc_roundtrip,
         "stream_dedup": stream_dedup,
+        "embedding_quantize": embedding_quantize,
+        "check_quantized_recall": check_quantized_recall,
         # --- last driver row r1 (TPC-H shapes) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2843,11 +2897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cross": join_cross,
         "topk_per_group": topk_per_group,
         "pivot_linestatus": pivot_linestatus,
-        "running_sum": running_sum,
-        "cube_agg": cube_agg,
         # ---------------- end of the 50-key window ----------------
         # r1-stale overflow (judge-verified r4 or trivial-projection
         # §2.1 keys; they head the r6 window)
+        "running_sum": running_sum,
+        "cube_agg": cube_agg,
         "count_distinct_parts": count_distinct_parts,
         "merge_upsert": merge_upsert,
         "scd2_apply": scd2_apply,
@@ -3243,6 +3297,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone, "
             "CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip "
             "FROM d"
+        ),
+        "embedding_quantize": (
+            "WITH e AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim, "
+            "unnest(embedding) AS val FROM embeddings WHERE vec_id < 100), "
+            "s AS (SELECT vec_id, max(abs(CAST(val AS DOUBLE))) AS amax FROM e GROUP BY 1), "
+            "sc AS (SELECT vec_id, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale FROM s) "
+            "SELECT e.vec_id, CAST(dim AS BIGINT) AS dim, "
+            "CAST(round(CAST(val AS DOUBLE) / scale) AS BIGINT) AS qval, "
+            "round(scale, 6) AS q_scale "
+            "FROM e JOIN sc ON e.vec_id = sc.vec_id"
+        ),
+        "check_quantized_recall": (
+            "SELECT CAST(NULL AS DOUBLE) AS recall WHERE 1=0"
         ),
         "label_centroids": (
             "WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim, "

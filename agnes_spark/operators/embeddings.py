@@ -49,6 +49,43 @@ def label_centroids(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max|v|/127, q_i = round(v_i/scale) in [-127, 127]. At 100 TB this
+    is the storage/bandwidth lever for ANN serving — 4x smaller than
+    float32 (8x vs the double compute form), and the dot product of two
+    int8 vectors reconstructs cosine to ~1e-2 after multiplying the two
+    scales back on. Pure Column expressions (transform/array_max), no
+    Python; an all-zero vector gets scale 1.0 and quantizes to zeros.
+    """
+    v = vec_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: v_i ≈ q_i * scale (array<double>)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )
+
+
 def label_centroids_long(
     df: DataFrame,
     label_col: str,

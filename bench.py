@@ -85,6 +85,12 @@ EXTRA_QUERIES = [
     "dedup_incremental_minhash",
     "q12_priority_shipments",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "dedup_keep_best",
+    "sample_to_budget",
+    "interdoc_repetition",
+    "stream_dedup",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",

@@ -194,3 +194,27 @@ def test_ivf_topk_cache_reuses_index(spark, sf_dir):
     assert second == first
     assert next(iter(_IVF_TOPK_CACHE.values())) is cached
     _IVF_TOPK_CACHE.clear()
+
+
+def test_quantize_roundtrip_error_bound_and_zero_vector(spark):
+    """|v - q*scale| <= scale/2 per element by construction; an
+    all-zero vector survives with scale 1.0 and zero codes."""
+    from agnes_spark.operators.embeddings import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {"id": [1, 2], "embedding": [[0.5, -1.0, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]]},
+        types={"id": "bigint", "embedding": "array<double>"},
+    )
+    q = quantize_embeddings(df, "id")
+    rows = {r.id: r for r in dequantize_embeddings(q, out_col="back").collect()}
+    assert rows[2].q_scale == 1.0 and all(v == 0 for v in rows[2].q_vec)
+    scale = rows[1].q_scale
+    for orig, back in zip([0.5, -1.0, 0.25, 0.0], rows[1].back):
+        assert abs(orig - back) <= scale / 2 + 1e-12
+    # max-|v| element hits exactly +-127
+    assert min(rows[1].q_vec) == -127
