@@ -2419,8 +2419,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     q = quantize_embeddings(emb, "vec_id")
+    # posexplode_outer: the plain generator injects a size(...)>0 filter
+    # that re-inlines the whole quantization expression per row; the
+    # outer form skips it (vectors are never empty, so output is equal)
     return q.select(
-        "vec_id", F.posexplode("q_vec").alias("dim", "qval"), "q_scale"
+        "vec_id", F.posexplode_outer("q_vec").alias("dim", "qval"), "q_scale"
     ).select(
         "vec_id",
         F.col("dim").cast("long").alias("dim"),

@@ -23,6 +23,9 @@ SHOWCASE = [
     ("merge_upsert", "full-outer MERGE shape"),
     ("pii_scrub", "regex scrub+counts fused into one zero-shuffle projection over the scan"),
     ("decontaminate", "eval shingles broadcast; the train side is scanned once, never shuffled"),
+    ("embedding_quantize", "int8 quantization as a zero-shuffle projection over the scan"),
+    ("sample_to_budget", "one stratum-key exchange feeding the running-sum window"),
+    ("interdoc_repetition", "doc-frequency agg + join back, both keyed on the 8-byte shingle hash"),
 ]
 
 
