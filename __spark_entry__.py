@@ -1774,6 +1774,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT user_id, event_type, ts_hour FROM stream_dedup_out")
 
 
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest pipeline with persisted-state exact dedup
+    (streaming/sinks.py ingest_dedup_sink): documents stream in, each
+    micro-batch anti-joins its content hashes against the on-disk hash
+    store, accepted rows land in the output, their hashes in the store
+    — continuous arrival composed with incremental dedup, no corpus
+    rescan. Single source file here -> one batch -> output equals
+    first-occurrence-per-content (full oracle); the multi-batch
+    first-arrival-wins semantics are pinned in
+    tests/test_streaming_sinks.py."""
+    import os as _os
+    import tempfile
+
+    from agnes_spark.streaming.sinks import run_ingest_dedup
+
+    base = tempfile.mkdtemp(prefix="agnes_ingest_")
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "documents.parquet"),
+        _os.path.join(src, "part-0.parquet"),
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_ingest_dedup(
+        stream,
+        _os.path.join(base, "store"),
+        _os.path.join(base, "out"),
+        _os.path.join(base, "ckpt"),
+        "doc_id",
+        "text",
+    )
+    return spark.read.parquet(_os.path.join(base, "out")).select("doc_id", "n_chars")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing end-to-end: text bytes as the opaque
     binary payload, typed media_meta struct attached, dimensions filled
@@ -2835,13 +2870,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 verdict (everything below was judge-spot-checked green; the
     # goal is a fresh DRIVER row per key):
     #   1-11:  the 11 r4 keys that have never had a driver row
-    #   12-30: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
+    #   12-31: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
     #          shapes, incremental exact/minhash/embedding dedup + twins,
     #          dedup_keep_best / sample_to_budget / interdoc_repetition /
-    #          orc_roundtrip / stream_dedup / embedding_quantize + twin)
-    #   31-50: 20 of the 41 keys whose last driver row is r1
+    #          orc_roundtrip / stream_dedup / embedding_quantize + twin /
+    #          stream_ingest_dedup)
+    #   32-50: 19 of the 41 keys whose last driver row is r1
     #          (pre-Spark-4.1.2)
-    #   51-71: the 21 remaining r1-stale keys — judge-verified in r4 or
+    #   51-72: the 22 remaining r1-stale keys — judge-verified in r4 or
     #          trivial-projection/reshape §2.1 keys with the least
     #          regression surface; they head the r6 window
     #   65+:   r2/r3-graded keys, then the 50 keys graded green in r4
@@ -2878,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_dedup,
         "embedding_quantize": embedding_quantize,
         "check_quantized_recall": check_quantized_recall,
+        "stream_ingest_dedup": stream_ingest_dedup,
         # --- last driver row r1 (TPC-H shapes) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2899,10 +2936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_null_safe": join_null_safe,
         "join_cross": join_cross,
         "topk_per_group": topk_per_group,
-        "pivot_linestatus": pivot_linestatus,
         # ---------------- end of the 50-key window ----------------
         # r1-stale overflow (judge-verified r4 or trivial-projection
         # §2.1 keys; they head the r6 window)
+        "pivot_linestatus": pivot_linestatus,
         "running_sum": running_sum,
         "cube_agg": cube_agg,
         "count_distinct_parts": count_distinct_parts,
@@ -3124,6 +3161,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": (
             "SELECT DISTINCT user_id, event_type, "
             "date_trunc('hour', ts) AS ts_hour FROM events"
+        ),
+        "stream_ingest_dedup": (
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents d2 "
+            "WHERE d2.text = d.text AND d2.doc_id < d.doc_id)"
         ),
         "csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "xml_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",

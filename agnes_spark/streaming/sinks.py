@@ -13,6 +13,7 @@ reprocessing is idempotent. Patterns here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def parquet_upsert_sink(out_path: str, partition_cols: list[str]):
@@ -55,6 +56,67 @@ def run_stream_to_parquet(
         stream_df.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(parquet_upsert_sink(out_path, partition_cols))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def ingest_dedup_sink(store_path: str, out_path: str, id_col: str, text_col: str):
+    """foreachBatch function for STREAMING EXACT DEDUP against a
+    persisted content-hash store — the 100 TB ingest-pipeline shape:
+    documents arrive continuously, and each micro-batch
+
+    1. anti-joins its content hashes against the store
+       (dedup_incremental.incremental_exact_new — first-in-batch
+       min-id per hash, hash absent from store),
+    2. appends only the accepted rows to `out_path`,
+    3. appends the accepted (hash, id) rows to the store,
+
+    so per-batch cost is O(|batch|) + a bucket-local probe; corpus
+    text is never rescanned. Content-level idempotence comes from the
+    store itself: a replayed batch re-probes and its hashes are
+    already present, so nothing new is accepted — but the batch whose
+    append raced a crash can leave duplicate OUT rows; production
+    pairs this with batch_id-partitioned dynamic overwrite
+    (parquet_upsert_sink) for exactly-once output too.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from agnes_spark.operators.dedup_incremental import incremental_exact_new
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_path)
+        except AnalysisException:
+            # first batch: no store yet -> everything is new content
+            store = spark.createDataFrame([], "content_hash string")
+        new = incremental_exact_new(batch_df, store, id_col, text_col)
+        kept = batch_df.join(new.select(id_col), id_col, "semi")
+        kept.write.mode("append").parquet(out_path)
+        new.select("content_hash", F.col(id_col).alias("keep_id")).write.mode(
+            "append"
+        ).parquet(store_path)
+
+    return _write
+
+
+def run_ingest_dedup(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str,
+    text_col: str,
+):
+    """Drive a document stream through `ingest_dedup_sink` to
+    completion (synchronous; tests/backfills)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(ingest_dedup_sink(store_path, out_path, id_col, text_col))
         .start()
     )
     q.processAllAvailable()

@@ -35,3 +35,53 @@ def test_parquet_sink_matches_batch(spark, sf_dir, events_dir, tmp_path):
     g = {(r.hour, r.event_type): (r.n, r.total_value) for r in got.collect()}
     b = {(r.hour, r.event_type): (r.n, r.total_value) for r in batch.collect()}
     assert g == b
+
+
+def test_ingest_dedup_first_arrival_wins_across_batches(spark, tmp_path):
+    """Cross-batch store semantics: a later batch's duplicate is dropped
+    even when it carries a LOWER id than the stored keeper — i.e. the
+    store implements first-ARRIVAL-wins, not global min-id. Also checks
+    in-batch dedup (min id within the first batch)."""
+    from agnes_spark.sources.memory import table
+    from agnes_spark.streaming.sinks import run_ingest_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = {"doc_id": "bigint", "text": "string"}
+    # batch 1: ids 10,11 (+ an in-batch dup 12 of 10's text)
+    table(
+        spark,
+        {"doc_id": [10, 11, 12], "text": ["aa", "bb", "aa"]},
+        types=t,
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    # batch 2: id 1 duplicates "aa" (lower id than keeper 10), id 13 is new
+    table(
+        spark,
+        {"doc_id": [1, 13], "text": ["aa", "cc"]},
+        types=t,
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    # file stream orders by mod time: make f1 strictly older
+    for root, offset in ((src / "f1.parquet", -1000), (src / "f2.parquet", 0)):
+        for p in root.rglob("*"):
+            os.utime(p, (p.stat().st_mtime + offset, p.stat().st_mtime + offset))
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    run_ingest_dedup(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+    )
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {10, 11, 13}
+    store = {
+        (r.content_hash[:8], r.keep_id)
+        for r in spark.read.parquet(str(tmp_path / "store")).collect()
+    }
+    assert {k for _, k in store} == {10, 11, 13}
