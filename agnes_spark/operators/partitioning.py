@@ -89,3 +89,62 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def zorder_value(cols: Sequence, bits: int = 16):
+    """Morton (Z-order) code Column: interleaves the low `bits` bits of
+    each integer column (caller scales/buckets beforehand — see
+    write_zordered for the min/max scaling variant). Points close in
+    EVERY dimension get close codes, so range-partitioning + sorting by
+    this value clusters multi-dimensional locality into the same files
+    and row groups — parquet min/max stats then prune scans for
+    predicates on ANY of the dimensions, not just the leading sort key.
+    Pure shift/mask Column arithmetic (whole-stage codegen)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order of `cols`: each column is
+    min/max-scaled to [0, 2^bits) (one tiny agg pass), rows are
+    range-partitioned and sorted by the interleaved code, and the sort
+    column itself is dropped from the output. At 100 TB this is the
+    data-layout lever for multi-dimensional pruning — a filter on any
+    subset of `cols` skips most files via footer stats, where a plain
+    sort only prunes on its leading column."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    z = df.withColumn("__z", zorder_value(scaled, bits))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

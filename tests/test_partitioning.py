@@ -84,3 +84,55 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_cust")
         spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Known Morton codes for 2-D points: z(x=0b11, y=0b01) with 2 bits
+    = x0 + y0<<1 + x1<<2 + y1<<3 = 1 + 2 + 4 + 0 = 7."""
+    from agnes_spark.operators.partitioning import zorder_value
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {"x": [3, 0, 1, 3], "y": [1, 0, 1, 3]},
+        types={"x": "bigint", "y": "bigint"},
+    )
+    out = [r.z for r in df.select(zorder_value(["x", "y"], bits=2).alias("z")).collect()]
+    assert out == [7, 0, 3, 15]
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written z-ordered on (l_orderkey, l_partkey) carry narrow
+    per-file ranges on BOTH columns: the max per-file key span is far
+    below the global span for each dimension (a plain single-column
+    sort achieves this only for its leading key)."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.partitioning import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zli")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], bits=10, num_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ospan"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pspan"),
+        )
+        .collect()
+    )
+    g = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("o"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+    ).collect()[0]
+    assert len(per_file) > 4
+    # median per-file span well under the global span in BOTH dims
+    ospans = sorted(r.ospan for r in per_file)
+    pspans = sorted(r.pspan for r in per_file)
+    assert ospans[len(ospans) // 2] < g.o * 0.5
+    assert pspans[len(pspans) // 2] < g.p * 0.5
