@@ -1542,15 +1542,17 @@ def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> duplicate clusters: iterative min-label
-    propagation (operators/graph.py) over the exact-Jaccard pair graph.
-    Oracle: DuckDB recursive CTE computing min reachable id."""
+    """Near-dup pairs -> duplicate clusters via size-adaptive connected
+    components (operators/graph.py connected_components_auto: exact
+    driver union-find under the bounded edge threshold — the pair graph
+    is tiny relative to the corpus — iterative min-label propagation
+    above it). Oracle: DuckDB recursive CTE computing min reachable id."""
     from agnes_spark.operators.dedup import ngram_jaccard_pairs
-    from agnes_spark.operators.graph import connected_components
+    from agnes_spark.operators.graph import connected_components_auto
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return connected_components(pairs).select(
+    return connected_components_auto(pairs).select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
     )
 

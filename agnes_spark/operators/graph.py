@@ -223,6 +223,57 @@ def connected_components_star(
     return leaves.unionByName(roots).distinct()
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Size-adaptive connected components — same (id, cluster_id)
+    contract as connected_components.
+
+    After near-dup candidate generation the PAIR graph is typically
+    minuscule relative to the corpus (dup pairs, not documents), so the
+    honest production strategy is: count the edges once (they're needed
+    either way), and below `small_threshold` run exact union-find on
+    the driver — a bounded collect of 2 longs/edge, ≤ ~1.6 MB at the
+    default threshold — instead of paying one distributed join round
+    per graph-diameter step. Above the threshold it falls through to
+    the iterative min-label propagation, which never collects.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    n_edges = e.count()
+    if n_edges > small_threshold:
+        out = connected_components(e, "u", "v", max_iter=max_iter)
+        e.unpersist()
+        return out
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        for node in (row.u, row.v):
+            parent.setdefault(node, node)
+        ru, rv = find(row.u), find(row.v)
+        if ru != rv:  # union by min root -> cluster_id = min reachable id
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    e.unpersist()
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, "id long, cluster_id long")
+
+
 def canonical_per_cluster(
     docs: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:

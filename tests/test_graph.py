@@ -109,3 +109,26 @@ def test_components_on_real_dedup_pairs(spark, sf_dir):
     # clusters cover exactly the nodes present in pairs
     node_set = {r.a_id for r in pairs.collect()} | {r.b_id for r in pairs.collect()}
     assert {r.id for r in rows} == node_set
+
+
+def test_connected_components_auto_matches_iterative(spark, sf_dir):
+    """Driver union-find (small path) produces exactly the iterative
+    result, and the large path kicks in above the threshold."""
+    from agnes_spark.operators.dedup import ngram_jaccard_pairs
+    from agnes_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).persist()
+    it = {(r.id, r.cluster_id) for r in connected_components(pairs).collect()}
+    small = {(r.id, r.cluster_id) for r in connected_components_auto(pairs).collect()}
+    assert small == it
+    # force the distributed path: threshold below the edge count
+    big = {
+        (r.id, r.cluster_id)
+        for r in connected_components_auto(pairs, small_threshold=1).collect()
+    }
+    assert big == it
+    pairs.unpersist()
