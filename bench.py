@@ -172,11 +172,12 @@ def main() -> None:
     total_all = round(sum(t for t in timings.values() if t >= 0), 3)
     # raw per-run samples go to a SIDE FILE (r3 verdict: embedding them
     # in the metric line made it unparseable by the driver's tail-capture)
+    samples_path = os.environ.get(
+        "AGNES_BENCH_SAMPLES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
-            "w",
-        ) as f:
+        with open(samples_path, "w") as f:
             json.dump({"sf": sf, "runs": runs, "samples": all_samples}, f, indent=1)
     except OSError as e:
         print(f"bench: could not write BENCH_SAMPLES.json: {e}", file=sys.stderr)

@@ -15,7 +15,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_last_line_is_compact_parseable_json(sf_dir):
+def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
+    # samples go to a temp side file so the test never clobbers the
+    # repo's committed full-scale BENCH_SAMPLES.json
+    side = str(tmp_path / "BENCH_SAMPLES.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -23,6 +26,7 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir):
         AGNES_SHUFFLE_PARTITIONS="4",
         AGNES_BENCH_RUNS="1",
         AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum",
+        AGNES_BENCH_SAMPLES=side,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -42,6 +46,5 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir):
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
     # samples belong in the side file, never in the metric line
     assert "samples" not in d
-    side = os.path.join(REPO, "BENCH_SAMPLES.json")
     assert os.path.exists(side)
     assert "q1_pricing_summary" in json.load(open(side))["samples"]
