@@ -1857,6 +1857,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs via shared winnowing
+    fingerprints (operators/textanalysis.py winnow_overlap_pairs) —
+    MOSS-style copied-passage detection between otherwise different
+    documents. Hash-based, rows-only; the shared-substring guarantee
+    and the pair-count bound are pinned in tests and by
+    check_winnow_overlap_bound."""
+    from agnes_spark.operators.textanalysis import winnow_overlap_pairs
+
+    # k=20/w=8: only substrings >= 27 chars contribute fingerprints —
+    # the word-salad corpus shares short char-grams everywhere, and
+    # k=8 degenerated to near-all-pairs (39k pairs over 300 docs);
+    # these params yield a meaningful copied-passage set
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_overlap_pairs(docs, "doc_id", "text", k=20, w=8, min_shared=3)
+
+
+def check_winnow_overlap_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: every winnow_overlap pair satisfies
+    min_shared <= shared_fp <= least(a_fp, b_fp) and a_id < b_id —
+    the shared count can never exceed either side's fingerprint total.
+    Violations -> empty."""
+    out = winnow_overlap(spark, sf_dir)
+    return out.filter(
+        (F.col("shared_fp") > F.least("a_fp", "b_fp"))
+        | (F.col("shared_fp") < 3)
+        | (F.col("a_id") >= F.col("b_id"))
+    ).select("a_id", "b_id", "shared_fp", "a_fp", "b_fp")
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with score-aware representative selection
     (operators/dedup.py exact_dedup_keep_best): keep the
@@ -2872,14 +2902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 verdict (everything below was judge-spot-checked green; the
     # goal is a fresh DRIVER row per key):
     #   1-11:  the 11 r4 keys that have never had a driver row
-    #   12-31: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
+    #   12-33: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
     #          shapes, incremental exact/minhash/embedding dedup + twins,
     #          dedup_keep_best / sample_to_budget / interdoc_repetition /
     #          orc_roundtrip / stream_dedup / embedding_quantize + twin /
-    #          stream_ingest_dedup)
-    #   32-50: 19 of the 41 keys whose last driver row is r1
+    #          stream_ingest_dedup / winnow_overlap + twin)
+    #   34-50: 17 of the 41 keys whose last driver row is r1
     #          (pre-Spark-4.1.2)
-    #   51-72: the 22 remaining r1-stale keys — judge-verified in r4 or
+    #   51-74: the 24 remaining r1-stale keys — judge-verified in r4 or
     #          trivial-projection/reshape §2.1 keys with the least
     #          regression surface; they head the r6 window
     #   65+:   r2/r3-graded keys, then the 50 keys graded green in r4
@@ -2917,6 +2947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": embedding_quantize,
         "check_quantized_recall": check_quantized_recall,
         "stream_ingest_dedup": stream_ingest_dedup,
+        "winnow_overlap": winnow_overlap,
+        "check_winnow_overlap_bound": check_winnow_overlap_bound,
         # --- last driver row r1 (TPC-H shapes) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2936,11 +2968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": join_anti,
         "join_outer": join_outer,
         "join_null_safe": join_null_safe,
-        "join_cross": join_cross,
-        "topk_per_group": topk_per_group,
         # ---------------- end of the 50-key window ----------------
         # r1-stale overflow (judge-verified r4 or trivial-projection
         # §2.1 keys; they head the r6 window)
+        "join_cross": join_cross,
+        "topk_per_group": topk_per_group,
         "pivot_linestatus": pivot_linestatus,
         "running_sum": running_sum,
         "cube_agg": cube_agg,
@@ -3357,6 +3389,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "check_quantized_recall": (
             "SELECT CAST(NULL AS DOUBLE) AS recall WHERE 1=0"
+        ),
+        "check_winnow_overlap_bound": (
+            "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id, "
+            "CAST(NULL AS BIGINT) AS shared_fp, CAST(NULL AS BIGINT) AS a_fp, "
+            "CAST(NULL AS BIGINT) AS b_fp WHERE 1=0"
         ),
         "label_centroids": (
             "WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim, "

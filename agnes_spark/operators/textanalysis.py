@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from agnes_spark.functions import word_shingles, ws_tokens
+from agnes_spark.functions import ws_tokens
 
 # Stopword profiles for the n-gram/stopword language-ID heuristic.
 # Deliberately small: membership of high-frequency function words is
@@ -155,6 +155,51 @@ def winnow_fingerprints(
     return df.withColumn(out_col, _win(F.col(text_col)))
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-overlap candidate pairs (MOSS-style plagiarism /
+    mirrored-passage detection): document pairs sharing at least
+    `min_shared` winnowing fingerprints, with the shared count and
+    each side's fingerprint total. By the winnowing guarantee, any
+    pair sharing a substring of length >= k+w-1 shares a fingerprint —
+    this catches COPIED PASSAGES inside otherwise different documents,
+    which whole-doc and shingle-set Jaccard both dilute away.
+
+    Same scale shape as every candidate join here: explode the
+    per-doc-distinct 8-byte fingerprints, equi self-join on the
+    fingerprint, count per pair. A fingerprint shared by m docs costs
+    m^2/2 pair rows — hot boilerplate fingerprints are the skew to
+    watch; cap them upstream with a document-frequency filter if the
+    corpus has mirrored headers (the interdoc_repetition signal).
+    """
+    fp = (
+        winnow_fingerprints(df, text_col, k=k, w=w)
+        .select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    ).persist()
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fp.alias("x")
+        .join(fp.alias("y"), "fp")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    a_sz = sizes.select(F.col(id_col).alias("a_id"), F.col("n_fp").alias("a_fp"))
+    b_sz = sizes.select(F.col(id_col).alias("b_id"), F.col("n_fp").alias("b_fp"))
+    return pairs.join(a_sz, "a_id").join(b_sz, "b_id").select(
+        "a_id", "b_id", "shared_fp", "a_fp", "b_fp"
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
@@ -277,36 +322,39 @@ def interdoc_repetition(
     repetition_metrics cannot see. Returns
     (id, n_shingles, dup_shingles, dup_shingle_frac).
 
-    Shape at scale: shingles are deduped per doc BEFORE the shuffle and
-    carried as 8-byte xxhash64 keys, never strings; the document
-    frequency aggregate gets map-side partial combine, and the
-    join back to (id, hash) is equi. Nothing in the plan is quadratic —
-    a hot shingle costs one counter, not a pair explosion. Docs shorter
-    than n words yield 0 shingles and frac 0.0 (a hash collision can
-    only over-count a shingle's document frequency, which for this
-    filter-style signal is an accepted one-in-2^64 bias).
+    Shape at scale: shingles are deduped per doc INSIDE the Arrow
+    kernel (hashed_shingles_udf — the measured fast path; shingle
+    strings never materialize JVM-side, let alone shuffle) and travel
+    as 8-byte hashes. Document frequency is a count window over the
+    hash — ONE shuffle — and the per-doc rollup is the second; nothing
+    in the plan is quadratic: a hot shingle costs one counter, not a
+    pair explosion. Docs shorter than n words yield 0 shingles and
+    frac 0.0 (a hash collision can only over-count a shingle's
+    document frequency, an accepted one-in-2^64 bias for this
+    filter-style signal).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("__s"),
-    ).select(
-        F.col(id_col),
-        # xxhash64(NULL) is the seed (42), not NULL — gate it so docs
-        # with zero shingles don't materialize a phantom one
-        F.when(F.col("__s").isNotNull(), F.xxhash64("__s")).alias("__h"),
+    from pyspark.sql import Window
+
+    from agnes_spark.functions import hashed_shingles_udf
+
+    shingle_udf = hashed_shingles_udf(n)
+    sh = (
+        # repartition BEFORE the Python stage (single-file sources
+        # otherwise run the UDF serially in one worker)
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode_outer(shingle_udf(F.col(text_col))).alias("__h"))
     )
-    docfreq = (
-        sh.filter(F.col("__h").isNotNull())
-        .groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    # null __h rows (docs with zero shingles) form one window partition
+    # where count("__h") is 0 — they survive to the rollup with
+    # n_shingles 0 instead of needing an outer join back
+    counted = sh.withColumn("__df", F.count("__h").over(Window.partitionBy("__h")))
     return (
-        sh.join(docfreq, "__h", "left")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count("__h").alias("n_shingles"),
             F.coalesce(
-                F.sum((F.col("__df") >= min_docs).cast("long")), F.lit(0)
+                F.sum(((F.col("__df") >= min_docs) & F.col("__h").isNotNull()).cast("long")),
+                F.lit(0),
             ).alias("dup_shingles"),
         )
         .select(

@@ -90,6 +90,7 @@ EXTRA_QUERIES = [
     "dedup_keep_best",
     "sample_to_budget",
     "interdoc_repetition",
+    "winnow_overlap",
     "stream_dedup",
     # round-3/4 additions
     "tfidf_top_terms",

