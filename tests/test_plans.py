@@ -114,3 +114,22 @@ def test_sort_uses_range_partitioning(spark, sf_dir):
 
     df = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_totalprice")
     assert "rangepartitioning" in plan_string(df).lower()
+
+
+def test_winnow_overlap_join_is_equi(spark, sf_dir):
+    df = entry.winnow_overlap(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_interdoc_repetition_no_cartesian_two_shuffles(spark, sf_dir):
+    """DF-count window + per-doc rollup: exactly the hash shuffle on
+    the shingle hash and the one on the doc id — no joins at all."""
+    df = entry.interdoc_repetition(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert num_shuffles(df) <= 3  # 2 logical (+1 AQE read split at most)
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    df = entry.embedding_quantize(spark, sf_dir)
+    assert num_shuffles(df) == 0
+    assert not has_cartesian(df)
