@@ -2131,7 +2131,7 @@ def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_dedup_auto(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35,
-        n_cells=8, cache_key=sf_dir,
+        cache_key=sf_dir,
     )
 
 
@@ -2783,7 +2783,7 @@ def check_embedding_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exhaustive all-pairs cosine pairs at the same threshold (the
     exact verify step admits no false positives) and (b) recover >= 50%
     of them (2-nearest KMeans blocking recall; measured well above the
-    bound at sf0.01 with the gate's n_cells=8). Violations -> empty."""
+    bound at sf0.01 with the sqrt(N) cell default). Violations -> empty."""
     from agnes_spark.operators.dedup import embedding_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

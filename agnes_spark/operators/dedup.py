@@ -313,7 +313,7 @@ def embedding_dedup_auto(
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     cache_key: str | None = None,
 ) -> DataFrame:
@@ -325,6 +325,12 @@ def embedding_dedup_auto(
     tradeoff otherwise applies — raise n_cells for speed, lower it
     (or add assignments) for recall.
 
+    `n_cells=None` (default) uses the classic sqrt(N) IVF heuristic
+    (clamped to [8, 4096]): the within-cell pair join costs
+    ~N^2/n_cells dot products, so a FIXED cell count turns quadratic
+    as the corpus grows — sqrt(N) keeps per-cell occupancy (and the
+    pair blowup) flat at ~sqrt(N) per cell whatever the scale.
+
     `cache_key`: opt-in reuse of the built index across calls in one
     process (pass a corpus identifier, e.g. its path). Safe because
     the build is deterministic and layout-independent (hash-filter
@@ -332,6 +338,8 @@ def embedding_dedup_auto(
     calls under the same key."""
     from agnes_spark.operators.simsearch import IvfIndex
 
+    if n_cells is None:
+        n_cells = max(8, min(int(df.count() ** 0.5), 4096))
     key = None
     if cache_key is not None:
         key = (

@@ -137,7 +137,14 @@ class IvfIndex:
         # pure function of the corpus content. The extra shuffle moves
         # only the bounded training set.
         train = train.repartition(32, "n_id").sortWithinPartitions("n_id")
-        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+        # random init: k-means|| init dominates build time at larger k
+        # (5.4s vs 1.5s fit at k=80/sf0.1) with no quality edge here —
+        # cells only need rough locality for blocking/probing, every
+        # emitted pair is exact-verified downstream, and recall gates
+        # (check_embedding_auto_recall, check_ivf_autotuned_recall) pin
+        # the floor. Deterministic: init draws on the canonicalized
+        # layout above with a fixed seed.
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode="random").fit(train)
         assigned = (
             model.transform(feat)
             .select("n_id", "n_v", "n_norm", F.col("prediction").alias("cell"))
@@ -145,6 +152,13 @@ class IvfIndex:
             .persist()
         )
         assigned.count()  # materialize before dropping the feature cache
+        # truncate lineage: catalog.clearCache() (bench/gate isolation)
+        # unpersists SQL-cached frames, and WITHOUT this every reuse
+        # after it replays scan + vector-conversion + model.transform;
+        # localCheckpoint blocks live at the RDD layer, which
+        # clearCache does not touch. Local-mode/driver-lifetime only —
+        # cluster deployments persist via save()/load() instead.
+        assigned = assigned.localCheckpoint()
         feat.unpersist()
         ctrs = model.clusterCenters()
         # a degenerate build (KMeans collapsing to <2 cells) would make
