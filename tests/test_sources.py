@@ -163,3 +163,26 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(df, out, row_tag="item", root_tag="items")
     back = read_xml(spark, out, row_tag="item", schema="id bigint, name string, x double")
     assert {(r.id, r.name, r.x) for r in back.collect()} == {(1, "a", 2.5), (2, "b", -1.0)}
+
+
+def test_jdbc_derby_roundtrip_partitioned_read(spark, sf_dir, tmp_path):
+    """Embedded-Derby JDBC write + partitioned range read returns the
+    exact source rows; the read plan carries num_partitions scans."""
+    from agnes_spark.sources.jdbc import derby_url, read_jdbc, write_jdbc
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    url = derby_url(str(tmp_path / "db"))
+    write_jdbc(nat, url, "nation_rt")
+    back = read_jdbc(
+        spark, url, "nation_rt",
+        partition_column="n_nationkey", lower=0, upper=30, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    a = {tuple(r) for r in nat.collect()}
+    b = {tuple(r) for r in back.select(*nat.columns).collect()}
+    assert a == b
+    # append mode adds rows
+    write_jdbc(nat.limit(3), url, "nation_rt", mode="append")
+    assert read_jdbc(spark, url, "nation_rt").count() == len(a) + 3
