@@ -24,7 +24,19 @@ DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def derby_url(path: str, create: bool = True) -> str:
-    """Embedded-Derby JDBC url for a local database directory."""
+    """Embedded-Derby JDBC url for a local database directory. Also
+    points derby.log at the JVM tempdir (Derby writes it to the CWD
+    otherwise) — effective only if the engine isn't booted yet."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        import tempfile
+
+        spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+            "derby.stream.error.file",
+            tempfile.gettempdir() + "/agnes_derby.log",
+        )
     return f"jdbc:derby:{path}" + (";create=true" if create else "")
 
 
