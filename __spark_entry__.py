@@ -2328,11 +2328,14 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixing sampler (operators/sampling.py sample_to_budget):
-    deterministically fill a 2500-char budget per source — the
-    "N tokens per domain" selection a pretraining mix is specified
-    with, reproducible by pure arithmetic on any engine."""
-    from agnes_spark.operators.sampling import sample_to_budget as _stb
+    """Domain-mixing sampler (operators/sampling.py): deterministically
+    fill a 2500-char budget per source — the "N tokens per domain"
+    selection a pretraining mix is specified with, reproducible by
+    pure arithmetic on any engine. Runs the SCALABLE form (hash-
+    threshold prefilter bounds the sort input, exact-fallback
+    verified), which is row-identical to the full-sort form — so the
+    SQL oracle certifies the scale path itself."""
+    from agnes_spark.operators.sampling import sample_to_budget_scalable as _stb
 
     docs = _t(spark, sf_dir, "documents")
     return _stb(docs, "source", "doc_id", "n_chars", budget=2500.0, seed=5).select(

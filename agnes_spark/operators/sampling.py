@@ -101,3 +101,76 @@ def sample_to_budget(
         F.lit(0.0),
     )
     return df.withColumn("__cb", cum_before).filter(F.col("__cb") < bud).drop("__cb")
+
+
+def sample_to_budget_scalable(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: float | dict,
+    seed: int = 0,
+    margin: float = 4.0,
+) -> DataFrame:
+    """sample_to_budget with a BOUNDED sort input — the 100 TB form.
+
+    The plain operator's running-sum window sorts every row of every
+    stratum; at corpus scale that is the whole corpus through one sort.
+    But the selection is a PREFIX of the Knuth-hash rank order and the
+    hash is uniform, so the winners almost surely sit below a hash
+    threshold of ~(budget/total_weight): one cheap aggregate computes
+    per-stratum totals, rows above `margin` times that fraction are
+    dropped BEFORE the window, and the exact pass runs on ~margin *
+    budget worth of rows per stratum instead of everything.
+
+    Exactness is verified, not assumed: a stratum's prefilter is
+    provably sufficient when its selection actually exhausted the
+    budget (or the stratum was taken whole); any stratum where weight
+    skew beat the margin falls back to the exact pass over just that
+    stratum. Output is row-identical to sample_to_budget for every
+    input (test-pinned), and the driver-side state is one row per
+    stratum — never row data.
+    """
+    totals = {
+        r["s"]: (float(r["tw"] or 0.0), int(r["n"]))
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(
+            F.sum(F.col(weight_col).cast("double")).alias("tw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    buddict = budget if isinstance(budget, dict) else {s: float(budget) for s in totals}
+    frac = {}
+    for s, (tw, _n) in totals.items():
+        b = float(buddict.get(s, 0.0))
+        frac[s] = 1.0 if tw <= 0 else min(1.0, margin * b / tw)
+    pairs = [x for s, fr in frac.items() for x in (F.lit(s), F.lit(int(fr * _M32)))]
+    thresh = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0))
+    cand = df.filter(_knuth_key(id_col, seed) < thresh)
+    out = sample_to_budget(cand, strata_col, id_col, weight_col, budget, seed=seed)
+    # sufficiency check per stratum: selected weight >= budget means the
+    # prefix stopped INSIDE the candidate set — any row the prefilter
+    # dropped ranks after every candidate, so the full-data selection is
+    # identical. Only a stratum whose candidates ran dry below budget
+    # (weight skew beat the margin) needs the exact fallback.
+    sel = {
+        r["s"]: float(r["sw"] or 0.0)
+        for r in out.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("sw"))
+        .collect()
+    }
+    retry = []
+    for s, (tw, _n) in totals.items():
+        b = float(buddict.get(s, 0.0))
+        if b <= 0 or frac[s] >= 1.0:
+            continue
+        if sel.get(s, 0.0) < b:  # truncated by the prefilter
+            retry.append(s)
+    if retry:
+        exact = sample_to_budget(
+            df.filter(F.col(strata_col).isin(retry)),
+            strata_col, id_col, weight_col, budget, seed=seed,
+        )
+        out = out.filter(~F.col(strata_col).isin(retry)).unionByName(exact)
+    return out

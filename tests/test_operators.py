@@ -265,3 +265,36 @@ def test_sample_to_budget_fills_and_stops(spark):
     d = sample_to_budget(df, "src", "id", "w", budget={"a": 45.0}, seed=1)
     perd = {r.src: r.n for r in d.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert perd == {"a": 5}
+
+
+def test_sample_to_budget_scalable_matches_exact(spark, sf_dir):
+    """The prefiltered form is row-identical to the full-sort form on
+    the corpus, and a margin too small for the skew still converges to
+    the exact result via the per-stratum fallback."""
+    from agnes_spark.operators.sampling import (
+        sample_to_budget,
+        sample_to_budget_scalable,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_id, r.source)
+        for r in sample_to_budget(docs, "source", "doc_id", "n_chars", 2500.0, seed=5)
+        .select("doc_id", "source").collect()
+    }
+    fast = {
+        (r.doc_id, r.source)
+        for r in sample_to_budget_scalable(
+            docs, "source", "doc_id", "n_chars", 2500.0, seed=5
+        ).select("doc_id", "source").collect()
+    }
+    assert fast == exact
+    # margin far below what the budget needs -> fallback path must fire
+    # and still produce the identical selection
+    tiny = {
+        (r.doc_id, r.source)
+        for r in sample_to_budget_scalable(
+            docs, "source", "doc_id", "n_chars", 2500.0, seed=5, margin=0.1
+        ).select("doc_id", "source").collect()
+    }
+    assert tiny == exact
