@@ -92,6 +92,8 @@ EXTRA_QUERIES = [
     "interdoc_repetition",
     "winnow_overlap",
     "stream_dedup",
+    "stream_ingest_dedup",
+    "embedding_quantize",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",
