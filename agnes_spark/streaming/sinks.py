@@ -122,3 +122,81 @@ def run_ingest_dedup(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def ingest_neardup_sink(
+    state_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+):
+    """foreachBatch function for STREAMING NEAR-DUP detection against
+    the persisted MinHash state (band index + shingle table — see
+    dedup_incremental.minhash_state): each micro-batch
+
+    1. bands itself and equi-probes the stored band index for
+       candidate corpus ids, exact-verifying Jaccard against only
+       those ids' shingle rows (plus batch-internal pairs),
+    2. appends the verified pairs to `out_path`,
+    3. appends its own bands + shingles to the state,
+
+    so later batches near-dup against everything that arrived before
+    them — the streaming completion of the exact `ingest_dedup_sink`.
+    Same idempotence caveat: pair content is stable under replays
+    (probing is read-only), but a crash between the two appends can
+    duplicate state rows; production pairs this with
+    batch_id-partitioned dynamic overwrite.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from agnes_spark.operators.dedup import minhash_bands, shingle_sets
+    from agnes_spark.operators.dedup_incremental import incremental_minhash_pairs
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            bands = spark.read.parquet(state_path + "/bands")
+            shingles = spark.read.parquet(state_path + "/shingles")
+            empty_state = False
+        except AnalysisException:
+            bands = spark.createDataFrame([], f"{id_col} long, band int, bucket long")
+            shingles = spark.createDataFrame(
+                [], f"{id_col} long, shash array<bigint>"
+            )
+            empty_state = True
+        pairs = incremental_minhash_pairs(
+            batch_df, bands, shingles, id_col, text_col, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(out_path)
+        b_base = shingle_sets(batch_df, id_col, text_col)
+        b_bands = minhash_bands(b_base, id_col)
+        mode = "overwrite" if empty_state else "append"
+        b_bands.write.mode(mode).parquet(state_path + "/bands")
+        b_base.write.mode(mode).parquet(state_path + "/shingles")
+
+    return _write
+
+
+def run_ingest_neardup(
+    stream_df: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+):
+    """Drive a document stream through `ingest_neardup_sink` to
+    completion (synchronous; tests/backfills)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            ingest_neardup_sink(state_path, out_path, id_col, text_col, threshold)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

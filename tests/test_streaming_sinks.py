@@ -85,3 +85,52 @@ def test_ingest_dedup_first_arrival_wins_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "store")).collect()
     }
     assert {k for _, k in store} == {10, 11, 13}
+
+
+def test_ingest_neardup_finds_cross_batch_pairs(spark, tmp_path):
+    """A later batch's near-duplicate of an earlier batch's document is
+    detected via the persisted band index (no rescan of earlier text),
+    and batch-internal pairs are found too."""
+    from agnes_spark.sources.memory import table
+    from agnes_spark.streaming.sinks import run_ingest_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src = tmp_path / "src"
+    src.mkdir()
+    t = {"doc_id": "bigint", "text": "string"}
+    table(
+        spark,
+        {"doc_id": [1, 2], "text": [base, "completely different words appear in this one here"]},
+        types=t,
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    table(
+        spark,
+        {
+            "doc_id": [10, 11],
+            "text": [base + " extra", base + " extra"],  # near-dup of 1 + exact pair
+        },
+        types=t,
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    for root, offset in ((src / "f1.parquet", -1000), (src / "f2.parquet", 0)):
+        for p in root.rglob("*"):
+            os.utime(p, (p.stat().st_mtime + offset, p.stat().st_mtime + offset))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    run_ingest_neardup(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    pairs = {
+        (r.a_id, r.b_id) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert (1, 10) in pairs and (1, 11) in pairs  # cross-batch via the index
+    assert (10, 11) in pairs                      # batch-internal
+    assert all(2 not in p for p in pairs)
