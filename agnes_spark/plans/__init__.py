@@ -48,3 +48,52 @@ def num_shuffles(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
+
+
+def audit_plan(df: DataFrame) -> list[dict]:
+    """Scan a physical plan for the scale red flags that quietly turn
+    a working query into a 100 TB incident. Returns one finding dict
+    per hit ({rule, detail}); an empty list is a clean bill.
+
+    Rules:
+    - cartesian_product: any CartesianProduct node (all-pairs blowup).
+    - nested_loop_join: BroadcastNestedLoopJoin — all-pairs against
+      the broadcast side; intentional for small/oracle joins only.
+    - row_python_udf: BatchEvalPython — a row-at-a-time Python UDF in
+      the plan (Arrow-batched UDFs show as ArrowEvalPython and pass).
+    - single_partition_exchange: Exchange SinglePartition outside a
+      TakeOrderedAndProject/limit — the whole dataset through one task.
+    - unpushed_filter: a parquet scan whose PushedFilters is empty
+      while a Filter node sits in the plan — predicates evaluated
+      after the read instead of inside it.
+    """
+    p = plan_string(df)
+    findings: list[dict] = []
+    if "CartesianProduct" in p:
+        findings.append({"rule": "cartesian_product", "detail": "CartesianProduct node present"})
+    if "BroadcastNestedLoopJoin" in p:
+        findings.append({
+            "rule": "nested_loop_join",
+            "detail": "BroadcastNestedLoopJoin — all-pairs against the broadcast side; "
+            "fine for a small build side or an intentional exact baseline, fatal otherwise",
+        })
+    if "BatchEvalPython" in p:
+        findings.append({
+            "rule": "row_python_udf",
+            "detail": "row-at-a-time Python UDF (BatchEvalPython); use a pandas_udf",
+        })
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*", p):
+        ctx = p[max(0, m.start() - 400): m.start()]
+        if "TakeOrderedAndProject" not in ctx and "CollectLimit" not in ctx:
+            findings.append({
+                "rule": "single_partition_exchange",
+                "detail": "Exchange SinglePartition outside top-N/limit — one-task bottleneck",
+            })
+            break
+    scans_wo_pushdown = p.count("PushedFilters: []")
+    if scans_wo_pushdown and "Filter" in p:
+        findings.append({
+            "rule": "unpushed_filter",
+            "detail": f"{scans_wo_pushdown} scan(s) with empty PushedFilters under a Filter node",
+        })
+    return findings

@@ -133,3 +133,29 @@ def test_embedding_quantize_zero_shuffle(spark, sf_dir):
     df = entry.embedding_quantize(spark, sf_dir)
     assert num_shuffles(df) == 0
     assert not has_cartesian(df)
+
+
+def test_audit_plan_flags_and_clears(spark, sf_dir):
+    """audit_plan flags a row-at-a-time Python UDF and a cartesian
+    product; a well-shaped query comes back clean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from agnes_spark.plans import audit_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad_udf = F.udf(lambda x: x + 1, LongType())  # deliberately row-wise
+    rules = {f["rule"] for f in audit_plan(li.select(bad_udf("l_orderkey")))}
+    assert "row_python_udf" in rules
+
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    rules = {f["rule"] for f in audit_plan(a.join(b, a.id < F.col("id2") + 100))}
+    assert "nested_loop_join" in rules or "cartesian_product" in rules
+
+    clean = (
+        li.filter(F.col("l_quantity") > 45)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    assert audit_plan(clean) == []
