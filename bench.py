@@ -94,6 +94,7 @@ EXTRA_QUERIES = [
     "stream_dedup",
     "stream_ingest_dedup",
     "embedding_quantize",
+    "quality_classifier",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",

@@ -218,3 +218,32 @@ def test_quantize_roundtrip_error_bound_and_zero_vector(spark):
         assert abs(orig - back) <= scale / 2 + 1e-12
     # max-|v| element hits exactly +-127
     assert min(rows[1].q_vec) == -127
+
+
+def test_quality_classifier_learns_separable_target(spark, sf_dir):
+    """The ml-interop wiring: deterministic hash holdout, LR fit over
+    array features, broadcast-model scoring — holdout accuracy on a
+    derived separable target beats 0.8, and scoring covers every row
+    with confidence in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.mlinterop import (
+        score_with_model,
+        train_quality_classifier,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "target",
+        ((F.element_at("embedding", 1) + F.element_at("embedding", 2)) > 0).cast("int"),
+    )
+    model, holdout = train_quality_classifier(emb, "vec_id", "embedding", "target")
+    acc = (
+        model.transform(holdout)
+        .agg(F.avg((F.col("prediction") == F.col("target").cast("double")).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.8
+    scored = score_with_model(model, emb, "vec_id", "embedding")
+    assert scored.count() == emb.count()
+    rows = scored.limit(50).collect()
+    assert all(0 < r.confidence <= 1 for r in rows)
