@@ -134,3 +134,44 @@ def test_ingest_neardup_finds_cross_batch_pairs(spark, tmp_path):
     assert (1, 10) in pairs and (1, 11) in pairs  # cross-batch via the index
     assert (10, 11) in pairs                      # batch-internal
     assert all(2 not in p for p in pairs)
+
+
+def test_ingest_dedup_checkpoint_resume_no_reprocess(spark, tmp_path):
+    """Restarting the ingest stream with the same checkpoint processes
+    only NEW files: already-accepted content is not duplicated in the
+    output and the store grows only by the new batch's new hashes."""
+    from agnes_spark.sources.memory import table
+    from agnes_spark.streaming.sinks import run_ingest_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = {"doc_id": "bigint", "text": "string"}
+    table(spark, {"doc_id": [1, 2], "text": ["aa", "bb"]}, types=t).coalesce(
+        1
+    ).write.parquet(str(src / "f1.parquet"))
+    args = (
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+    )
+    schema = "doc_id bigint, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*.parquet"))
+        run_ingest_dedup(stream, *args)
+
+    run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+    # second file arrives: one dup of doc 1's content, one new doc
+    table(spark, {"doc_id": [3, 4], "text": ["aa", "cc"]}, types=t).coalesce(
+        1
+    ).write.parquet(str(src / "f2.parquet"))
+    run()  # resume from the same checkpoint
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {1, 2, 4}  # f1 NOT reprocessed, dup 3 rejected
+    store_ids = {
+        r.keep_id for r in spark.read.parquet(str(tmp_path / "store")).collect()
+    }
+    assert store_ids == {1, 2, 4}
