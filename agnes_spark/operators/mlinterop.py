@@ -60,7 +60,16 @@ def train_quality_classifier(
     feat = with_ml_features(df, vec_col).withColumn(
         "__h", F.pmod(_knuth_key(id_col, seed), F.lit(holdout_mod))
     )
-    train = feat.filter(F.col("__h") != 0)
+    # canonicalize the training layout (same rationale as
+    # IvfIndex.build): L-BFGS treeAggregate sums in partition order,
+    # so without a fixed partitioning the fitted coefficients wobble
+    # with upstream AQE/session state; hash-repartition + sort makes
+    # (data, seed) -> model a pure function
+    train = (
+        feat.filter(F.col("__h") != 0)
+        .repartition(8, id_col)
+        .sortWithinPartitions(id_col)
+    )
     holdout = feat.filter(F.col("__h") == 0)
     lr = LogisticRegression(
         featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.01
