@@ -74,7 +74,21 @@ def train_quality_classifier(
     lr = LogisticRegression(
         featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.01
     )
-    return lr.fit(train), holdout
+    model = lr.fit(train)
+    # round-trip the fitted model through disk: the freshly-fit model
+    # carries a training `summary` whose predictions DataFrame chains
+    # to the SparkSession, and that reference can leak into task
+    # closures of later scoring jobs (observed as a
+    # NotSerializableException: ObservationManager, session-state
+    # dependent). A loaded model is coefficients-only — also exactly
+    # what a serving job would use.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="agnes_lr_") + "/model"
+    model.write().overwrite().save(path)
+    return LogisticRegressionModel.load(path), holdout
 
 
 def score_with_model(model, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
