@@ -1446,6 +1446,23 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: events.props is
+    parsed ONCE into the binary variant encoding (parse_json) and then
+    typed fields come out with try_variant_get — the shredded,
+    re-parse-free representation that replaces repeated
+    get_json_object string scans at scale. Per-event rows (not an
+    aggregate) so the extraction itself is what the oracle hashes."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    )
+
+
 def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter key profile (operators/partitioning.py) — the
     pre-flight check that sizes salt factors for skewed joins."""
@@ -3044,16 +3061,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 verdict (everything below was judge-spot-checked green; the
     # goal is a fresh DRIVER row per key):
     #   1-11:  the 11 r4 keys that have never had a driver row
-    #   12-38: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
+    #   12-39: NEW this round (q12/q21, the 5 derived-partsupp TPC-H
     #          shapes, incremental exact/minhash/embedding dedup + twins,
     #          dedup_keep_best / sample_to_budget / interdoc_repetition /
     #          orc_roundtrip / stream_dedup / embedding_quantize + twin /
     #          stream_ingest_dedup / winnow_overlap + twin /
     #          jdbc_roundtrip / stream_ingest_neardup + twin /
-    #          quality_classifier + twin)
-    #   39-50: 12 of the 41 keys whose last driver row is r1
+    #          quality_classifier + twin / json_variant)
+    #   40-50: 11 of the 41 keys whose last driver row is r1
     #          (pre-Spark-4.1.2)
-    #   51-79: the 29 remaining r1-stale keys — judge-verified in r4 or
+    #   51-80: the 30 remaining r1-stale keys — judge-verified in r4 or
     #          trivial-projection/reshape §2.1 keys with the least
     #          regression surface; they head the r6 window
     #   65+:   r2/r3-graded keys, then the 50 keys graded green in r4
@@ -3098,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_stream_neardup_parity": check_stream_neardup_parity,
         "quality_classifier": quality_classifier,
         "check_classifier_holdout": check_classifier_holdout,
+        "json_variant": json_variant,
         # --- last driver row r1 (TPC-H shapes) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3111,8 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_lt": join_lt,
         "join_band": join_band,
         "merge_views": merge_views,
-        "aggregate_sum": aggregate_sum,
         # ---------------- end of the 50-key window ----------------
+        "aggregate_sum": aggregate_sum,
         "field_stats": field_stats,
         "join_semi": join_semi,
         # r1-stale overflow (judge-verified r4 or trivial-projection
@@ -3914,6 +3932,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(min(o_totalprice), 2) AS lo, "
             "round(max(o_totalprice), 2) AS hi "
             "FROM orders GROUP BY 1 ORDER BY bucket"
+        ),
+        "json_variant": (
+            "SELECT event_id, event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+            "CAST(NULL AS BIGINT) AS k_missing FROM events"
         ),
         "json_funcs": (
             "SELECT event_type, count(*) AS n, "
