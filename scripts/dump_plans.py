@@ -26,6 +26,8 @@ SHOWCASE = [
     ("embedding_quantize", "int8 quantization as a zero-shuffle projection over the scan"),
     ("sample_to_budget", "one stratum-key exchange feeding the running-sum window"),
     ("interdoc_repetition", "doc-frequency agg + join back, both keyed on the 8-byte shingle hash"),
+    ("json_variant", "parse_json once into VARIANT; typed extraction in the same projection"),
+    ("q9_product_profit", "widest join in the suite: every dim broadcast, one agg shuffle"),
 ]
 
 
