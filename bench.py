@@ -95,6 +95,7 @@ EXTRA_QUERIES = [
     "stream_ingest_dedup",
     "embedding_quantize",
     "quality_classifier",
+    "json_variant",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",
