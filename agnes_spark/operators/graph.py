@@ -247,6 +247,13 @@ def connected_components_auto(
     ).persist()
     n_edges = e.count()
     if n_edges > small_threshold:
+        # connected_components is EAGER — it runs one materializing job
+        # per round and returns a frame served from its own (persisted or
+        # checkpointed) final-labels cache, never re-reading `e`. The
+        # count() above already materialized e's cache, so the per-round
+        # sym build reads it instead of recomputing the (potentially
+        # expensive) upstream pair-generation lineage; unpersisting here,
+        # after the eager loop finished, is safe.
         out = connected_components(e, "u", "v", max_iter=max_iter)
         e.unpersist()
         return out

@@ -41,6 +41,24 @@ def vector_to_array_col(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, vector_to_array(F.col(vec_col)))
 
 
+_SCRATCH: list[str] = []
+
+
+def _scratch_dir() -> str:
+    """One per-process model scratch directory, removed at interpreter
+    exit — repeated fits reuse it (save() overwrites) instead of
+    leaking one mkdtemp per call across a long-lived session."""
+    if not _SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="agnes_lr_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH.append(d)
+    return _SCRATCH[0]
+
+
 def train_quality_classifier(
     df: DataFrame,
     id_col: str,
@@ -82,11 +100,9 @@ def train_quality_classifier(
     # NotSerializableException: ObservationManager, session-state
     # dependent). A loaded model is coefficients-only — also exactly
     # what a serving job would use.
-    import tempfile
-
     from pyspark.ml.classification import LogisticRegressionModel
 
-    path = tempfile.mkdtemp(prefix="agnes_lr_") + "/model"
+    path = _scratch_dir() + "/model"
     model.write().overwrite().save(path)
     return LogisticRegressionModel.load(path), holdout
 

@@ -102,6 +102,13 @@ def zorder_value(cols: Sequence, bits: int = 16):
     Pure shift/mask Column arithmetic (whole-stage codegen)."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cs)
+    if bits * n > 63:
+        # Java shiftleft wraps shifts mod 64 and bit 63 is the sign bit, so
+        # codes past 63 bits silently corrupt the ordering. Refuse loudly.
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * n} exceeds 63; "
+            f"use bits <= {63 // n} for {n} columns"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cs):

@@ -195,9 +195,17 @@ def winnow_overlap_pairs(
     )
     a_sz = sizes.select(F.col(id_col).alias("a_id"), F.col("n_fp").alias("a_fp"))
     b_sz = sizes.select(F.col(id_col).alias("b_id"), F.col("n_fp").alias("b_fp"))
-    return pairs.join(a_sz, "a_id").join(b_sz, "b_id").select(
+    out = pairs.join(a_sz, "a_id").join(b_sz, "b_id").select(
         "a_id", "b_id", "shared_fp", "a_fp", "b_fp"
     )
+    # Materialize the (small) pair result eagerly so the exploded
+    # fingerprint cache can be released here — otherwise every call in a
+    # long-lived session leaks fp's cached partitions with no handle for
+    # the caller to free them. localCheckpoint is eager and the result
+    # stays valid after the unpersist.
+    out = out.localCheckpoint()
+    fp.unpersist()
+    return out
 
 
 def tfidf_top_terms(

@@ -91,7 +91,11 @@ def audit_plan(df: DataFrame) -> list[dict]:
             })
             break
     scans_wo_pushdown = p.count("PushedFilters: []")
-    if scans_wo_pushdown and "Filter" in p:
+    # Match an actual Filter operator node (formatted-plan tree line like
+    # "* Filter (3)" / "+- Filter ..."), not the bare substring "Filter" —
+    # "PushedFilters" itself contains it, which made this rule vacuous.
+    has_filter_node = re.search(r"(?m)^[\s*+:\-]*Filter[\s(]", p) is not None
+    if scans_wo_pushdown and has_filter_node:
         findings.append({
             "rule": "unpushed_filter",
             "detail": f"{scans_wo_pushdown} scan(s) with empty PushedFilters under a Filter node",
