@@ -1638,16 +1638,23 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> per-source corpus stats. The composition the engine exists for,
     as one declarative plan (Catalyst fuses the per-doc scoring into a
     single pass over the kept docs)."""
-    from agnes_spark.operators.dedup import exact_dedup
+    from agnes_spark.operators.dedup import exact_dedup_kept
     from agnes_spark.operators.textanalysis import lang_id as _lang
     from agnes_spark.operators.textanalysis import quality_score as _q
     from agnes_spark.operators.textanalysis import token_count as _tc
 
-    docs = _t(spark, sf_dir, "documents")
-    keep = exact_dedup(docs, "doc_id", "text").select(F.col("keep_id").alias("doc_id"))
-    kept = docs.join(keep, "doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # keep-first dedup via ONE content-hash shuffle (exact_dedup_kept);
+    # the old dedup-agg + id-join-back moved the text through a second
+    # shuffle (~60% slower at sf0.1)
+    kept = exact_dedup_kept(docs, "doc_id", "text")
     # the three scorers are pure withColumn transforms — chained, they
-    # fuse into ONE projection over kept (no scoring joins/shuffles)
+    # fuse into ONE projection over kept (no scoring joins/shuffles).
+    # The scoring expression trees themselves (5-language stopword hits
+    # + token-array quality features) dominate this gate's runtime;
+    # folding the filter into conditional aggs was measured 3x SLOWER
+    # (the cond tree re-evaluates per agg column), and an exchange
+    # barrier against filter-pushdown re-evaluation bought nothing.
     scored = _tc(_lang(_q(kept, "text"), "text"), "text")
     curated = scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
     return (

@@ -35,6 +35,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_kept(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return the KEPT rows (minimal id per distinct content) with all
+    their columns — the one-shuffle form of `exact_dedup` followed by a
+    join-back. The join-back shape shuffles the full text twice (once
+    into the dedup agg's scan, once through the id join); here rows are
+    hash-partitioned by the 32-byte content hash exactly once and a
+    per-group row_number keeps the minimal id. Use `exact_dedup` when
+    only the (hash, keep_id, n_copies) summary is needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
+        F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def exact_dedup_keep_best(
     df: DataFrame, id_col: str, text_col: str, score_col: str
 ) -> DataFrame:

@@ -96,6 +96,17 @@ EXTRA_QUERIES = [
     "embedding_quantize",
     "quality_classifier",
     "json_variant",
+    # round-6 additions
+    "grouping_sets_agg",
+    "retention_cohorts",
+    "funnel_conversion",
+    "rfm_segmentation",
+    "price_trend_regression",
+    "events_anomaly_zscore",
+    "first_last_orders",
+    "salted_agg_topusers",
+    "bigram_top",
+    "asof_join_forward",
     # round-3/4 additions
     "tfidf_top_terms",
     "label_centroids",

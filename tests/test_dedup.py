@@ -150,3 +150,23 @@ def test_exact_dedup_keep_best_argmax_and_ties(spark):
     by_keep = {r.keep_id: (r.best_score, r.n_copies) for r in out}
     # highest score wins; score tie -> minimal id (2 over 3, 4 over 5)
     assert by_keep == {2: (0.9, 3), 4: (0.5, 2)}
+
+
+def test_exact_dedup_kept_keeps_min_id_rows(spark):
+    df = table(
+        spark,
+        {
+            "doc_id": [5, 2, 3, 4, 1],
+            "text": ["aa bb", "aa bb", "aa bb", "cc dd", "cc dd"],
+            "source": ["s5", "s2", "s3", "s4", "s1"],
+        },
+        types={"doc_id": "bigint", "text": "string", "source": "string"},
+    )
+    from agnes_spark.operators.dedup import exact_dedup, exact_dedup_kept
+
+    out = {(r.doc_id, r.text, r.source) for r in exact_dedup_kept(df, "doc_id", "text").collect()}
+    # minimal id per distinct content, full row carried through
+    assert out == {(2, "aa bb", "s2"), (1, "cc dd", "s1")}
+    # agrees with the summary form's keeper choice
+    keepers = {r.keep_id for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert {d for d, _, _ in out} == keepers

@@ -159,3 +159,51 @@ def test_audit_plan_flags_and_clears(spark, sf_dir):
         .agg(F.sum("l_extendedprice").alias("rev"))
     )
     assert audit_plan(clean) == []
+
+
+# Keys whose plans legitimately contain a BroadcastNestedLoopJoin: every
+# one broadcasts a bounded tiny frame — a 1-row scalar/cutoff aggregate
+# (q11/q22/rfm/lm_surprise/bm25/tfidf/fill_missing_hours/check twins), a
+# k-row exact-baseline for recall checks (ann_*/dedup_embedding*), or the
+# intentional tiny-dim cartesian (join_cross). Anything NOT in this list
+# growing a BNLJ — or any key growing any other audit finding — fails.
+AUDIT_BNLJ_ALLOWED = {
+    "rfm_segmentation",
+    "join_cross",
+    "q22_lapsed_customers",
+    "lm_surprise",
+    "bm25_top_terms",
+    "q11_important_stock",
+    "dedup_incremental_embedding",
+    "check_incremental_embedding",
+    "check_quantized_recall",
+    "join_lt",
+    "tfidf_top_terms",
+    "ann_cosine_topk",
+    "fill_missing_hours",
+    "check_heavy_hitters_agree",
+    "dedup_embedding_auto",
+    "ann_ivf_topk",
+    "check_embedding_auto_recall",
+    "check_ivf_autotuned_recall",
+}
+
+
+def test_audit_plan_whole_registry(spark, sf_dir):
+    """Every queries() key's physical plan is free of scale
+    anti-patterns (cartesians, row-Python UDFs, single-partition
+    exchanges outside top-N, unpushed filters) — the registry-wide
+    version of the spot assertions above. BroadcastNestedLoopJoin is
+    tolerated only for the documented tiny-broadcast keys."""
+    from agnes_spark.plans import audit_plan
+
+    qs = entry.queries()
+    bad = {}
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        rules = sorted({f["rule"] for f in audit_plan(df)})
+        if name in AUDIT_BNLJ_ALLOWED:
+            rules = [r for r in rules if r != "nested_loop_join"]
+        if rules:
+            bad[name] = rules
+    assert not bad, f"plan anti-patterns crept in: {bad}"

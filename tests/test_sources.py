@@ -186,3 +186,30 @@ def test_jdbc_derby_roundtrip_partitioned_read(spark, sf_dir, tmp_path):
     # append mode adds rows
     write_jdbc(nat.limit(3), url, "nation_rt", mode="append")
     assert read_jdbc(spark, url, "nation_rt").count() == len(a) + 3
+
+
+def test_jdbc_filter_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter over a JDBC read must be pushed into the remote query
+    (PushedFilters on the JDBCRelation scan), not evaluated in Spark
+    after transferring the whole table — the difference between
+    shipping one partition and shipping the database."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.plans import plan_string
+    from agnes_spark.sources.jdbc import derby_url, read_jdbc, write_jdbc
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    url = derby_url(str(tmp_path / "pushdb"))
+    write_jdbc(nat, url, "nation_pd")
+    back = read_jdbc(
+        spark, url, "nation_pd",
+        partition_column="n_nationkey", lower=0, upper=30, num_partitions=4,
+    )
+    p = plan_string(back.filter(F.col("n_regionkey") > 2).select("n_nationkey"))
+    assert "JDBCRelation" in p and "numPartitions=4" in p
+    # the predicate reaches the JDBC scan (shipped into the remote
+    # query), and column pruning holds (only the projected column read)
+    assert "GreaterThan(n_regionkey,2)" in p
+    assert "ReadSchema: struct<n_nationkey:int>" in p
