@@ -182,6 +182,12 @@ def main() -> None:
         # UDF workers, so every UDF-heavy query re-pays 32 worker
         # spawns (dedup_minhash 1.7s -> 9.7s). clearCache() alone is
         # the right isolation level.
+        # ...and do NOT gc.collect() between queries either (r6 A/B:
+        # total_all 71.6s -> 109.8s): dropping py4j refs lets the JVM
+        # ContextCleaner reap localCheckpoint/broadcast blocks that the
+        # cross-query build-once caches (IVF index, minhash state,
+        # shingle frames) depend on — dedup_embedding_auto went
+        # 1.3s -> 15.0s, a full KMeans retrain per invocation.
     total = round(
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
     )
