@@ -3547,6 +3547,73 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_CACHE: dict[tuple, str] = {}
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction parity (partitioning.py
+    compact_small_files): events fragmented into 64 files, compacted
+    to ~8 MB targets via the Hadoop ContentSummary sizing, read back
+    and aggregated — compaction must move bytes between files without
+    touching a single row. The maintenance pass that keeps a
+    streaming-ingested 100 TB table scannable."""
+    import tempfile
+
+    from agnes_spark.operators.partitioning import compact_small_files
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    out = _COMPACT_CACHE.get(ck)
+    if out is None:
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+        base = tempfile.mkdtemp(prefix="agnes_compact_")
+        frag, out = base + "/fragmented", base + "/compacted"
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        compact_small_files(spark, frag, out, target_file_bytes=8 * 1024 * 1024)
+        _COMPACT_CACHE[ck] = out
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+_SCHEMA_EVO_CACHE: dict[tuple, tuple] = {}
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift read (sources/formats.py read_parquet_merged): an
+    'old' batch written without o_orderpriority and a 'new' batch with
+    it, read together under mergeSchema — old rows surface NULL for
+    the late column (coalesced to a sentinel so the oracle can pin the
+    exact rows). Long-lived ingest directories always end up here."""
+    import tempfile
+
+    from agnes_spark.sources.formats import read_parquet_merged
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    paths = _SCHEMA_EVO_CACHE.get(ck)
+    if paths is None:
+        o = _t(spark, sf_dir, "orders")
+        base = tempfile.mkdtemp(prefix="agnes_schemaevo_")
+        p_old, p_new = base + "/b1", base + "/b2"
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(p_old)
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(p_new)
+        paths = (p_old, p_new)
+        _SCHEMA_EVO_CACHE[ck] = paths
+    merged = read_parquet_merged(spark, *paths)
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3624,6 +3691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_wide": melt_wide,
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
+        # staged for the r7 window (new, never graded)
+        "compaction_roundtrip": compaction_roundtrip,
+        "schema_evolution_read": schema_evolution_read,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -3754,6 +3824,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- staged r7: table-maintenance / schema-drift gates ---
+        "compaction_roundtrip": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value, "
+            "min(event_id) AS min_event, max(event_id) AS max_event "
+            "FROM events GROUP BY event_type"
+        ),
+        "schema_evolution_read": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
+            "'<pre-evolution>' AS priority FROM orders WHERE o_orderkey % 2 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
+            "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
         # --- round 6: advanced SQL surface + pipeline analytics ---
         "grouping_sets_agg": (
             "SELECT coalesce(l_returnflag, 'ALL') AS rflag, "

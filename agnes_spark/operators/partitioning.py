@@ -155,3 +155,41 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs: streaming/incremental writers emit one
+    file per (batch x partition), and a 100 TB table quietly decays
+    into millions of KB-sized files whose per-file open/footer cost
+    dominates scans. Rewrites `in_path` into ceil(bytes / target)
+    files of ~`target_file_bytes` each and returns that file count.
+
+    Sizing reads the directory's ContentSummary through the Hadoop
+    FileSystem API (works on any supported FS — local, HDFS, S3A),
+    not a local os.walk; the parquet rewrite itself delegates to
+    sources.formats.compact_parquet (which also offers the staged
+    in-place swap when no out_path separation is wanted).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    if fmt == "parquet":
+        from agnes_spark.sources.formats import compact_parquet
+
+        compact_parquet(spark, in_path, n_files, out_path=out_path)
+    else:
+        df = spark.read.format(fmt).load(in_path)
+        df.coalesce(n_files).write.mode("overwrite").format(fmt).save(out_path)
+    return n_files

@@ -17,6 +17,17 @@ def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None =
     return df.select(*columns) if columns else df
 
 
+def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet batches whose schemas have
+    DRIFTED (columns added over the table's lifetime) into one frame
+    with the merged schema; rows from older batches surface NULL for
+    columns they predate. mergeSchema=true reconciles the footers at
+    planning time — the per-file schema negotiation every long-lived
+    ingest directory eventually needs (Spark leaves it off by default
+    because footer merging costs a planning pass per file)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

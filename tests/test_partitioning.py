@@ -136,3 +136,25 @@ def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
     pspans = sorted(r.pspan for r in per_file)
     assert ospans[len(ospans) // 2] < g.o * 0.5
     assert pspans[len(pspans) // 2] < g.p * 0.5
+
+
+def test_compact_small_files_merges_and_preserves(spark, sf_dir, tmp_path):
+    """Compaction collapses a fragmented directory into the computed
+    file count without touching any row."""
+    from agnes_spark.operators.partitioning import compact_small_files
+
+    nat = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    nat.repartition(16).write.parquet(frag)
+    n_frag = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_frag == 16
+    # target far above total size -> everything fits in one file
+    n = compact_small_files(spark, frag, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(list((tmp_path / "compact").glob("*.parquet"))) == 1
+    a = {tuple(r) for r in nat.collect()}
+    b = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert a == b

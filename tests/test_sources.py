@@ -213,3 +213,20 @@ def test_jdbc_filter_pushdown_reaches_scan(spark, sf_dir, tmp_path):
     # query), and column pruning holds (only the projected column read)
     assert "GreaterThan(n_regionkey,2)" in p
     assert "ReadSchema: struct<n_nationkey:int>" in p
+
+
+def test_read_parquet_merged_schema_drift(spark, tmp_path):
+    """mergeSchema read unifies drifted batch schemas; pre-evolution
+    rows surface NULL for the late column."""
+    from agnes_spark.sources.formats import read_parquet_merged
+
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, x double")
+    new = spark.createDataFrame(
+        [(3, 30.0, "c3")], "id bigint, x double, tag string"
+    )
+    old.write.parquet(str(tmp_path / "b1"))
+    new.write.parquet(str(tmp_path / "b2"))
+    back = read_parquet_merged(spark, str(tmp_path / "b1"), str(tmp_path / "b2"))
+    assert set(back.columns) == {"id", "x", "tag"}
+    rows = {r.id: (r.x, r.tag) for r in back.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "c3")}
