@@ -3547,6 +3547,34 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (streaming/joins.py
+    stream_self_join): same-user event pairs within a 30-minute band,
+    earlier -> later. The event-time range condition bounds each
+    side's state store to watermark + band — O(window) state, the only
+    stream-stream join shape that survives an unbounded feed. Driven
+    to completion through a memory sink; the output rows are
+    deterministic, so this hash-matches the equivalent batch self-join
+    oracle exactly (like stream_dedup, a FULL-oracle streaming gate)."""
+    import os as _os
+    import tempfile
+
+    from agnes_spark.streaming.joins import stream_self_join
+    from agnes_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="agnes_sbj_")
+    _os.symlink(
+        _os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet")
+    )
+    ev = read_events_stream(spark, d)
+    joined = stream_self_join(ev, band="30 minutes", watermark="100 days")
+    run_stream_to_memory(joined, "stream_band_join_out", output_mode="append")
+    return spark.sql(
+        "SELECT l_key AS user_id, l_id, r_id, l_type, r_type "
+        "FROM stream_band_join_out"
+    )
+
+
 _COMPACT_CACHE: dict[tuple, str] = {}
 
 
@@ -3694,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged for the r7 window (new, never graded)
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
+        "stream_band_join": stream_band_join,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -3836,6 +3865,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
             "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "stream_band_join": (
+            "SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id, "
+            "l.event_type AS l_type, r.event_type AS r_type "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND l.event_id < r.event_id AND r.ts >= l.ts "
+            "AND r.ts <= l.ts + INTERVAL 30 MINUTE"
         ),
         # --- round 6: advanced SQL surface + pipeline analytics ---
         "grouping_sets_agg": (
