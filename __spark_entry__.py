@@ -3575,6 +3575,62 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_asof_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature computation (the feature-store
+    correctness pattern): for every 'view' event, the user's purchase
+    count AS OF that moment — no leakage from later purchases. One
+    window pass over the per-user event timeline: a running sum of
+    purchase markers ordered by (ts, side) with purchases sorting
+    before same-instant views, so a purchase at exactly the view's
+    timestamp is included (matching the oracle's <=). O(1) state per
+    row; the same plan shape trains ML features over years of 100 TB
+    history without a correlated subquery per row."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        # purchases (0) order before views (1) at equal timestamps
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        marked.withColumn("purchases_before", F.sum("is_p").over(w))
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "purchases_before")
+    )
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user at a fixed
+    reference instant (half-life 30 days): recency-weighted activity,
+    the standard ranking/churn feature. One partial-merge aggregate —
+    each row contributes value * 2^(-age/half_life) independently, so
+    the sum is map-side combinable and association-order noise is
+    absorbed by the rounding (pinned by the oracle)."""
+    ev = _events(spark, sf_dir)
+    ref_us = F.lit(1706745600000000)  # 2024-02-01 UTC, just after the feed
+    age_days = (ref_us - F.unix_micros(F.col("ts").cast("timestamp"))) / F.lit(
+        86_400_000_000.0
+    )
+    weight = F.pow(F.lit(2.0), -age_days / F.lit(30.0))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * weight), 4).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 _COMPACT_CACHE: dict[tuple, str] = {}
 
 
@@ -3723,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
         "stream_band_join": stream_band_join,
+        "feature_asof_count": feature_asof_count,
+        "decayed_engagement": decayed_engagement,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -3865,6 +3923,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
             "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "feature_asof_count": (
+            "SELECT v.event_id, v.user_id, "
+            "(SELECT count(*) FROM events p WHERE p.event_type = 'purchase' "
+            "AND p.user_id = v.user_id AND p.ts <= v.ts) AS purchases_before "
+            "FROM events v WHERE v.event_type = 'view'"
+        ),
+        "decayed_engagement": (
+            "SELECT user_id, "
+            "round(sum(value * power(CAST(2.0 AS DOUBLE), "
+            "-((1706745600000000 - epoch_us(ts)) / CAST(86400000000.0 AS DOUBLE)) "
+            "/ CAST(30.0 AS DOUBLE))), 4) AS decayed_score, "
+            "count(*) AS n_events "
+            "FROM events GROUP BY user_id"
         ),
         "stream_band_join": (
             "SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id, "
