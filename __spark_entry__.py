@@ -3575,6 +3575,52 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 versioned dimension: each
+    order joins the customer-balance VERSION that was valid on its
+    order date (the companion query to scd2_apply — maintaining
+    versions is half the job; reading facts against the right version
+    is the other half). Equi join on the key plus an interval filter:
+    versions-per-key is small and bounded, so this stays a plain
+    hash/sort-merge join at 100 TB — never a range-only join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v_lo = F.lit("1990-01-01").cast("date")
+    v_mid = F.lit("1995-01-01").cast("date")
+    v_hi = F.lit("9999-01-01").cast("date")
+    changed = F.col("c_custkey") % 10 == 0
+    dim = (
+        cust.filter(changed)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("bal"),
+            v_lo.alias("vf"),
+            v_mid.alias("vt"),
+        )
+        .unionByName(
+            cust.filter(changed).select(
+                "c_custkey",
+                F.round(F.col("c_acctbal") + 500.0, 2).alias("bal"),
+                v_mid.alias("vf"),
+                v_hi.alias("vt"),
+            )
+        )
+        .unionByName(
+            cust.filter(~changed).select(
+                "c_custkey",
+                F.col("c_acctbal").alias("bal"),
+                v_lo.alias("vf"),
+                v_hi.alias("vt"),
+            )
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .filter((F.col("o_orderdate") >= F.col("vf")) & (F.col("o_orderdate") < F.col("vt")))
+        .select("o_orderkey", "o_custkey", F.round("bal", 2).alias("bal_at_order"))
+    )
+
+
 def feature_asof_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature computation (the feature-store
     correctness pattern): for every 'view' event, the user's purchase
@@ -3781,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_band_join": stream_band_join,
         "feature_asof_count": feature_asof_count,
         "decayed_engagement": decayed_engagement,
+        "scd2_pit_join": scd2_pit_join,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -3923,6 +3970,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
             "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "scd2_pit_join": (
+            "WITH dim AS ("
+            "SELECT c_custkey, c_acctbal AS bal, DATE '1990-01-01' AS vf, "
+            "DATE '1995-01-01' AS vt FROM customer WHERE c_custkey % 10 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey, round(c_acctbal + 500.0, 2), DATE '1995-01-01', "
+            "DATE '9999-01-01' FROM customer WHERE c_custkey % 10 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey, c_acctbal, DATE '1990-01-01', DATE '9999-01-01' "
+            "FROM customer WHERE c_custkey % 10 <> 0) "
+            "SELECT o_orderkey, o_custkey, round(bal, 2) AS bal_at_order "
+            "FROM orders JOIN dim ON o_custkey = c_custkey "
+            "AND o_orderdate >= vf AND o_orderdate < vt"
         ),
         "feature_asof_count": (
             "SELECT v.event_id, v.user_id, "
