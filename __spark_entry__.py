@@ -3575,6 +3575,89 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: Shannon entropy (bits) + distinct count of the
+    categorical columns a curation pipeline audits before ingest
+    (skewed/near-constant columns are quality smells). Each table is
+    one count agg + one tiny entropy fold — nothing quadratic."""
+    from pyspark.sql import Window
+
+    # p = n / sum(n) OVER () on the tiny per-value count frame, then
+    # -sum(p * log2 p) in one fold
+    def ent(df, col, label):
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy()
+        p = F.col("n") / F.sum("n").over(w)
+        return counts.select(p.alias("p")).agg(
+            F.lit(label).alias("column_name"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+
+    ev = _events(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        ent(ev, "event_type", "events.event_type")
+        .unionByName(ent(docs, "lang", "documents.lang"))
+        .unionByName(ent(o, "o_orderpriority", "orders.o_orderpriority"))
+    )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: chi-squared independence statistic between
+    order priority and order status — the categorical-association
+    audit (a high chi2 between a 'random' split column and a label
+    column is a leakage smell). One contingency count agg; marginals
+    via window sums over the tiny cell frame; expected counts never
+    materialize a cross join."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    total = F.sum("n").over(w_all)
+    exp = F.sum("n").over(w_row) * F.sum("n").over(w_col) / total
+    contrib = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    per_cell = cells.select(
+        contrib.alias("chi2_part"),
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    )
+    return per_cell.agg(
+        F.round(F.sum("chi2_part"), 4).alias("chi2"),
+        (
+            (F.count_distinct("o_orderpriority") - 1)
+            * (F.count_distinct("o_orderstatus") - 1)
+        ).alias("dof"),
+    )
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: pairwise Pearson correlations of lineitem's
+    numeric columns in ONE aggregate pass (six co-moment pairs share
+    the same scan/shuffle; corr is a partial-merge aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    return li.agg(
+        *[
+            F.round(F.corr(a, b), 5).alias(f"corr_{a[2:]}_{b[2:]}")
+            for a, b in pairs
+        ]
+    )
+
+
 def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against an SCD2 versioned dimension: each
     order joins the customer-balance VERSION that was valid on its
@@ -3828,6 +3911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_asof_count": feature_asof_count,
         "decayed_engagement": decayed_engagement,
         "scd2_pit_join": scd2_pit_join,
+        "column_entropy": column_entropy,
+        "chi2_independence": chi2_independence,
+        "corr_matrix": corr_matrix,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -3970,6 +4056,42 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
             "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "column_entropy": (
+            "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "
+            "d AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY 1), "
+            "o AS (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1) "
+            "SELECT 'events.event_type' AS column_name, "
+            "round(-sum(p * log2(p)), 6) AS entropy_bits, count(*) AS n_distinct "
+            "FROM (SELECT n / CAST(sum(n) OVER () AS DOUBLE) AS p FROM e) "
+            "UNION ALL "
+            "SELECT 'documents.lang', round(-sum(p * log2(p)), 6), count(*) "
+            "FROM (SELECT n / CAST(sum(n) OVER () AS DOUBLE) AS p FROM d) "
+            "UNION ALL "
+            "SELECT 'orders.o_orderpriority', round(-sum(p * log2(p)), 6), count(*) "
+            "FROM (SELECT n / CAST(sum(n) OVER () AS DOUBLE) AS p FROM o)"
+        ),
+        "chi2_independence": (
+            "WITH cells AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n "
+            "FROM orders GROUP BY 1, 2), "
+            "x AS (SELECT n, "
+            "sum(n) OVER (PARTITION BY o_orderpriority) AS rn, "
+            "sum(n) OVER (PARTITION BY o_orderstatus) AS cn, "
+            "sum(n) OVER () AS t, o_orderpriority, o_orderstatus FROM cells) "
+            "SELECT round(sum((n - rn * cn / CAST(t AS DOUBLE)) "
+            "* (n - rn * cn / CAST(t AS DOUBLE)) "
+            "/ (rn * cn / CAST(t AS DOUBLE))), 4) AS chi2, "
+            "CAST((count(DISTINCT o_orderpriority) - 1) "
+            "* (count(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof FROM x"
+        ),
+        "corr_matrix": (
+            "SELECT round(corr(l_quantity, l_extendedprice), 5) AS corr_quantity_extendedprice, "
+            "round(corr(l_quantity, l_discount), 5) AS corr_quantity_discount, "
+            "round(corr(l_quantity, l_tax), 5) AS corr_quantity_tax, "
+            "round(corr(l_extendedprice, l_discount), 5) AS corr_extendedprice_discount, "
+            "round(corr(l_extendedprice, l_tax), 5) AS corr_extendedprice_tax, "
+            "round(corr(l_discount, l_tax), 5) AS corr_discount_tax "
+            "FROM lineitem"
         ),
         "scd2_pit_join": (
             "WITH dim AS ("

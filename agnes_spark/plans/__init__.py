@@ -50,6 +50,77 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
 
 
+def _plan_tree(p: str) -> dict[int, dict]:
+    """Parse the tree section of a FORMATTED plan into
+    {node_id: {name, parent, children}} using indentation depth.
+    Formatted mode prints operator arguments in detail blocks, not on
+    the tree line — rules that grep for 'Exchange SinglePartition' as
+    one substring silently never fire (the same vacuity class as the
+    old unpushed-filter rule)."""
+    nodes: dict[int, dict] = {}
+    stack: list[tuple[int, int]] = []  # (indent, id)
+    for line in p.split("\n"):
+        m = re.match(r"^([\s:+\-*]*)([A-Za-z][\w ]*?) \((\d+)\)", line)
+        if not m:
+            if line.startswith("==") or not line.strip():
+                if nodes and not line.strip():
+                    break  # end of tree section
+            continue
+        indent = len(m.group(1))
+        name, nid = m.group(2).strip(), int(m.group(3))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        nodes[nid] = {"name": name, "parent": parent, "children": []}
+        if parent is not None:
+            nodes[parent]["children"].append(nid)
+        stack.append((indent, nid))
+    return nodes
+
+
+_SP_OK_CHILD = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_SP_OK_ANCESTOR = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+
+def _single_partition_findings(p: str) -> list[dict]:
+    """SinglePartition exchanges that are NOT a global-aggregate merge
+    (child is a partial HashAggregate — only partials cross the wire)
+    and NOT under a top-N/limit. What remains funnels the full input
+    through one task — a global window/sort over unaggregated data."""
+    sp_ids = {
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange[^\n]*\n(?:(?!\()[^\n]*\n)*?Arguments: SinglePartition", p
+        )
+    }
+    if not sp_ids:
+        return []
+    nodes = _plan_tree(p)
+    out = []
+    for nid in sorted(sp_ids):
+        node = nodes.get(nid)
+        if node is None:
+            continue
+        child_names = [nodes[c]["name"] for c in node["children"]]
+        if any(n.startswith(_SP_OK_CHILD) for n in child_names):
+            continue
+        anc, cur = [], node["parent"]
+        while cur is not None:
+            anc.append(nodes[cur]["name"])
+            cur = nodes[cur]["parent"]
+        if any(a.startswith(_SP_OK_ANCESTOR) for a in anc):
+            continue
+        out.append({
+            "rule": "single_partition_exchange",
+            "detail": (
+                f"Exchange ({nid}) SinglePartition feeding "
+                f"{child_names or 'unknown'} outside agg-merge/top-N — "
+                "one-task bottleneck"
+            ),
+        })
+    return out
+
+
 def audit_plan(df: DataFrame) -> list[dict]:
     """Scan a physical plan for the scale red flags that quietly turn
     a working query into a 100 TB incident. Returns one finding dict
@@ -82,14 +153,7 @@ def audit_plan(df: DataFrame) -> list[dict]:
             "rule": "row_python_udf",
             "detail": "row-at-a-time Python UDF (BatchEvalPython); use a pandas_udf",
         })
-    for m in re.finditer(r"Exchange SinglePartition[^\n]*", p):
-        ctx = p[max(0, m.start() - 400): m.start()]
-        if "TakeOrderedAndProject" not in ctx and "CollectLimit" not in ctx:
-            findings.append({
-                "rule": "single_partition_exchange",
-                "detail": "Exchange SinglePartition outside top-N/limit — one-task bottleneck",
-            })
-            break
+    findings.extend(_single_partition_findings(p))
     scans_wo_pushdown = p.count("PushedFilters: []")
     # Match an actual Filter operator node (formatted-plan tree line like
     # "* Filter (3)" / "+- Filter ..."), not the bare substring "Filter" —

@@ -189,12 +189,24 @@ AUDIT_BNLJ_ALLOWED = {
 }
 
 
+# Keys whose plans legitimately funnel through one task: a global
+# window over a DIMENSION table (window_distribution ranks supplier —
+# bounded), and the deterministic-global-order check twin (total
+# positions ARE its semantics). Any other key growing a SinglePartition
+# exchange outside agg-merge/top-N fails.
+AUDIT_SP_ALLOWED = {
+    "window_distribution",
+    "check_shuffle_deterministic",
+}
+
+
 def test_audit_plan_whole_registry(spark, sf_dir):
     """Every queries() key's physical plan is free of scale
     anti-patterns (cartesians, row-Python UDFs, single-partition
-    exchanges outside top-N, unpushed filters) — the registry-wide
-    version of the spot assertions above. BroadcastNestedLoopJoin is
-    tolerated only for the documented tiny-broadcast keys."""
+    exchanges outside agg-merge/top-N, unpushed filters) — the
+    registry-wide version of the spot assertions above.
+    BroadcastNestedLoopJoin and SinglePartition exchanges are
+    tolerated only for the documented allowlists."""
     from agnes_spark.plans import audit_plan
 
     qs = entry.queries()
@@ -204,6 +216,36 @@ def test_audit_plan_whole_registry(spark, sf_dir):
         rules = sorted({f["rule"] for f in audit_plan(df)})
         if name in AUDIT_BNLJ_ALLOWED:
             rules = [r for r in rules if r != "nested_loop_join"]
+        if name in AUDIT_SP_ALLOWED:
+            rules = [r for r in rules if r != "single_partition_exchange"]
         if rules:
             bad[name] = rules
     assert not bad, f"plan anti-patterns crept in: {bad}"
+
+
+def test_single_partition_rule_fires_and_clears(spark, sf_dir):
+    """The formatted-plan SinglePartition rule (plans/__init__.py
+    _single_partition_findings): a global window over raw rows is
+    flagged; a global aggregate's merge exchange and a top-N are not.
+    (The old substring rule never fired on formatted plans — the
+    Arguments print on their own line.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agnes_spark.plans import audit_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    global_window = li.select(
+        F.row_number().over(Window.orderBy("l_orderkey")).alias("rn")
+    )
+    assert any(
+        f["rule"] == "single_partition_exchange" for f in audit_plan(global_window)
+    )
+    global_agg = li.agg(F.sum("l_quantity").alias("s"))
+    assert not any(
+        f["rule"] == "single_partition_exchange" for f in audit_plan(global_agg)
+    )
+    topn = li.orderBy("l_orderkey").limit(5)
+    assert not any(
+        f["rule"] == "single_partition_exchange" for f in audit_plan(topn)
+    )
