@@ -96,7 +96,14 @@ EXTRA_QUERIES = [
     "embedding_quantize",
     "quality_classifier",
     "json_variant",
-    # round-6 additions
+    # round-6 additions (incl. the staged-r7 gates)
+    # (stream_band_join stays out: ~7s/run of fixed micro-batch-engine
+    # overhead would bloat the bench wall time; its gate still runs)
+    "scd2_pit_join",
+    "feature_asof_count",
+    "decayed_engagement",
+    "corr_matrix",
+    "compaction_roundtrip",
     "grouping_sets_agg",
     "retention_cohorts",
     "funnel_conversion",
