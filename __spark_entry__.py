@@ -3575,6 +3575,119 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.py
+    weighted_sample_aes — Efraimidis-Spirakis rank keys): 100 docs
+    drawn proportionally to length, reproducible on any engine (the
+    uniform comes from the Knuth hash, not rand()). TakeOrdered over
+    a projection — no RNG state, no rejection loop."""
+    from agnes_spark.operators.sampling import weighted_sample_aes
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_aes(d, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "n_chars", F.round("aes_rank", 8).alias("aes_rank"))
+
+
+def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: per-user hourly value sums on the full
+    January spine, NULL hours linearly interpolated between nearest
+    non-null neighbors (timeseries.py interpolate_linear is the
+    double-typed API, unit-pinned; the gate mirrors it in EXACT
+    integer arithmetic). The 2-decimal source values on n/24 hour
+    fractions park interpolated doubles exactly on .00005 rounding
+    boundaries, where Spark's HALF_UP-on-decimal-repr and DuckDB's
+    binary rounding split — so the compared output is the exact
+    rational (cents numerator, hours denominator): zero FP in the
+    hash. Spine via sequence+explode (no cross-join node); the repair
+    is two IGNORE-NULLS window passes, O(1) state per key."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("v_c"))
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("h"),
+        )
+    )
+    s = spine.join(hourly, ["user_id", "h"], "left")
+    t_h = (F.unix_micros(F.col("h").cast("timestamp")) / 3_600_000_000).cast("long")
+    s = s.withColumn("t_h", t_h)
+    v = F.col("v_c")
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    x = s.select(
+        "user_id",
+        "h",
+        "t_h",
+        v.alias("v_c"),
+        F.last(v, ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(v.isNotNull(), F.col("t_h")), ignorenulls=True)
+        .over(w_prev)
+        .alias("pt"),
+        F.first(v, ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(v.isNotNull(), F.col("t_h")), ignorenulls=True)
+        .over(w_next)
+        .alias("nt"),
+    )
+    return x.filter(
+        F.col("v_c").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    ).select(
+        "user_id",
+        "h",
+        (
+            F.col("pv") * (F.col("nt") - F.col("t_h"))
+            + F.col("nv") * (F.col("t_h") - F.col("pt"))
+        ).alias("v_num_cents"),
+        (F.col("nt") - F.col("pt")).alias("v_den_hours"),
+    )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median extended price per
+    returnflag): cumulative-weight window over a total order, first
+    row at or past half the total weight. Weights are integral
+    doubles, so the half-total comparison is exact on any engine —
+    the portable form of a weighted-percentile UDAF."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    x = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(w_cum).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    )
+    return (
+        x.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("p"), 2).alias("wmedian_price"))
+    )
+
+
 def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling: Shannon entropy (bits) + distinct count of the
     categorical columns a curation pipeline audits before ingest
@@ -3914,6 +4027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": column_entropy,
         "chi2_independence": chi2_independence,
         "corr_matrix": corr_matrix,
+        "weighted_sample_docs": weighted_sample_docs,
+        "interpolate_gaps": interpolate_gaps,
+        "weighted_median_price": weighted_median_price,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4056,6 +4172,49 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT o_orderkey, round(o_totalprice, 2) AS price, "
             "o_orderpriority AS priority FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "weighted_sample_docs": (
+            "SELECT doc_id, n_chars, round(rk, 8) AS aes_rank FROM ("
+            "SELECT doc_id, n_chars, "
+            "power(((doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648.0, "
+            "1.0 / greatest(n_chars, 1.0)) AS rk FROM documents) "
+            "ORDER BY rk DESC, doc_id ASC LIMIT 100"
+        ),
+        "interpolate_gaps": (
+            "WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS v_c "
+            "FROM events WHERE user_id < 20 GROUP BY 1, 2), "
+            "users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20), "
+            "spine AS (SELECT user_id, t.h FROM users, "
+            "generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+            "TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) AS t(h)), "
+            "s AS (SELECT spine.user_id, spine.h, "
+            "epoch_us(spine.h) // 3600000000 AS t_h, hourly.v_c FROM spine "
+            "LEFT JOIN hourly ON spine.user_id = hourly.user_id AND spine.h = hourly.h), "
+            "x AS (SELECT user_id, h, t_h, v_c, "
+            "last_value(v_c IGNORE NULLS) OVER wp AS pv, "
+            "last_value(CASE WHEN v_c IS NOT NULL THEN t_h END IGNORE NULLS) "
+            "OVER wp AS pt, "
+            "first_value(v_c IGNORE NULLS) OVER wn AS nv, "
+            "first_value(CASE WHEN v_c IS NOT NULL THEN t_h END IGNORE NULLS) "
+            "OVER wn AS nt FROM s "
+            "WINDOW wp AS (PARTITION BY user_id ORDER BY h "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "wn AS (PARTITION BY user_id ORDER BY h "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+            "SELECT user_id, h, "
+            "pv * (nt - t_h) + nv * (t_h - pt) AS v_num_cents, "
+            "nt - pt AS v_den_hours "
+            "FROM x WHERE v_c IS NULL AND pv IS NOT NULL AND nv IS NOT NULL"
+        ),
+        "weighted_median_price": (
+            "WITH x AS (SELECT l_returnflag, l_extendedprice AS p, "
+            "sum(l_quantity) OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice, l_orderkey, l_linenumber "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+            "sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw FROM lineitem) "
+            "SELECT l_returnflag, round(min(p), 2) AS wmedian_price "
+            "FROM x WHERE cw >= tw / 2.0 GROUP BY l_returnflag"
         ),
         "column_entropy": (
             "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "

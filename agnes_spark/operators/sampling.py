@@ -174,3 +174,39 @@ def sample_to_budget_scalable(
         )
         out = out.filter(~F.col(strata_col).isin(retry)).unionByName(exact)
     return out
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement via A-ES rank keys
+    (Efraimidis & Spirakis, IPL 2006): each row gets rank
+    u^(1/weight) for u uniform in (0,1); the k largest ranks are a
+    weighted sample without replacement. One TakeOrdered over a pure
+    projection — no per-row RNG state, no rejection loop, and the
+    selection is a deterministic function of (id, weight, seed): any
+    engine that can multiply integers draws the SAME sample, so a
+    resumed/re-run 100 TB job reproduces its sample exactly.
+
+    `u` comes from the Knuth multiplicative hash of (id + seed) —
+    arithmetic, engine-portable (same rationale as
+    stratified_sample_exact) — never from rand().
+    """
+    u = (
+        (F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_M31)) + 0.5)
+        / F.lit(float(_M31))
+    )
+    w = F.greatest(
+        weight_col if not isinstance(weight_col, str) else F.col(weight_col),
+        F.lit(1.0),
+    )
+    rk = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.withColumn("aes_rank", rk)
+        .orderBy(F.col("aes_rank").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -298,3 +298,50 @@ def test_sample_to_budget_scalable_matches_exact(spark, sf_dir):
         ).select("doc_id", "source").collect()
     }
     assert tiny == exact
+
+
+def test_interpolate_linear_fills_between_neighbors(spark):
+    from agnes_spark.operators.timeseries import interpolate_linear
+    from agnes_spark.sources.memory import table
+
+    # dyadic values/positions -> interpolation is FP-exact
+    df = table(
+        spark,
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "t": ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                  "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+                  "2024-01-01 04:00:00",
+                  "2024-01-01 00:00:00", "2024-01-01 01:00:00"],
+            "v": [1.0, None, None, 9.0, None, None, 2.0],
+        },
+        types={"k": "string", "t": "string", "v": "double"},
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = interpolate_linear(df, ["k"], "t", "v")
+    got = {(r.k, str(r.t)): r.v_filled for r in out.collect()}
+    # linear between 1.0 and 9.0 across 3 hours
+    assert got[("a", "2024-01-01 01:00:00")] == 1.0 + 8.0 / 3
+    assert got[("a", "2024-01-01 02:00:00")] == 1.0 + 16.0 / 3
+    # trailing gap (no next neighbor) and leading gap stay NULL
+    assert got[("a", "2024-01-01 04:00:00")] is None
+    assert got[("b", "2024-01-01 00:00:00")] is None
+    # non-null rows pass through untouched
+    assert got[("a", "2024-01-01 03:00:00")] == 9.0
+
+
+def test_weighted_sample_aes_properties(spark, sf_dir):
+    from agnes_spark.operators.sampling import weighted_sample_aes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = weighted_sample_aes(docs, "doc_id", "n_chars", k=50).collect()
+    b = weighted_sample_aes(docs, "doc_id", "n_chars", k=50).collect()
+    # deterministic: identical selection and order on re-run
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 50 and len({r.doc_id for r in a}) == 50
+    # a different seed draws a different sample
+    c = weighted_sample_aes(docs, "doc_id", "n_chars", k=50, seed=7).collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+    # weight bias: the sample's mean length exceeds the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean
