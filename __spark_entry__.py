@@ -3372,6 +3372,28 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GATE_SCRATCH: list[str] = []
+
+
+def _gate_scratch(sub: str) -> str:
+    """Per-process scratch subdirectory for gates that write dataset
+    copies (Z-order / compaction / schema-evolution / bucketed
+    layouts), removed at interpreter exit — repeated gate invocations
+    across bench/test/check processes must not accumulate /tmp copies
+    (same pattern as mlinterop._scratch_dir)."""
+    if not _GATE_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="agnes_gates_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _GATE_SCRATCH.append(d)
+    path = os.path.join(_GATE_SCRATCH[0], sub)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 _ZORDER_SCAN_CACHE: dict[tuple, str] = {}
 
 
@@ -3382,15 +3404,13 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated — the filter must return exactly the rows the straight
     scan would (the layout only moves rows between files; footer
     min/max pruning is what makes it fast at 100 TB)."""
-    import tempfile
-
     from agnes_spark.operators.partitioning import write_zordered
 
     ck = (spark.sparkContext.applicationId, sf_dir)
     path = _ZORDER_SCAN_CACHE.get(ck)
     if path is None:
         ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
-        path = tempfile.mkdtemp(prefix="agnes_zord_") + "/events_z"
+        path = _gate_scratch(f"zord_{os.path.basename(sf_dir.rstrip('/'))}") + "/events_z"
         write_zordered(ev, path, ["user_id", "event_id"], bits=12, num_files=16)
         _ZORDER_SCAN_CACHE[ck] = path
     back = spark.read.parquet(path)
@@ -3418,9 +3438,15 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (spark.sparkContext.applicationId, sf_dir)
     suffix = _BUCKETED_JOIN_CACHE.get(ck)
     if suffix is None:
+        import re as _re
+
         from agnes_spark.operators.partitioning import write_bucketed
 
-        suffix = f"r6_{abs(hash(ck)) % 10**8}"
+        # DETERMINISTIC name from the sf dir (not Python's per-process
+        # salted hash()): reruns overwrite the same two tables instead
+        # of leaking a fresh bucketed copy of orders+customer into the
+        # warehouse per process.
+        suffix = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
         o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
         c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         write_bucketed(o, f"orders_b_{suffix}", ["o_custkey"], num_buckets=8)
@@ -3589,8 +3615,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap repair: per-user hourly value sums on the full
-    January spine, NULL hours linearly interpolated between nearest
+    """Time-series gap repair: per-user hourly value sums on the
+    feed's full hourly spine (Jan 1 00:00 through Jan 30 23:00 — the
+    synthetic feed's final hour), NULL hours linearly interpolated
+    between nearest
     non-null neighbors (timeseries.py interpolate_linear is the
     double-typed API, unit-pinned; the gate mirrors it in EXACT
     integer arithmetic). The 2-decimal source values on n/24 hour
@@ -3854,20 +3882,27 @@ def feature_asof_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed engagement score per user at a fixed
     reference instant (half-life 30 days): recency-weighted activity,
-    the standard ranking/churn feature. One partial-merge aggregate —
-    each row contributes value * 2^(-age/half_life) independently, so
-    the sum is map-side combinable and association-order noise is
-    absorbed by the rounding (pinned by the oracle)."""
+    the standard ranking/churn feature. One partial-merge aggregate.
+
+    The compared value is an EXACT integer: each row's weight is
+    quantized to micro-units (round(2^(-age/30) * 1e6) — a per-row
+    deterministic function of the timestamp) and multiplied by the
+    exact cents value, so the per-user sum is int64 arithmetic with no
+    association-order noise. Summing raw double weights instead would
+    leave the gate one ulp-at-a-.00005-boundary away from a flaky hash
+    mismatch (rounding AMPLIFIES accumulation noise at boundaries; it
+    does not absorb it)."""
     ev = _events(spark, sf_dir)
     ref_us = F.lit(1706745600000000)  # 2024-02-01 UTC, just after the feed
     age_days = (ref_us - F.unix_micros(F.col("ts").cast("timestamp"))) / F.lit(
         86_400_000_000.0
     )
-    weight = F.pow(F.lit(2.0), -age_days / F.lit(30.0))
+    w_micro = F.round(F.pow(F.lit(2.0), -age_days / F.lit(30.0)) * 1e6).cast("long")
+    v_cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * weight), 4).alias("decayed_score"),
+            F.sum(v_cents * w_micro).alias("decayed_cent_micros"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -3883,15 +3918,13 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregated — compaction must move bytes between files without
     touching a single row. The maintenance pass that keeps a
     streaming-ingested 100 TB table scannable."""
-    import tempfile
-
     from agnes_spark.operators.partitioning import compact_small_files
 
     ck = (spark.sparkContext.applicationId, sf_dir)
     out = _COMPACT_CACHE.get(ck)
     if out is None:
         ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
-        base = tempfile.mkdtemp(prefix="agnes_compact_")
+        base = _gate_scratch(f"compact_{os.path.basename(sf_dir.rstrip('/'))}")
         frag, out = base + "/fragmented", base + "/compacted"
         ev.repartition(64).write.mode("overwrite").parquet(frag)
         compact_small_files(spark, frag, out, target_file_bytes=8 * 1024 * 1024)
@@ -3914,15 +3947,13 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, read together under mergeSchema — old rows surface NULL for
     the late column (coalesced to a sentinel so the oracle can pin the
     exact rows). Long-lived ingest directories always end up here."""
-    import tempfile
-
     from agnes_spark.sources.formats import read_parquet_merged
 
     ck = (spark.sparkContext.applicationId, sf_dir)
     paths = _SCHEMA_EVO_CACHE.get(ck)
     if paths is None:
         o = _t(spark, sf_dir, "orders")
-        base = tempfile.mkdtemp(prefix="agnes_schemaevo_")
+        base = _gate_scratch(f"schemaevo_{os.path.basename(sf_dir.rstrip('/'))}")
         p_old, p_new = base + "/b1", base + "/b2"
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
@@ -4176,7 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": (
             "SELECT doc_id, n_chars, round(rk, 8) AS aes_rank FROM ("
             "SELECT doc_id, n_chars, "
-            "power(((doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648.0, "
+            "power((((doc_id % 2147483648) * 2654435761) % 2147483648 + 0.5) / 2147483648.0, "
             "1.0 / greatest(n_chars, 1.0)) AS rk FROM documents) "
             "ORDER BY rk DESC, doc_id ASC LIMIT 100"
         ),
@@ -4274,9 +4305,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decayed_engagement": (
             "SELECT user_id, "
-            "round(sum(value * power(CAST(2.0 AS DOUBLE), "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT) "
+            "* CAST(round(power(CAST(2.0 AS DOUBLE), "
             "-((1706745600000000 - epoch_us(ts)) / CAST(86400000000.0 AS DOUBLE)) "
-            "/ CAST(30.0 AS DOUBLE))), 4) AS decayed_score, "
+            "/ CAST(30.0 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS decayed_cent_micros, "
             "count(*) AS n_events "
             "FROM events GROUP BY user_id"
         ),

@@ -196,8 +196,18 @@ def weighted_sample_aes(
     arithmetic, engine-portable (same rationale as
     stratified_sample_exact) — never from rand().
     """
+    # pmod BEFORE the multiply (same pattern as stratified_sample_exact):
+    # the product is then bounded by 2^31 * KNUTH < int64 max, where
+    # (id + seed) * KNUTH overflows under ANSI mode for ids >= ~3.47e9 —
+    # exactly the id range a 100 TB corpus reaches.
     u = (
-        (F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_M31)) + 0.5)
+        (
+            F.pmod(
+                F.pmod(F.col(id_col) + F.lit(seed), F.lit(_M31)) * F.lit(_KNUTH),
+                F.lit(_M31),
+            )
+            + 0.5
+        )
         / F.lit(float(_M31))
     )
     w = F.greatest(

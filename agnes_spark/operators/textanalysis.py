@@ -155,6 +155,11 @@ def winnow_fingerprints(
     return df.withColumn(out_col, _win(F.col(text_col)))
 
 
+# at most ONE cached exploded-fingerprint frame per process — see
+# winnow_overlap_pairs
+_WINNOW_FP_LAST: list = []
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -177,35 +182,41 @@ def winnow_overlap_pairs(
     m^2/2 pair rows — hot boilerplate fingerprints are the skew to
     watch; cap them upstream with a document-frequency filter if the
     corpus has mirrored headers (the interdoc_repetition signal).
+
+    Each doc's fingerprint COUNT is taken from the array before the
+    explode and rides both join sides, so there is no separate sizes
+    pass to join back. The exploded frame is persisted so the winnow
+    UDF runs once, not once per self-join side (ReuseExchange does not
+    canonicalize the two aliased subplans equal here, verified on the
+    executed adaptive plan) — and the cache is BOUNDED: each call
+    releases the previous call's frame, so a long-lived session holds
+    at most one fingerprint cache regardless of call count. (A
+    localCheckpoint variant was rejected: it made plan CONSTRUCTION
+    eagerly run the whole job and left unreleasable blocks.)
     """
-    fp = (
-        winnow_fingerprints(df, text_col, k=k, w=w)
-        .select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    fp = winnow_fingerprints(df, text_col, k=k, w=w).select(
+        F.col(id_col),
+        F.size("fingerprints").alias("n_fp"),
+        F.explode("fingerprints").alias("fp"),
     ).persist()
-    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    pairs = (
+    while _WINNOW_FP_LAST:
+        _WINNOW_FP_LAST.pop().unpersist()
+    _WINNOW_FP_LAST.append(fp)
+    return (
         fp.alias("x")
         .join(fp.alias("y"), "fp")
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .groupBy(
             F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
         )
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_fp"),
+            F.max("x.n_fp").alias("a_fp"),
+            F.max("y.n_fp").alias("b_fp"),
+        )
         .filter(F.col("shared_fp") >= min_shared)
+        .select("a_id", "b_id", "shared_fp", "a_fp", "b_fp")
     )
-    a_sz = sizes.select(F.col(id_col).alias("a_id"), F.col("n_fp").alias("a_fp"))
-    b_sz = sizes.select(F.col(id_col).alias("b_id"), F.col("n_fp").alias("b_fp"))
-    out = pairs.join(a_sz, "a_id").join(b_sz, "b_id").select(
-        "a_id", "b_id", "shared_fp", "a_fp", "b_fp"
-    )
-    # Materialize the (small) pair result eagerly so the exploded
-    # fingerprint cache can be released here — otherwise every call in a
-    # long-lived session leaks fp's cached partitions with no handle for
-    # the caller to free them. localCheckpoint is eager and the result
-    # stays valid after the unpersist.
-    out = out.localCheckpoint()
-    fp.unpersist()
-    return out
 
 
 def tfidf_top_terms(

@@ -84,9 +84,14 @@ _SP_OK_ANCESTOR = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
 
 def _single_partition_findings(p: str) -> list[dict]:
     """SinglePartition exchanges that are NOT a global-aggregate merge
-    (child is a partial HashAggregate — only partials cross the wire)
-    and NOT under a top-N/limit. What remains funnels the full input
-    through one task — a global window/sort over unaggregated data."""
+    and NOT under a top-N/limit. The agg-merge test is on the
+    exchange's PARENT (the final aggregate consuming it) combined with
+    an aggregate child (the partial producing it): a child-only test
+    also matched FINAL grouped aggregates feeding a global window —
+    i.e. the whole grouped result through one task, the exact
+    anti-pattern this rule exists to catch. What remains after both
+    exemptions funnels unaggregated (or fully-grouped) data through a
+    single task."""
     sp_ids = {
         int(m.group(1))
         for m in re.finditer(
@@ -102,9 +107,14 @@ def _single_partition_findings(p: str) -> list[dict]:
         if node is None:
             continue
         child_names = [nodes[c]["name"] for c in node["children"]]
-        if any(n.startswith(_SP_OK_CHILD) for n in child_names):
+        parent = node["parent"]
+        parent_name = nodes[parent]["name"] if parent is not None else ""
+        is_agg_merge = parent_name.startswith(_SP_OK_CHILD) and any(
+            n.startswith(_SP_OK_CHILD) for n in child_names
+        )
+        if is_agg_merge:
             continue
-        anc, cur = [], node["parent"]
+        anc, cur = [], parent
         while cur is not None:
             anc.append(nodes[cur]["name"])
             cur = nodes[cur]["parent"]
@@ -114,8 +124,8 @@ def _single_partition_findings(p: str) -> list[dict]:
             "rule": "single_partition_exchange",
             "detail": (
                 f"Exchange ({nid}) SinglePartition feeding "
-                f"{child_names or 'unknown'} outside agg-merge/top-N — "
-                "one-task bottleneck"
+                f"{child_names or 'unknown'} into {parent_name or 'root'} "
+                "outside agg-merge/top-N — one-task bottleneck"
             ),
         })
     return out

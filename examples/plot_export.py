@@ -75,12 +75,15 @@ def main() -> None:
     )
 
     for name, df in (("histogram", hist), ("monthly", monthly), ("segments", segments)):
-        # tiny aggregates -> single file each, in both formats
+        # tiny aggregates -> cache so the JSON write, CSV write, and
+        # count share ONE computation, then single file each
+        df = df.persist()
         df.coalesce(1).write.mode("overwrite").json(f"{out_base}/{name}_json")
         df.coalesce(1).write.mode("overwrite").option("header", True).csv(
             f"{out_base}/{name}_csv"
         )
         print(f"{name}: {df.count()} rows -> {out_base}/{name}_{{json,csv}}")
+        df.unpersist()
     print(f"plot payloads at {out_base}")
 
 

@@ -189,14 +189,24 @@ AUDIT_BNLJ_ALLOWED = {
 }
 
 
-# Keys whose plans legitimately funnel through one task: a global
-# window over a DIMENSION table (window_distribution ranks supplier —
-# bounded), and the deterministic-global-order check twin (total
-# positions ARE its semantics). Any other key growing a SinglePartition
-# exchange outside agg-merge/top-N fails.
+# Keys whose plans legitimately funnel through one task. Two classes:
+# a global window over a DIMENSION table (window_distribution ranks
+# supplier) or over an ALREADY-AGGREGATED cardinality-bounded frame
+# (daily revenue <= calendar days, per-value counts <= distinct
+# values, contingency cells <= |priorities|x|statuses|, per-supplier
+# revenue <= suppliers — q15 keeps the max in the same accumulation
+# deliberately, so both sides of its equality filter round
+# identically); and the deterministic-global-order check twin, whose
+# total positions ARE its semantics. Any other key growing a
+# SinglePartition exchange outside agg-merge/top-N fails.
 AUDIT_SP_ALLOWED = {
     "window_distribution",
     "check_shuffle_deterministic",
+    "revenue_dod_delta",
+    "column_entropy",
+    "chi2_independence",
+    "q15_top_supplier",
+    "rolling_7d_revenue",
 }
 
 
@@ -244,6 +254,18 @@ def test_single_partition_rule_fires_and_clears(spark, sf_dir):
     global_agg = li.agg(F.sum("l_quantity").alias("s"))
     assert not any(
         f["rule"] == "single_partition_exchange" for f in audit_plan(global_agg)
+    )
+    # a FINAL grouped aggregate feeding a global window is NOT an
+    # agg-merge: the whole grouped result crosses one task (the
+    # child-only exemption this replaced missed exactly this case)
+    grouped_then_window = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .select(F.row_number().over(Window.orderBy("s")).alias("rn"))
+    )
+    assert any(
+        f["rule"] == "single_partition_exchange"
+        for f in audit_plan(grouped_then_window)
     )
     topn = li.orderBy("l_orderkey").limit(5)
     assert not any(
