@@ -3445,8 +3445,22 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DETERMINISTIC name from the sf dir (not Python's per-process
         # salted hash()): reruns overwrite the same two tables instead
         # of leaking a fresh bucketed copy of orders+customer into the
-        # warehouse per process.
+        # warehouse per process. The in-memory catalog forgets tables
+        # between processes while the managed directory survives, so
+        # creation would fail with LOCATION_ALREADY_EXISTS — drop any
+        # registration AND delete the orphan location first.
         suffix = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        for t in (f"orders_b_{suffix}", f"cust_b_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(wh, t))
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
         o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
         c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         write_bucketed(o, f"orders_b_{suffix}", ["o_custkey"], num_buckets=8)
