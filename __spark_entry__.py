@@ -3985,6 +3985,164 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_WORDS_CACHE: dict[tuple, list] = {}
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloomjoin.py): prune
+    lineitem against a 2^14-bit Bloom filter of the filtered orders
+    keys BEFORE the join shuffle — the explicit form of Spark's
+    InjectRuntimeFilter for when the dimension's surviving key set is
+    too big to broadcast exactly but its bitset is not. The exact join
+    after the probe removes Bloom false positives, so the result is
+    bit-identical to the plain join (the oracle IS the plain join).
+    shuffle_hash hint keeps the join a shuffle join — the regime where
+    pre-exchange pruning pays (with a broadcast join there is no fact
+    shuffle to save); at sf0.01 the probe drops 60k fact rows to ~1.5k
+    before the exchange."""
+    from agnes_spark.operators.bloomjoin import bloom_might_contain, build_bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-03-01")
+    )
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    words = _BLOOM_WORDS_CACHE.get(ck)
+    if words is None:
+        words = build_bloom(o, "o_orderkey", num_bits=1 << 14, num_hashes=5)
+        _BLOOM_WORDS_CACHE[ck] = words
+    pruned = li.filter(
+        bloom_might_contain(F.col("l_orderkey"), words, 1 << 14, 5)
+    )
+    j = pruned.join(o.hint("shuffle_hash"), pruned["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+_PART_WRITE_CACHE: dict[tuple, str] = {}
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout end to end: orders written
+    partitionBy(o_year), read back with a year predicate — the scan
+    must list ONLY the matching partition directory (PartitionFilters
+    on the scan, pinned in tests/test_plans.py). The foundational
+    100 TB layout move: date-partitioned tables turn full scans into
+    single-partition reads before a single row is decoded. Bit-exact
+    vs the unpartitioned filter, which is what the oracle runs."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    path = _PART_WRITE_CACHE.get(ck)
+    if path is None:
+        o = _t(spark, sf_dir, "orders")
+        path = _gate_scratch(f"partw_{os.path.basename(sf_dir.rstrip('/'))}") + "/orders_by_year"
+        o.withColumn("o_year", F.year("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(path)
+        _PART_WRITE_CACHE[ck] = path
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    return back.groupBy(F.month("o_orderdate").cast("long").alias("mo")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over each user's event sequence: lag
+    over the total order (ts, event_id), then one count aggregate;
+    per-source totals come from a window over the tiny (from, to)
+    count frame, not a second scan. Output is all-integer (n, n_from)
+    so the transition probabilities n/n_from are exact on any engine.
+    Sequence analytics a behavioral pipeline derives session models
+    from."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.withColumn("n_from", F.sum("n").over(w_from))
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-building analytics: the cumulative corpus coverage of
+    the top-100 vocabulary terms (rank, term frequency, running total,
+    corpus total — all exact integers). The curve that picks a vocab
+    size V by 'what fraction of tokens does top-V cover'. One flatten +
+    one count agg; the cumulative window runs over the VOCAB frame
+    (bounded by distinct-term count), never the corpus."""
+    from pyspark.sql import Window
+
+    from agnes_spark.functions import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    return (
+        vocab.select(
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("n").desc(), F.col("word").asc()))
+            .cast("long")
+            .alias("rank"),
+            "word",
+            "n",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_all).alias("total_n"),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median absolute
+    deviation in exact cents (integer inputs keep Spark percentile and
+    DuckDB quantile_cont bit-identical), flagging prices beyond the
+    standard 3 * 1.4826 * MAD band. Three bounded aggregation passes
+    (median -> MAD -> flags) with the tiny per-group medians broadcast
+    back; at 100 TB the approx_percentiles gate is the one-pass sketch
+    path, this is the exact form."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("adev", 0.5).alias("mad_cents")
+    )
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority")
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med_cents").alias("med_cents"),
+        F.min("mad_cents").alias("mad_cents"),
+        F.sum(
+            (F.col("adev") > 3.0 * 1.4826 * F.col("mad_cents")).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4075,6 +4233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "interpolate_gaps": interpolate_gaps,
         "weighted_median_price": weighted_median_price,
+        "bloom_pruned_join": bloom_pruned_join,
+        "partitioned_write_prune": partitioned_write_prune,
+        "transition_matrix": transition_matrix,
+        "vocab_coverage": vocab_coverage,
+        "mad_outliers": mad_outliers,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4260,6 +4423,61 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw FROM lineitem) "
             "SELECT l_returnflag, round(min(p), 2) AS wmedian_price "
             "FROM x WHERE cw >= tw / 2.0 GROUP BY l_returnflag"
+        ),
+        # the Bloom probe's false positives are removed by the exact
+        # join, so the oracle is the PLAIN join — bit-equality here is
+        # the whole point of semi-join *reduction*
+        "bloom_pruned_join": (
+            "SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-03-01' "
+            "GROUP BY 1"
+        ),
+        # partition layout must move rows between directories only —
+        # the pruned read equals the unpartitioned filter
+        "partitioned_write_prune": (
+            "SELECT CAST(month(o_orderdate) AS BIGINT) AS mo, "
+            "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1"
+        ),
+        "transition_matrix": (
+            "WITH seq AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS from_type FROM events), "
+            "pairs AS (SELECT from_type, event_type AS to_type, count(*) AS n "
+            "FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from FROM pairs"
+        ),
+        "vocab_coverage": (
+            "WITH vocab AS (SELECT word, count(*) AS n FROM ("
+            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents) WHERE word <> '' GROUP BY word) "
+            "SELECT rank, word, n, cum_n, total_n FROM ("
+            "SELECT word, n, "
+            "CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rank, "
+            "CAST(sum(n) OVER (ORDER BY n DESC, word ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, "
+            "CAST(sum(n) OVER () AS BIGINT) AS total_n FROM vocab) WHERE rank <= 100"
+        ),
+        # integer cents keep quantile_cont/percentile bit-identical
+        # across engines (interpolated halves/quarters are exact)
+        "mad_outliers": (
+            "WITH c AS (SELECT o_orderpriority, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+            "med AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med_cents "
+            "FROM c GROUP BY 1), "
+            "dev AS (SELECT c.o_orderpriority, c.cents, med.med_cents, "
+            "abs(c.cents - med.med_cents) AS adev FROM c JOIN med USING (o_orderpriority)), "
+            "mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad_cents "
+            "FROM dev GROUP BY 1) "
+            "SELECT dev.o_orderpriority, count(*) AS n, "
+            "min(dev.med_cents) AS med_cents, min(mad.mad_cents) AS mad_cents, "
+            "CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad_cents "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1"
         ),
         "column_entropy": (
             "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "

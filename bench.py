@@ -100,6 +100,11 @@ EXTRA_QUERIES = [
     # (stream_band_join stays out: ~7s/run of fixed micro-batch-engine
     # overhead would bloat the bench wall time; its gate still runs)
     "scd2_pit_join",
+    "bloom_pruned_join",
+    "partitioned_write_prune",
+    "transition_matrix",
+    "vocab_coverage",
+    "mad_outliers",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

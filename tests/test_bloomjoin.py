@@ -1,0 +1,79 @@
+"""Bloom semi-join reduction: no false negatives, exact join parity,
+and the sizing contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agnes_spark.operators.bloomjoin import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+def test_no_false_negatives(spark, sf_dir):
+    """Every dimension key must pass its own filter's probe — a false
+    negative would silently drop matching fact rows."""
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+    words = build_bloom(dim, "o_orderkey", num_bits=1 << 12, num_hashes=4)
+    missed = dim.filter(
+        ~bloom_might_contain(F.col("o_orderkey"), words, 1 << 12, 4)
+    ).count()
+    assert missed == 0
+
+
+def test_join_parity_with_plain_join(spark, sf_dir):
+    """bloom_semi_join == plain join, row for row (false positives are
+    removed by the exact join stage)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    got = (
+        bloom_semi_join(li, o, "l_orderkey", "o_orderkey", 1 << 13, 5)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("s"),
+        )
+        .first()
+    )
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("s"))
+        .first()
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"]) and want["n"] > 0
+
+
+def test_probe_prunes_most_nonmatching_rows(spark, sf_dir):
+    """With sane sizing the false-positive leakage is a sliver: the
+    pruned fact side must be far closer to the true match count than
+    to the full table (this is the reduction that saves the shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-03-01")
+    )
+    words = build_bloom(o, "o_orderkey", num_bits=1 << 14, num_hashes=5)
+    total = li.count()
+    pruned = li.filter(
+        bloom_might_contain(F.col("l_orderkey"), words, 1 << 14, 5)
+    ).count()
+    true_matches = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert pruned < total * 0.10
+    assert pruned - true_matches <= 0.01 * total  # fp leakage < 1% of the table
+
+
+def test_word_count_is_bounded_not_data_sized(spark):
+    """The driver-side artifact is num_bits/64 longs regardless of how
+    many keys went in."""
+    dim = spark.range(10_000).withColumnRenamed("id", "k")
+    words = build_bloom(dim, "k", num_bits=1 << 12, num_hashes=3)
+    assert len(words) == (1 << 12) // 64
+
+
+def test_num_bits_must_be_word_aligned(spark):
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(dim, "k", num_bits=100)

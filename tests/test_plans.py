@@ -207,6 +207,7 @@ AUDIT_SP_ALLOWED = {
     "chi2_independence",
     "q15_top_supplier",
     "rolling_7d_revenue",
+    "vocab_coverage",  # global cum-sum window over the VOCAB frame (bounded by distinct terms)
 }
 
 
@@ -271,3 +272,71 @@ def test_single_partition_rule_fires_and_clears(spark, sf_dir):
     assert not any(
         f["rule"] == "single_partition_exchange" for f in audit_plan(topn)
     )
+
+
+def _detail_block(p: str, nid: int) -> str:
+    """The detail section for node `nid` in a formatted plan (from
+    '(nid) Name' to the next '(n) ' header)."""
+    import re
+
+    m = re.search(rf"^\({nid}\) .*?$", p, re.M)
+    if not m:
+        return ""
+    rest = p[m.end():]
+    nxt = re.search(r"^\(\d+\) ", rest, re.M)
+    return rest[: nxt.start()] if nxt else rest
+
+
+def test_bloom_probe_prunes_before_join_shuffle(spark, sf_dir):
+    """The Bloom probe must run BELOW the fact side's join exchange —
+    pruning after the shuffle would ship the rows it exists to drop.
+    Pinned structurally: a Filter whose condition carries the xxhash64
+    probe has an Exchange ancestor which has the ShuffledHashJoin as
+    its own ancestor."""
+    import re
+
+    from agnes_spark.plans import _plan_tree, has_cartesian, plan_string
+
+    df = entry.bloom_pruned_join(spark, sf_dir)
+    assert not has_cartesian(df)
+    p = plan_string(df)
+    assert "ShuffledHashJoin" in p  # the hint held: shuffle join regime
+    tree = _plan_tree(p)
+    bloom_filters = [
+        nid
+        for nid, n in tree.items()
+        if n["name"] == "Filter" and "xxhash64" in _detail_block(p, nid)
+    ]
+    assert bloom_filters, "bloom probe filter missing from the plan"
+
+    def ancestors(nid):
+        out = []
+        cur = tree[nid]["parent"]
+        while cur is not None:
+            out.append(cur)
+            cur = tree[cur]["parent"]
+        return out
+
+    ok = False
+    for f in bloom_filters:
+        anc = ancestors(f)
+        exchanges = [a for a in anc if tree[a]["name"].startswith("Exchange")]
+        for e in exchanges:
+            if any(
+                tree[a]["name"].startswith("ShuffledHashJoin")
+                for a in ancestors(e)
+            ):
+                ok = True
+    assert ok, "bloom probe is not below the join exchange"
+
+
+def test_partitioned_gate_scan_prunes_directories(spark, sf_dir):
+    """The partitioned_write_prune gate's read-back scan must carry
+    the o_year partition predicate as PartitionFilters (directory
+    pruning), not as a post-scan Filter."""
+    from agnes_spark.plans import plan_string
+
+    df = entry.partitioned_write_prune(spark, sf_dir)
+    p = plan_string(df)
+    assert "PartitionFilters" in p
+    assert "o_year" in p.split("PartitionFilters")[1][:200]
