@@ -4143,6 +4143,97 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _copurchase_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (parts in the same
+    order, both directions, distinct): 12 fixed rounds, tol=0 so the
+    parity twin's numpy reference can follow the identical schedule.
+    Result frame cached per (app, sf_dir) — it is the terminal frame of
+    an iterative job; gate and twin must not re-run 12 rounds each."""
+    from agnes_spark.operators.graph import pagerank
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    out = _PAGERANK_CACHE.get(ck)
+    if out is None:
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .distinct()
+        )
+        out = pagerank(edges, max_iter=12, tol=0.0)
+        _PAGERANK_CACHE[ck] = out
+    return out
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of parts in the co-purchase graph
+    (operators/graph.py pagerank) — the iterative-algorithm class
+    (beyond connected components) a crawl-prioritization or
+    domain-ranking pipeline runs at corpus scale. Rank values are
+    iterative floating point, so the driver check is rows-only; the
+    real gate is check_pagerank_parity, which pins every rank against
+    an independent numpy power iteration."""
+    ranks = _copurchase_ranks(spark, sf_dir)
+    return (
+        ranks.select(F.col("id").alias("part_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("part_id").asc())
+        .limit(50)
+    )
+
+
+def check_pagerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-relation twin for pagerank_copurchase: recompute the SAME
+    12-round schedule with an independent numpy power iteration on the
+    collected edge list (bounded: distinct co-purchase pairs, ~240k
+    directed edges / ~4 MB at sf0.01 — same documented-bound collect
+    class as connected_components_auto) and emit every node whose
+    Spark rank differs by more than 1e-6. Must be empty: float sum
+    order is the only divergence source and the damping contraction
+    keeps it orders of magnitude below the gate."""
+    import numpy as np
+
+    ranks = _copurchase_ranks(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .collect()
+    )
+    ids = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
+    idx = {n: i for i, n in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for r in edges:
+        deg[idx[r["src"]]] += 1
+    src_i = np.array([idx[r["src"]] for r in edges])
+    dst_i = np.array([idx[r["dst"]] for r in edges])
+    rank = np.ones(n)
+    d = 0.85
+    for _ in range(12):
+        dangling = rank[deg == 0].sum()
+        new = np.full(n, 1.0 - d) + d * dangling / n
+        np.add.at(new, dst_i, d * rank[src_i] / deg[src_i])
+        rank = new
+    ref = spark.createDataFrame(
+        [(int(i), float(rank[idx[i]])) for i in ids], "id long, ref_rank double"
+    )
+    return (
+        ranks.join(ref, "id")
+        .filter(F.abs(F.col("rank") - F.col("ref_rank")) > 1e-6)
+        .select("id", "rank", "ref_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4238,6 +4329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": transition_matrix,
         "vocab_coverage": vocab_coverage,
         "mad_outliers": mad_outliers,
+        "pagerank_copurchase": pagerank_copurchase,
+        "check_pagerank_parity": check_pagerank_parity,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5068,6 +5161,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id, "
             "CAST(NULL AS BIGINT) AS shared_fp, CAST(NULL AS BIGINT) AS a_fp, "
             "CAST(NULL AS BIGINT) AS b_fp WHERE 1=0"
+        ),
+        "check_pagerank_parity": (
+            "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rank, "
+            "CAST(NULL AS DOUBLE) AS ref_rank WHERE 1=0"
         ),
         "check_stream_neardup_parity": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS a_id, "

@@ -292,3 +292,112 @@ def canonical_per_cluster(
     clustered = components.select(F.col("id").alias(id_col))
     unclustered = docs.join(clustered, id_col, "left_anti").select(id_col)
     return docs.join(reps.unionByName(unclustered), id_col, "left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over an edge DataFrame; returns
+    (id, rank) normalized so sum(rank) == node count.
+
+    Per-round shape (same discipline as connected_components): ONE
+    materializing job — the contribution join + per-dst sum, with the
+    convergence signal (max |rank delta|) and the next round's dangling
+    mass riding the action as observed metrics, never separate jobs.
+    Lineage is truncated with localCheckpoint every 3rd round (rank
+    plans grow ~3x/round; see the module docstring for why unbounded
+    lineage kills iterative DataFrame jobs). Shuffles are bounded by
+    the edge partitioning on src/dst — nothing ever single-partitions.
+
+    Dangling nodes (no out-edges) have their mass redistributed
+    uniformly each round, the standard correction — so the rank sum is
+    conserved at N for any graph. tol=0 disables early exit (all
+    max_iter rounds run; useful when a twin implementation must follow
+    the exact same schedule). Rounds needed in practice: ~20 for 1e-6
+    on web-like graphs; co-occurrence graphs converge faster.
+    """
+    d = float(damping)
+    e0 = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    outdeg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = (
+        e0.join(outdeg, "u")
+        .select("u", "v", "deg")
+        .repartition("u")
+        .persist()
+    )
+    base = (
+        nodes.join(outdeg, nodes.id == outdeg.u, "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .persist()
+    )
+    n_nodes = base.count()  # one job; also materializes base and e's build side
+    if n_nodes == 0:
+        e.unpersist()
+        base.unpersist()
+        return nodes.withColumn("rank", F.lit(1.0))
+    dangling_mass = float(
+        base.filter(F.col("deg") == 0).count()
+    )  # initial ranks are all 1.0
+    ranks = base.withColumn("rank", F.lit(1.0))
+    prev_persisted: DataFrame | None = None
+    for i in range(max_iter):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        obs = Observation()
+        new_ranks = (
+            ranks.join(contrib, ranks.id == contrib.v, "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d)
+                    * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling_mass / n_nodes))
+                ).alias("rank"),
+                F.col("rank").alias("__old"),
+            )
+            .withColumn("__delta", F.abs(F.col("rank") - F.col("__old")))
+            .observe(
+                obs,
+                F.max("__delta").alias("max_delta"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                    "dangling"
+                ),
+            )
+            .drop("__old", "__delta")
+            .persist()
+        )
+        new_ranks.count()  # the round's one job: caches ranks + fires the observation
+        metrics = obs.get
+        max_delta = float(metrics["max_delta"] or 0.0)
+        dangling_mass = float(metrics["dangling"] or 0.0)
+        if i % 3 == 2:
+            nxt = new_ranks.localCheckpoint()
+            new_ranks.unpersist()
+        else:
+            nxt = new_ranks
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = nxt
+        ranks = nxt
+        if tol > 0 and max_delta < tol:
+            break
+    e.unpersist()
+    base.unpersist()
+    return ranks.select("id", "rank")

@@ -132,3 +132,43 @@ def test_connected_components_auto_matches_iterative(spark, sf_dir):
     }
     assert big == it
     pairs.unpersist()
+
+
+def test_pagerank_known_graph(spark):
+    """Hand-checkable graph incl. a dangling node: ranks match an
+    independent dense power iteration to 1e-9 and sum to N."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges, max_iter=40, tol=0).collect()}
+    assert abs(sum(got.values()) - 4.0) < 1e-9  # mass conserved w/ dangling node
+
+    ids = [1, 2, 3, 4]
+    out = {1: [2, 4], 2: [3], 3: [1], 4: []}
+    r = np.ones(4)
+    d = 0.85
+    for _ in range(40):
+        dang = sum(r[i] for i, n in enumerate(ids) if not out[n])
+        new = np.full(4, 1 - d) + d * dang / 4
+        for i, n in enumerate(ids):
+            for m in out[n]:
+                new[ids.index(m)] += d * r[i] / len(out[n])
+        r = new
+    for i, n in enumerate(ids):
+        assert abs(got[n] - r[i]) < 1e-9
+
+
+def test_pagerank_converges_and_early_exits(spark):
+    """With tol > 0 the loop exits before max_iter on a graph that
+    converges fast (symmetric cycle: stationary immediately)."""
+    from agnes_spark.operators.graph import pagerank
+
+    # 2-cycle: ranks are exactly 1.0 forever -> delta 0 after round 1
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, max_iter=30, tol=1e-9).collect()}
+    assert got == {1: 1.0, 2: 1.0}
