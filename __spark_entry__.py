@@ -4234,6 +4234,113 @@ def check_pagerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over irregular event times
+    (the TWAP every telemetry/market pipeline computes): each value is
+    weighted by its holding duration to the NEXT event (lead over the
+    total order (ts, event_id)); the last event has no duration and
+    drops out. One window pass + one aggregate — per-user state is two
+    running sums."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dur = (F.lead(us).over(w) - us).cast("double")
+    return (
+        ev.withColumn("dur_us", dur)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4).alias(
+                "twap"
+            ),
+        )
+    )
+
+
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling of the event value stream to hourly candles:
+    open/close via row_number over the total order (ts, event_id)
+    inside each bucket (unique tiebreak makes both engines pick the
+    same row), high/low/volume as plain aggregates. The windows
+    partition by the hour bucket — no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("hour").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_d = Window.partitionBy("hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = x.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return marked.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+    )
+
+
+def order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of consecutive
+    ORDER-DAYS (distinct days with an order, islands found by the
+    day - row_number trick — consecutive days share one anchor).
+    Windows partition by customer; island sizes aggregate from the
+    distinct-day frame, never the raw fact table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    per_island = islands.groupBy("o_custkey", "anchor").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(F.max("streak").alias("max_streak"), F.count(F.lit(1)).alias("n_islands"))
+        .filter(F.col("max_streak") >= 2)
+    )
+
+
+def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the 2-itemset core of FP-growth):
+    parts co-ordered in the same order, counted across orders, with a
+    minimum-support cut. The pair generation is an equi self-join on
+    the order key (never cross-order), bounded by lines-per-order^2;
+    the support filter keeps the output to the heavy tail."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4331,6 +4438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": mad_outliers,
         "pagerank_copurchase": pagerank_copurchase,
         "check_pagerank_parity": check_pagerank_parity,
+        "twap_user": twap_user,
+        "ohlc_hourly": ohlc_hourly,
+        "order_streaks": order_streaks,
+        "frequent_itempairs": frequent_itempairs,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5165,6 +5276,43 @@ def oracle_sql() -> dict[str, str]:
         "check_pagerank_parity": (
             "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rank, "
             "CAST(NULL AS DOUBLE) AS ref_rank WHERE 1=0"
+        ),
+        "twap_user": (
+            "WITH d AS (SELECT user_id, value, "
+            "CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "- epoch_us(ts) AS DOUBLE) AS dur_us FROM events) "
+            "SELECT user_id, count(*) AS n_held, "
+            "round(sum(value * dur_us) / sum(dur_us), 4) AS twap "
+            "FROM d WHERE dur_us IS NOT NULL GROUP BY user_id"
+        ),
+        "ohlc_hourly": (
+            "WITH x AS (SELECT date_trunc('hour', ts) AS hour, ts, event_id, value, "
+            "row_number() OVER (PARTITION BY date_trunc('hour', ts) "
+            "ORDER BY ts ASC, event_id ASC) AS rn_a, "
+            "row_number() OVER (PARTITION BY date_trunc('hour', ts) "
+            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM events) "
+            "SELECT hour, count(*) AS n, "
+            "round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open, "
+            "round(max(value), 2) AS high, round(min(value), 2) AS low, "
+            "round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close "
+            "FROM x GROUP BY hour"
+        ),
+        "order_streaks": (
+            "WITH days AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day "
+            "FROM orders), "
+            "islands AS (SELECT o_custkey, day - CAST(row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY day) AS INTEGER) AS anchor FROM days), "
+            "per_island AS (SELECT o_custkey, anchor, count(*) AS streak "
+            "FROM islands GROUP BY 1, 2) "
+            "SELECT o_custkey, max(streak) AS max_streak, count(*) AS n_islands "
+            "FROM per_island GROUP BY 1 HAVING max(streak) >= 2"
+        ),
+        "frequent_itempairs": (
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2 "
+            "ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 100"
         ),
         "check_stream_neardup_parity": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS a_id, "

@@ -108,6 +108,10 @@ EXTRA_QUERIES = [
     "transition_matrix",
     "vocab_coverage",
     "mad_outliers",
+    "twap_user",
+    "ohlc_hourly",
+    "order_streaks",
+    "frequent_itempairs",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",
