@@ -4341,6 +4341,89 @@ def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_tpch_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register parquet tables as temp views for SQL-surface gates
+    (idempotent; names match the oracle's DuckDB views)."""
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 WITH RECURSIVE (new SQL surface): walk each
+    customer's order chain (orders as a linked list ordered by
+    (date, key)) accumulating a running total in exact cents. The
+    chain step is an equi join per recursion round, rounds bounded by
+    the deepest chain — the shape of BOM/graph-walk workloads. The
+    oracle runs the IDENTICAL recursion on DuckDB; cents keep the
+    accumulation engine-exact."""
+    _register_tpch_views(spark, sf_dir, "orders")
+    sql = """
+    WITH RECURSIVE chain AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS step
+      FROM orders
+    ),
+    walk AS (
+      SELECT o_custkey, o_orderkey, step, cents AS running_cents
+      FROM chain WHERE step = 1
+      UNION ALL
+      SELECT c.o_custkey, c.o_orderkey, c.step,
+             w.running_cents + c.cents
+      FROM walk w JOIN chain c
+        ON c.o_custkey = w.o_custkey AND c.step = w.step + 1
+    )
+    SELECT o_custkey, o_orderkey, CAST(step AS BIGINT) AS step, running_cents
+    FROM walk
+    """
+    return spark.sql(sql)
+
+
+def session_variable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE/SET VARIABLE): the
+    parameterized-query surface — a threshold variable drives the
+    filter, the plan sees it folded as a literal (so pushdown still
+    happens). Oracle is the same SQL with the literal inlined."""
+    _register_tpch_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE agnes_thr DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE agnes_thr = 250000.0")
+    return spark.sql(
+        "SELECT o_orderpriority, count(*) AS n_big, "
+        "round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders WHERE o_totalprice > agnes_thr GROUP BY o_orderpriority"
+    )
+
+
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN ... END with DECLAREd variables):
+    a compound statement computes corpus totals into variables, then
+    the final SELECT buckets orders above/below the mean price. The
+    script's last statement is the result relation. The mean
+    comparison is cross-multiplied exact integers (cents * n >=
+    total_cents) — no floating-point boundary for the two engines to
+    disagree on. Oracle: the same logic with scalar subqueries in
+    place of the variables."""
+    _register_tpch_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total_cents BIGINT;
+          DECLARE n_orders BIGINT;
+          SET total_cents =
+            (SELECT sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) FROM orders);
+          SET n_orders = (SELECT count(*) FROM orders);
+          SELECT CASE WHEN CAST(round(o_totalprice * 100.0) AS BIGINT) * n_orders
+                        >= total_cents
+                      THEN 'above' ELSE 'below' END AS bucket,
+                 count(*) AS n,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1;
+        END
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4442,6 +4525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly": ohlc_hourly,
         "order_streaks": order_streaks,
         "frequent_itempairs": frequent_itempairs,
+        "recursive_cte_chain": recursive_cte_chain,
+        "session_variable_query": session_variable_query,
+        "sql_scripting_block": sql_scripting_block,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5313,6 +5399,37 @@ def oracle_sql() -> dict[str, str]:
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY 1, 2 HAVING count(*) >= 2 "
             "ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 100"
+        ),
+        # the IDENTICAL recursion, run by DuckDB's recursive-CTE engine
+        "recursive_cte_chain": (
+            "WITH RECURSIVE chain AS ("
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS step FROM orders), "
+            "walk AS ("
+            "SELECT o_custkey, o_orderkey, step, cents AS running_cents "
+            "FROM chain WHERE step = 1 "
+            "UNION ALL "
+            "SELECT c.o_custkey, c.o_orderkey, c.step, "
+            "CAST(w.running_cents + c.cents AS BIGINT) "
+            "FROM walk w JOIN chain c "
+            "ON c.o_custkey = w.o_custkey AND c.step = w.step + 1) "
+            "SELECT o_custkey, o_orderkey, CAST(step AS BIGINT) AS step, "
+            "running_cents FROM walk"
+        ),
+        "session_variable_query": (
+            "SELECT o_orderpriority, count(*) AS n_big, "
+            "round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority"
+        ),
+        "sql_scripting_block": (
+            "SELECT CASE WHEN CAST(round(o_totalprice * 100.0) AS BIGINT) "
+            "* (SELECT count(*) FROM orders) >= "
+            "(SELECT CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "FROM orders) "
+            "THEN 'above' ELSE 'below' END AS bucket, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY 1"
         ),
         "check_stream_neardup_parity": (
             "SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS a_id, "

@@ -101,7 +101,8 @@ EXTRA_QUERIES = [
     # overhead would bloat the bench wall time; its gate still runs.
     # pagerank_copurchase stays out for the same reason: 12 fixed
     # iterative rounds ~ 39s at sf0.1 — correctness is pinned by its
-    # parity twin, not by per-round timing)
+    # parity twin, not by per-round timing. recursive_cte_chain too:
+    # depth-of-deepest-chain recursion rounds ~ 15s at sf0.1)
     "scd2_pit_join",
     "bloom_pruned_join",
     "partitioned_write_prune",
@@ -112,6 +113,8 @@ EXTRA_QUERIES = [
     "ohlc_hourly",
     "order_streaks",
     "frequent_itempairs",
+    "session_variable_query",
+    "sql_scripting_block",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",
