@@ -3985,34 +3985,44 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_WORDS_CACHE: dict[tuple, list] = {}
+_BLOOM_WORDS_CACHE: dict[tuple, tuple] = {}
 
 
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction (operators/bloomjoin.py): prune
-    lineitem against a 2^14-bit Bloom filter of the filtered orders
-    keys BEFORE the join shuffle — the explicit form of Spark's
-    InjectRuntimeFilter for when the dimension's surviving key set is
-    too big to broadcast exactly but its bitset is not. The exact join
-    after the probe removes Bloom false positives, so the result is
-    bit-identical to the plain join (the oracle IS the plain join).
-    shuffle_hash hint keeps the join a shuffle join — the regime where
-    pre-exchange pruning pays (with a broadcast join there is no fact
-    shuffle to save); at sf0.01 the probe drops 60k fact rows to ~1.5k
-    before the exchange."""
-    from agnes_spark.operators.bloomjoin import bloom_might_contain, build_bloom
+    lineitem against a Bloom filter of the filtered orders keys BEFORE
+    the join shuffle — the explicit form of Spark's InjectRuntimeFilter
+    for when the dimension's surviving key set is too big to broadcast
+    exactly but its bitset is not. The filter is SIZED from the actual
+    key count (size_bloom, 1% fp target) so the pruning quality holds
+    at any sf — a fixed size right at sf0.01 would quietly leak 15%
+    false positives at sf0.1. The exact join after the probe removes
+    the false positives, so the result is bit-identical to the plain
+    join (the oracle IS the plain join). shuffle_hash hint keeps the
+    join a shuffle join — the regime where pre-exchange pruning pays
+    (with a broadcast join there is no fact shuffle to save); at
+    sf0.01 the probe drops 60k fact rows to ~1.5k before the
+    exchange."""
+    from agnes_spark.operators.bloomjoin import (
+        bloom_might_contain,
+        build_bloom,
+        size_bloom,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-03-01")
     )
     ck = (spark.sparkContext.applicationId, sf_dir)
-    words = _BLOOM_WORDS_CACHE.get(ck)
-    if words is None:
-        words = build_bloom(o, "o_orderkey", num_bits=1 << 14, num_hashes=5)
-        _BLOOM_WORDS_CACHE[ck] = words
+    cached = _BLOOM_WORDS_CACHE.get(ck)
+    if cached is None:
+        num_bits, num_hashes = size_bloom(o.count(), 0.01)
+        words = build_bloom(o, "o_orderkey", num_bits, num_hashes)
+        cached = (words, num_bits, num_hashes)
+        _BLOOM_WORDS_CACHE[ck] = cached
+    words, num_bits, num_hashes = cached
     pruned = li.filter(
-        bloom_might_contain(F.col("l_orderkey"), words, 1 << 14, 5)
+        bloom_might_contain(F.col("l_orderkey"), words, num_bits, num_hashes)
     )
     j = pruned.join(o.hint("shuffle_hash"), pruned["l_orderkey"] == o["o_orderkey"])
     return j.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(

@@ -43,12 +43,28 @@ never reaches.
 from __future__ import annotations
 
 import functools
+import math
 import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bloom", "bloom_might_contain", "bloom_semi_join"]
+__all__ = ["size_bloom", "build_bloom", "bloom_might_contain", "bloom_semi_join"]
+
+
+def size_bloom(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing for n keys at target false-positive rate:
+    (num_bits, num_hashes) with num_bits word-aligned. Callers should
+    size from the actual dimension key count (one tiny count job) —
+    a fixed filter that is right at sf0.01 is 10x undersized at sf0.1
+    and the false-positive leakage quietly eats the pruning."""
+    if n_keys <= 0:
+        return 64, 1
+    ln2 = math.log(2.0)
+    m = math.ceil(-n_keys * math.log(fp_rate) / (ln2 * ln2))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n_keys * ln2))
+    return m, k
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -109,14 +125,21 @@ def bloom_semi_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     num_hashes: int = 5,
     how: str = "inner",
 ) -> DataFrame:
     """Exact join with Bloom pre-pruning of the fact side: identical
     results to fact.join(dim, ...) (the exact join removes the filter's
     false positives), but only the ~p false-positive fraction of
-    non-matching fact rows ever reaches the join exchange."""
+    non-matching fact rows ever reaches the join exchange.
+
+    With num_bits=None (the default) the filter is sized from the
+    dimension's actual key count via size_bloom (one count job, 1%
+    target fp rate) — pass explicit parameters only when the count is
+    already known."""
+    if num_bits is None:
+        num_bits, num_hashes = size_bloom(dim.count(), 0.01)
     words = build_bloom(dim, dim_key, num_bits, num_hashes)
     pruned = fact.filter(
         bloom_might_contain(F.col(fact_key), words, num_bits, num_hashes)

@@ -77,3 +77,31 @@ def test_num_bits_must_be_word_aligned(spark):
     dim = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(dim, "k", num_bits=100)
+
+
+def test_size_bloom_holds_fp_rate_across_scales(spark, sf_dir):
+    """Sizing from the key count keeps the probe's leakage near the
+    target at any dimension size (a fixed size would degrade 10x when
+    the dimension grows 10x)."""
+    from agnes_spark.operators.bloomjoin import size_bloom
+
+    # textbook check: 1k and 10k keys at 1% -> ~9.6 bits/key, k ~ 7
+    for n in (1_000, 10_000):
+        m, k = size_bloom(n, 0.01)
+        assert 9.0 <= m / n <= 10.5
+        assert 6 <= k <= 8
+        assert m % 64 == 0
+    # degenerate inputs stay valid
+    assert size_bloom(0) == (64, 1)
+
+
+def test_auto_sized_semi_join_parity(spark, sf_dir):
+    """num_bits=None sizes from dim.count() and still returns the
+    exact join result."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey").count()
+    want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert got == want and want > 0
