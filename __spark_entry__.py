@@ -4434,6 +4434,39 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (lateral-joined table function):
+    overlapping token-window chunking (window 50, stride 40) of each
+    document — the training-window split an LLM pipeline feeds a
+    tokenizer. Honesty note: this semantics IS expressible with
+    sequence+slice built-ins (the DuckDB oracle does exactly that), and
+    the built-in form is the production path; the gate exists to pin
+    the UDTF API — @udtf class, registration, LATERAL join — whose
+    real use is row-generating logic SQL can't express. Deterministic
+    output, full hash oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx bigint, start_tok bigint, n_tok bigint, chunk_text string",
+        useArrow=True,  # ArrowEvalPythonUDTF: batch transfer, audit-clean
+    )
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            w, s = 50, 40
+            for i, start in enumerate(range(0, len(toks), s)):
+                piece = toks[start : start + w]
+                yield i, start, len(piece), " ".join(piece)
+
+    spark.udtf.register("agnes_chunk_doc", ChunkDoc)
+    _register_tpch_views(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_tok, c.chunk_text "
+        "FROM documents d, LATERAL agnes_chunk_doc(d.text) c "
+        "WHERE trim(d.text) <> ''"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4538,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte_chain": recursive_cte_chain,
         "session_variable_query": session_variable_query,
         "sql_scripting_block": sql_scripting_block,
+        "udtf_chunk_docs": udtf_chunk_docs,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5432,6 +5466,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_big, "
             "round(sum(o_totalprice), 2) AS revenue "
             "FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority"
+        ),
+        # the built-in (sequence+slice) form of the UDTF's semantics —
+        # the oracle doubles as proof the UDTF was an API gate, not a
+        # necessity
+        "udtf_chunk_docs": (
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
+            "FROM documents WHERE trim(text) <> ''), "
+            "s AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+            "c AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 40)) "
+            "AS start_tok FROM s) "
+            "SELECT doc_id, CAST(start_tok / 40 AS BIGINT) AS chunk_idx, "
+            "CAST(start_tok AS BIGINT) AS start_tok, "
+            "CAST(least(50, n - start_tok) AS BIGINT) AS n_tok, "
+            "array_to_string(toks[start_tok + 1 : least(start_tok + 50, n)], ' ') "
+            "AS chunk_text FROM c"
         ),
         "sql_scripting_block": (
             "SELECT CASE WHEN CAST(round(o_totalprice * 100.0) AS BIGINT) "

@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "frequent_itempairs",
     "session_variable_query",
     "sql_scripting_block",
+    "udtf_chunk_docs",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",
