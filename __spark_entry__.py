@@ -4036,14 +4036,9 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_WRITE_CACHE: dict[tuple, str] = {}
 
 
-def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partitioned layout end to end: orders written
-    partitionBy(o_year), read back with a year predicate — the scan
-    must list ONLY the matching partition directory (PartitionFilters
-    on the scan, pinned in tests/test_plans.py). The foundational
-    100 TB layout move: date-partitioned tables turn full scans into
-    single-partition reads before a single row is decoded. Bit-exact
-    vs the unpartitioned filter, which is what the oracle runs."""
+def _orders_by_year_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once orders partitioned by o_year (shared by the static
+    and dynamic partition-pruning gates)."""
     ck = (spark.sparkContext.applicationId, sf_dir)
     path = _PART_WRITE_CACHE.get(ck)
     if path is None:
@@ -4053,8 +4048,45 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).partitionBy("o_year").parquet(path)
         _PART_WRITE_CACHE[ck] = path
-    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    return path
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout end to end: orders written
+    partitionBy(o_year), read back with a year predicate — the scan
+    must list ONLY the matching partition directory (PartitionFilters
+    on the scan, pinned in tests/test_plans.py). The foundational
+    100 TB layout move: date-partitioned tables turn full scans into
+    single-partition reads before a single row is decoded. Bit-exact
+    vs the unpartitioned filter, which is what the oracle runs."""
+    back = spark.read.parquet(_orders_by_year_path(spark, sf_dir)).filter(
+        F.col("o_year") == 1995
+    )
     return back.groupBy(F.month("o_orderdate").cast("long").alias("mo")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the RUNTIME complement of
+    partitioned_write_prune's static case: the years to scan are only
+    known after filtering the dim side (distinct returned-shipment
+    years), so Catalyst broadcasts the dim result into the fact scan's
+    PartitionFilters as a dynamicpruningexpression (pinned in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning the whole date-partitioned fact table and scanning the
+    handful of partitions the dim actually selects."""
+    fact = spark.read.parquet(_orders_by_year_path(spark, sf_dir))
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.year("l_shipdate").alias("yr"))
+        .distinct()
+        .filter(F.col("yr").isin(1996, 1997))
+    )
+    j = fact.join(dim, fact["o_year"] == dim["yr"])
+    return j.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
@@ -4559,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": weighted_median_price,
         "bloom_pruned_join": bloom_pruned_join,
         "partitioned_write_prune": partitioned_write_prune,
+        "dynamic_partition_prune": dynamic_partition_prune,
         "transition_matrix": transition_matrix,
         "vocab_coverage": vocab_coverage,
         "mad_outliers": mad_outliers,
@@ -4775,6 +4808,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(month(o_orderdate) AS BIGINT) AS mo, "
             "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
             "FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1"
+        ),
+        "dynamic_partition_prune": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN (SELECT DISTINCT year(l_shipdate) AS yr FROM lineitem "
+            "WHERE l_returnflag = 'R' AND year(l_shipdate) IN (1996, 1997)) d "
+            "ON year(o_orderdate) = d.yr GROUP BY 1"
         ),
         "transition_matrix": (
             "WITH seq AS (SELECT user_id, event_type, "

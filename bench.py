@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "scd2_pit_join",
     "bloom_pruned_join",
     "partitioned_write_prune",
+    "dynamic_partition_prune",
     "transition_matrix",
     "vocab_coverage",
     "mad_outliers",

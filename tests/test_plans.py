@@ -340,3 +340,14 @@ def test_partitioned_gate_scan_prunes_directories(spark, sf_dir):
     p = plan_string(df)
     assert "PartitionFilters" in p
     assert "o_year" in p.split("PartitionFilters")[1][:200]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The DPP gate's fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — partitions picked at RUNTIME from the
+    broadcast dim result, not scanned and filtered after the fact."""
+    from agnes_spark.plans import plan_string
+
+    df = entry.dynamic_partition_prune(spark, sf_dir)
+    p = plan_string(df)
+    assert "dynamicpruningexpression" in p.lower()
