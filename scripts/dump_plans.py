@@ -28,6 +28,8 @@ SHOWCASE = [
     ("interdoc_repetition", "doc-frequency agg + join back, both keyed on the 8-byte shingle hash"),
     ("json_variant", "parse_json once into VARIANT; typed extraction in the same projection"),
     ("q9_product_profit", "widest join in the suite: every dim broadcast, one agg shuffle"),
+    ("bloom_pruned_join", "Bloom probe filters the fact side BELOW the join exchange"),
+    ("dynamic_partition_prune", "dynamicpruningexpression in the scan's PartitionFilters"),
 ]
 
 
