@@ -5,6 +5,7 @@
   3. quantize_embeddings int8 corpus for cheap ANN serving
   4. quality classifier  model-based filtering (train small, score all)
   5. sample_to_budget    per-domain token budgets for the final mix
+  6. bloom_semi_join     prune a fact table below the join exchange
 
 Run: python examples/scale_toolkit.py [sf_dir]
 """
@@ -66,6 +67,15 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     mix = sample_to_budget_scalable(docs, "source", "doc_id", "n_chars", 2000.0)
     print("mixed docs:", mix.count())
+
+    # 6. bloom semi-join reduction: size from the key count, prune the
+    # fact side before it ever reaches the join shuffle
+    from agnes_spark.operators.bloomjoin import bloom_semi_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    hot = orders.filter(F.col("o_totalprice") > 300000.0)
+    joined = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+    print("bloom-pruned join rows:", joined.count())
     shutil.rmtree(base, ignore_errors=True)
 
 
