@@ -4499,6 +4499,49 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation between daily revenue and
+    daily order count — the co-movement diagnostic a metrics pipeline
+    tracks for drift. Two stages: a keyed day aggregate (scales with
+    the fact table), then the rolling corr window over the BOUNDED
+    daily frame (~2,400 rows for 7 years — the revenue_dod_delta
+    allowlist class). Emitted only for full 30-day windows with
+    variance on BOTH series: a constant window makes corr 0/0 (an
+    ANSI divide-by-zero on Spark, NULL on DuckDB) and near-zero
+    variance is numerically meaningless anyway. The 1e-9 cut is
+    structural, not a tolerance: stddevs of counts / 2-decimal sums
+    are either exactly 0 or well above it on both engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    nd = F.col("n_orders").cast("double")
+    x = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.stddev_samp("revenue").over(w).alias("sd_rev"),
+        F.stddev_samp(nd).over(w).alias("sd_n"),
+        F.covar_samp("revenue", nd).over(w).alias("cov_rn"),
+    )
+    # engine corr() throws ANSI DIVIDE_BY_ZERO on constant windows even
+    # when downstream filters would drop the row (window aggregates run
+    # before projections/filters); composing covar/(sd*sd) inside a
+    # lazily-evaluated when() sidesteps it with identical math
+    corr = F.when(
+        (F.col("sd_rev") > 1e-9) & (F.col("sd_n") > 1e-9),
+        F.col("cov_rn") / (F.col("sd_rev") * F.col("sd_n")),
+    )
+    return (
+        x.withColumn("corr_rev_orders", F.round(corr, 4))
+        .filter((F.col("n_days") == 30) & F.col("corr_rev_orders").isNotNull())
+        .select("day", "n_days", "corr_rev_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4605,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_variable_query": session_variable_query,
         "sql_scripting_block": sql_scripting_block,
         "udtf_chunk_docs": udtf_chunk_docs,
+        "rolling_corr_daily": rolling_corr_daily,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5506,6 +5550,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_big, "
             "round(sum(o_totalprice), 2) AS revenue "
             "FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority"
+        ),
+        "rolling_corr_daily": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders GROUP BY 1), "
+            "win AS (SELECT day, CAST(count(*) OVER w AS BIGINT) AS n_days, "
+            "stddev_samp(revenue) OVER w AS sd_rev, "
+            "stddev_samp(CAST(n_orders AS DOUBLE)) OVER w AS sd_n, "
+            "covar_samp(revenue, CAST(n_orders AS DOUBLE)) OVER w AS cov_rn "
+            "FROM daily WINDOW w AS (ORDER BY day "
+            "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) "
+            "SELECT day, n_days, round(cov_rn / (sd_rev * sd_n), 4) "
+            "AS corr_rev_orders FROM win "
+            "WHERE n_days = 30 AND sd_rev > 1e-9 AND sd_n > 1e-9"
         ),
         # the built-in (sequence+slice) form of the UDTF's semantics —
         # the oracle doubles as proof the UDTF was an API gate, not a

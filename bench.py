@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "session_variable_query",
     "sql_scripting_block",
     "udtf_chunk_docs",
+    "rolling_corr_daily",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

@@ -203,6 +203,7 @@ AUDIT_SP_ALLOWED = {
     "window_distribution",
     "check_shuffle_deterministic",
     "revenue_dod_delta",
+    "rolling_corr_daily",  # rolling window over the bounded daily frame (calendar days)
     "column_entropy",
     "chi2_independence",
     "q15_top_supplier",
