@@ -4185,15 +4185,17 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGERANK_CACHE: dict[tuple, DataFrame] = {}
+_PAGERANK_CACHE: dict[tuple, tuple] = {}
 
 
-def _copurchase_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> tuple:
     """PageRank over the co-purchase part graph (parts in the same
     order, both directions, distinct): 12 fixed rounds, tol=0 so the
     parity twin's numpy reference can follow the identical schedule.
-    Result frame cached per (app, sf_dir) — it is the terminal frame of
-    an iterative job; gate and twin must not re-run 12 rounds each."""
+    Returns (ranks, edges), BOTH cached per (app, sf_dir): ranks is
+    the terminal frame of an iterative job and edges (persisted) is
+    the dominant self-join — gate and twin must each run neither
+    twice."""
     from agnes_spark.operators.graph import pagerank
 
     ck = (spark.sparkContext.applicationId, sf_dir)
@@ -4208,8 +4210,9 @@ def _copurchase_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
             )
             .distinct()
+            .persist()
         )
-        out = pagerank(edges, max_iter=12, tol=0.0)
+        out = (pagerank(edges, max_iter=12, tol=0.0), edges)
         _PAGERANK_CACHE[ck] = out
     return out
 
@@ -4222,7 +4225,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative floating point, so the driver check is rows-only; the
     real gate is check_pagerank_parity, which pins every rank against
     an independent numpy power iteration."""
-    ranks = _copurchase_ranks(spark, sf_dir)
+    ranks, _edges = _copurchase_pagerank(spark, sf_dir)
     return (
         ranks.select(F.col("id").alias("part_id"), F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("part_id").asc())
@@ -4241,16 +4244,8 @@ def check_pagerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it orders of magnitude below the gate."""
     import numpy as np
 
-    ranks = _copurchase_ranks(spark, sf_dir)
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .collect()
-    )
+    ranks, edges_df = _copurchase_pagerank(spark, sf_dir)
+    edges = edges_df.collect()  # served from the shared persisted frame
     ids = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
     idx = {n: i for i, n in enumerate(ids)}
     n = len(ids)
@@ -4893,7 +4888,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM dev GROUP BY 1) "
             "SELECT dev.o_orderpriority, count(*) AS n, "
             "min(dev.med_cents) AS med_cents, min(mad.mad_cents) AS mad_cents, "
-            "CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad_cents "
+            "CAST(sum(CASE WHEN dev.adev > "
+            "CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad_cents "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
             "FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1"
         ),

@@ -135,9 +135,22 @@ def bloom_semi_join(
     non-matching fact rows ever reaches the join exchange.
 
     With num_bits=None (the default) the filter is sized from the
-    dimension's actual key count via size_bloom (one count job, 1%
-    target fp rate) — pass explicit parameters only when the count is
-    already known."""
+    dimension's actual key count via size_bloom (one count job — row
+    count, which over-sizes on duplicate keys: conservative — at 1%
+    target fp rate); pass explicit parameters only when the count is
+    already known.
+
+    Only inner/semi/right joins are allowed: the probe drops
+    non-matching FACT rows before the join, so a left/full outer join
+    would lose the null-extended rows those fact rows produce (and an
+    anti join would return only the false positives) — silently wrong
+    results, same failure class salted_join rejects."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi", "right", "right_outer", "rightouter"):
+        raise ValueError(
+            "bloom_semi_join supports inner/semi/right joins only: the Bloom "
+            "probe removes non-matching fact rows BEFORE the join, which a "
+            f"left/full outer or anti join would need to keep (got how={how!r})"
+        )
     if num_bits is None:
         num_bits, num_hashes = size_bloom(dim.count(), 0.01)
     words = build_bloom(dim, dim_key, num_bits, num_hashes)

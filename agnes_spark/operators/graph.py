@@ -400,4 +400,8 @@ def pagerank(
             break
     e.unpersist()
     base.unpersist()
-    return ranks.select("id", "rank")
+    out = ranks.select("id", "rank")
+    # rounds actually run — lets tests/diagnostics pin that tol-based
+    # early exit really fired (final ranks alone can't distinguish it)
+    out._agnes_iterations = i + 1 if max_iter > 0 else 0
+    return out

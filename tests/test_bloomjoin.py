@@ -105,3 +105,14 @@ def test_auto_sized_semi_join_parity(spark, sf_dir):
     got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey").count()
     want = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert got == want and want > 0
+
+
+def test_outer_and_anti_joins_rejected(spark):
+    """Left/full outer and anti joins would need the fact rows the
+    probe removes — the operator must refuse instead of silently
+    returning wrong results."""
+    f = spark.range(10).withColumnRenamed("id", "fk")
+    d = spark.range(3).withColumnRenamed("id", "dk")
+    for how in ("left", "full", "left_anti", "anti"):
+        with pytest.raises(ValueError, match="inner/semi/right"):
+            bloom_semi_join(f, d, "fk", "dk", 64, 2, how=how)

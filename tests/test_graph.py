@@ -170,5 +170,11 @@ def test_pagerank_converges_and_early_exits(spark):
 
     # 2-cycle: ranks are exactly 1.0 forever -> delta 0 after round 1
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
-    got = {r["id"]: r["rank"] for r in pagerank(edges, max_iter=30, tol=1e-9).collect()}
+    result = pagerank(edges, max_iter=30, tol=1e-9)
+    got = {r["id"]: r["rank"] for r in result.collect()}
     assert got == {1: 1.0, 2: 1.0}
+    # the early exit must actually FIRE (final ranks alone can't tell):
+    # delta is 0 from round 1, so the loop stops far below max_iter
+    assert result._agnes_iterations < 5
+    # and tol=0 runs the full fixed schedule
+    assert pagerank(edges, max_iter=7, tol=0)._agnes_iterations == 7
