@@ -4614,7 +4614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_wide": melt_wide,
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
-        # staged for the r7 window (new, never graded)
+        # staged for the r7 window (new, never graded).
+        # r7 ROTATION NOTE: move the 29 staged keys below (12 early-r6
+        # + 17 late-r6, through rolling_corr_daily) to the front, then
+        # fill the remaining 21 window slots with the oldest-graded
+        # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
         "stream_band_join": stream_band_join,
