@@ -41,13 +41,37 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    return plan_string(df).count("Exchange hashpartitioning") + plan_string(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Data shuffles (hash/range repartitioning exchanges) in the plan.
+    Counted on the SIMPLE plan string, where an Exchange's arguments
+    print inline — the formatted mode puts them on an Arguments:
+    detail line, which made the old substring count vacuous (always 0,
+    the same bug class as the fixed single-partition/filter rules).
+    Broadcast and single-partition exchanges are deliberately not
+    counted: they are not data-sized network passes."""
+    p = plan_string(df, "simple")
+    return p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
+    """Distinct WholeStageCodegen subtrees. Under AQE the pre-execution
+    plan is an opaque AdaptiveSparkPlan with no codegen annotations
+    (grepping the formatted plan always returned 0 — the same vacuity
+    class as the old num_shuffles), so the query is RE-PLANNED with
+    AQE off for the measurement: df.select("*") forces a fresh
+    QueryExecution under the toggled conf, the logical plan is
+    untouched, and the conf is restored. The non-adaptive count is the
+    meaningful one — it is the fusion structure AQE starts from."""
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_string(df.select("*"), "codegen")
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", old)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+    if m:
+        return int(m.group(1))
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", p)))
 
 
 def _plan_tree(p: str) -> dict[int, dict]:
@@ -175,3 +199,47 @@ def audit_plan(df: DataFrame) -> list[dict]:
             "detail": f"{scans_wo_pushdown} scan(s) with empty PushedFilters under a Filter node",
         })
     return findings
+
+
+def explain_summary(df: DataFrame) -> dict:
+    """Compact, machine-readable digest of a physical plan — the
+    five numbers a reviewer checks before shipping a query at scale,
+    without reading 200 lines of formatted explain:
+
+      scans          parquet scans with their pushed filters/schema
+      joins          join operator names in plan order
+      num_shuffles   Exchange count (each is a full network pass)
+      codegen_stages WholeStageCodegen spans (wider = more fused JVM work)
+      findings       audit_plan red flags (empty = clean)
+
+    Pairs with audit_plan: audit says "is anything wrong", this says
+    "what does it actually do".
+    """
+    p = plan_string(df)
+    tree = _plan_tree(p)
+    scans = []
+    for m in re.finditer(r"\((\d+)\) Scan (\w+)", p):
+        nid = m.group(1)
+        block_m = re.search(
+            rf"^\({nid}\) Scan .*?(?=^\(\d+\) |\Z)", p, re.M | re.S
+        )
+        block = block_m.group(0) if block_m else ""
+        pf = re.search(r"PushedFilters: \[(.*?)\]", block)
+        rs = re.search(r"ReadSchema: (\S+)", block)
+        scans.append({
+            "format": m.group(2),
+            "pushed_filters": pf.group(1) if pf else "",
+            "read_schema": rs.group(1) if rs else "",
+        })
+    joins = [
+        n["name"]
+        for _, n in sorted(tree.items())
+        if "Join" in n["name"] or n["name"].startswith("CartesianProduct")
+    ]
+    return {
+        "scans": scans,
+        "joins": joins,
+        "num_shuffles": num_shuffles(df),
+        "codegen_stages": codegen_stage_count(df),
+        "findings": audit_plan(df),
+    }

@@ -352,3 +352,26 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = entry.dynamic_partition_prune(spark, sf_dir)
     p = plan_string(df)
     assert "dynamicpruningexpression" in p.lower()
+
+
+def test_explain_summary_digest(spark, sf_dir):
+    """explain_summary reports the scan pushdowns, join list, shuffle
+    count, and audit findings for a representative join+agg query."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.plans import explain_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") > 45
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").agg(
+        F.sum("l_extendedprice").alias("rev")
+    )
+    s = explain_summary(q)
+    assert s["scans"] and all(sc["format"] == "parquet" for sc in s["scans"])
+    assert any("l_quantity" in sc["pushed_filters"] for sc in s["scans"])
+    assert any("Join" in j for j in s["joins"])
+    assert s["num_shuffles"] >= 1
+    assert s["codegen_stages"] >= 1
+    assert s["findings"] == []
