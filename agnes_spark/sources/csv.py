@@ -107,3 +107,48 @@ def sniff_and_load(spark: SparkSession, path: str, columns: Sequence[str] | None
     if columns:
         df = df.select(*columns)
     return df
+
+
+def load_csv_tolerant(
+    spark: SparkSession, path: str, spec: CsvSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Like load_csv, but malformed rows are captured instead of
+    crashing the job or silently nulling out — the posture a 100 TB
+    ingest of scraped CSVs needs (reference: csv.rs surfaces parse
+    errors per-record as Result values; Spark's equivalent is
+    PERMISSIVE mode with a corrupt-record column).
+
+    Returns (good, bad): `good` has the spec'd fields typed and
+    renamed from rows that parsed cleanly; `bad` has one `raw` string
+    column holding each malformed line for quarantine/replay. The
+    split is one scan — both frames share the parsed relation.
+
+    A row lands in `bad` when the parser cannot produce the declared
+    source columns (wrong column count, unclosed quote). Type failures
+    on parseable rows null the FIELD but keep the row: tolerant casts
+    must be try_cast — under ANSI mode (Spark 4 default) a plain cast
+    of e.g. 'not_a_number' to double fails the whole job, which is
+    exactly the crash this loader exists to avoid. (load_csv keeps
+    plain casts deliberately: that is the strict path.)
+    """
+    src_schema = ", ".join(
+        f"`{src}` string" for _label, (src, _t) in spec.fields.items()
+    )
+    raw = spark.read.csv(
+        path,
+        header=spec.header,
+        sep=spec.delimiter,
+        mode="PERMISSIVE",
+        schema=src_schema + ", `_corrupt` string",
+        columnNameOfCorruptRecord="_corrupt",
+    ).cache()  # one parse serves both sides of the split
+    good = raw.filter(F.col("_corrupt").isNull()).select(
+        *[
+            F.col(src).try_cast(spec.spark_type(label)).alias(label)
+            for label, (src, _t) in spec.fields.items()
+        ]
+    )
+    bad = raw.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw")
+    )
+    return good, bad

@@ -230,3 +230,32 @@ def test_read_parquet_merged_schema_drift(spark, tmp_path):
     assert set(back.columns) == {"id", "x", "tag"}
     rows = {r.id: (r.x, r.tag) for r in back.collect()}
     assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "c3")}
+
+
+def test_load_csv_tolerant_quarantines_malformed_rows(spark, tmp_path):
+    """Malformed lines (wrong column count / broken quoting) land in
+    the quarantine frame with their raw text; clean rows parse and
+    type as usual. One scan serves both frames."""
+    from agnes_spark.sources.csv import CsvSpec, load_csv_tolerant
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id,name,price\n"
+        "1,apple,2.50\n"
+        "2,\"broken quote,3.10\n"   # unclosed quote -> corrupt
+        "3,cherry,4.00\n"
+        "4,date\n"                   # missing column -> corrupt
+        "5,elderberry,not_a_number\n"  # parses; cast nulls the field
+    )
+    spec = CsvSpec(
+        fields={"id": ("id", "i64"), "name": ("name", "string"), "price": ("price", "f64")}
+    )
+    good, bad = load_csv_tolerant(spark, str(p), spec)
+    rows = {r["id"]: r for r in good.collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[3]["price"] == 4.00
+    assert rows[5]["price"] is None  # cast failure nulls, row kept
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("broken quote" in r for r in raws)
+    assert any(r.startswith("4,date") for r in raws)
