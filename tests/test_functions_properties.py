@@ -103,3 +103,39 @@ def test_sample_to_budget_weight_invariant(spark, rows, budget):
     else:
         # the first-ranked row is taken whenever budget > 0
         assert budget == 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40, unique=True),
+    st.sampled_from([256, 1024, 4096]),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bloom_never_false_negative_property(spark, keys, num_bits, num_hashes):
+    """For ANY key set and sizing, every inserted key passes its own
+    filter's probe — the Bloom correctness invariant the semi-join's
+    exactness rests on (false positives are fine, false negatives
+    would silently drop matching fact rows)."""
+    from agnes_spark.operators.bloomjoin import bloom_might_contain, build_bloom
+
+    dim = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom(dim, "k", num_bits=num_bits, num_hashes=num_hashes)
+    missed = dim.filter(~bloom_might_contain(F.col("k"), words, num_bits, num_hashes)).count()
+    assert missed == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=10**8), st.floats(min_value=1e-4, max_value=0.2))
+def test_size_bloom_properties(spark, n, p):
+    """Sizing invariants: word-aligned, at least ~bits-per-key for the
+    target rate, k >= 1, and monotone in n."""
+    import math
+
+    from agnes_spark.operators.bloomjoin import size_bloom
+
+    m, k = size_bloom(n, p)
+    assert m % 64 == 0 and k >= 1
+    # standard bound: m >= -n ln p / ln2^2 (up to word rounding)
+    assert m + 64 >= -n * math.log(p) / (math.log(2) ** 2)
+    m2, _ = size_bloom(2 * n, p)
+    assert m2 >= m
