@@ -178,3 +178,40 @@ def test_pagerank_converges_and_early_exits(spark):
     assert result._agnes_iterations < 5
     # and tol=0 runs the full fixed schedule
     assert pagerank(edges, max_iter=7, tol=0)._agnes_iterations == 7
+
+
+def test_within_group_pairs_matches_self_join(spark, sf_dir):
+    """The array pair expansion must produce the IDENTICAL multiset of
+    (a < b) pairs as the canonical equi self-join — including
+    duplicate items within a group (skipped) and repeated pairs
+    across rows (counted)."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.graph import within_group_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    got = (
+        within_group_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("a", "b")
+        .count()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    want = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .groupBy("a", "b")
+        .count()
+    )
+    mismatches = (
+        got.withColumnRenamed("count", "ng")
+        .join(want.withColumnRenamed("count", "nw"), ["a", "b"], "full")
+        .filter(
+            F.coalesce(F.col("ng"), F.lit(-1)) != F.coalesce(F.col("nw"), F.lit(-2))
+        )
+        .count()
+    )
+    assert mismatches == 0
+    assert got.count() > 0
