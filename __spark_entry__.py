@@ -2383,18 +2383,58 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality features + combined score."""
-    from agnes_spark.operators.textanalysis import quality_score as _q
+    """Heuristic document quality features + combined score, emitted
+    as EXACT INTEGER rationals (counts + the score's numerator over
+    denominator 100*n_tok*n_chars) rather than rounded floats: the
+    float score lands exactly on round-4 .5 boundaries for ordinary
+    token counts (e.g. 0.72125 at n_tok=40), where Spark's
+    BigDecimal-HALF_UP and DuckDB's raw-binary rounding disagree —
+    found by the full-registry sf0.1 sweep, the same structural class
+    as interpolate_gaps' exact-rational output. The float-scored user
+    API (operators/textanalysis.py quality_score) is unchanged; its
+    weights map to this numerator exactly:
+    quality = quality_num / quality_den."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.textanalysis import STOPWORDS
 
-    out = _q(_t(spark, sf_dir, "documents"), "text")
-    return out.select(
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    x = docs.select(
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "mean_tok_len",
-        "distinct_ratio",
-        "stop_ratio",
-        "punct_ratio",
-        "quality",
+        F.size(toks).cast("long").alias("n"),
+        F.length("text").cast("long").alias("c"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_n"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        .cast("long")
+        .alias("stop_n"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("punct_n"),
+    )
+    n, c = F.col("n"), F.col("c")
+    big_l = ((n >= 10) & (n <= 10000)).cast("long")
+    # mean token length band [2, 12]: (c - n + 1)/n compared in cross-
+    # multiplied integers, no division
+    big_t = ((c - n + 1 >= 2 * n) & (c - n + 1 <= 12 * n)).cast("long")
+    qnum = (
+        F.lit(25) * big_l * n * c
+        + F.lit(20) * big_t * n * c
+        + F.lit(20) * c * F.least(F.lit(4) * F.col("stop_n"), n)
+        + F.lit(25) * F.col("distinct_n") * c
+        + F.lit(10) * n * (c - F.least(F.lit(5) * F.col("punct_n"), c))
+    )
+    return x.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("c").alias("n_chars"),
+        "distinct_n",
+        "stop_n",
+        "punct_n",
+        F.when((n > 0) & (c > 0), qnum).otherwise(F.lit(0)).alias("quality_num"),
+        F.when((n > 0) & (c > 0), F.lit(100) * n * c)
+        .otherwise(F.lit(1))
+        .alias("quality_den"),
     )
 
 
@@ -6218,25 +6258,33 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'fr' END AS pred_lang "
             "FROM tok"
         ),
+        # exact-integer rationals (no float rounding anywhere): the
+        # combined score's numerator over 100*n*c — the float form
+        # lands exactly on round-4 .5 boundaries (0.72125 at n_tok=40)
+        # where the engines' rounding rules disagree
         "quality_score": (
             "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
             "regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm, text FROM documents), "
             "t AS (SELECT doc_id, n_chars, text, "
             "list_filter(string_split(norm, ' '), x -> x != '') AS w FROM f), "
-            "m AS (SELECT doc_id, len(w) AS n_tok, n_chars, "
-            "CASE WHEN len(w) > 0 THEN (n_chars - (len(w) - 1)) * 1.0 / len(w) ELSE 0.0 END AS mtl, "
-            "CASE WHEN len(w) > 0 THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS dr, "
-            "CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> lower(x) IN "
-            "('the','a','of','and','is','to','in','that','it','for'))) * 1.0 / len(w) ELSE 0.0 END AS sr, "
-            "CASE WHEN n_chars > 0 THEN "
-            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / n_chars ELSE 0.0 END AS pr "
-            "FROM t) "
-            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(mtl, 4) AS mean_tok_len, "
-            "round(dr, 4) AS distinct_ratio, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio, "
-            "round(0.25 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) "
-            "+ 0.2 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) "
-            "+ 0.2 * least(sr * 4, 1.0) + 0.25 * dr + 0.1 * (1 - least(pr * 5, 1.0)), 4) AS quality "
-            "FROM m"
+            "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n, "
+            "CAST(n_chars AS BIGINT) AS c, "
+            "CAST(len(list_distinct(w)) AS BIGINT) AS distinct_n, "
+            "CAST(len(list_filter(w, x -> lower(x) IN "
+            "('the','a','of','and','is','to','in','that','it','for'))) AS BIGINT) AS stop_n, "
+            "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct_n "
+            "FROM t), "
+            "b AS (SELECT *, "
+            "CAST(CASE WHEN n BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS big_l, "
+            "CAST(CASE WHEN c - n + 1 >= 2 * n AND c - n + 1 <= 12 * n "
+            "THEN 1 ELSE 0 END AS BIGINT) AS big_t FROM m) "
+            "SELECT doc_id, n AS n_tokens, c AS n_chars, distinct_n, stop_n, punct_n, "
+            "CAST(CASE WHEN n > 0 AND c > 0 THEN "
+            "25 * big_l * n * c + 20 * big_t * n * c "
+            "+ 20 * c * least(4 * stop_n, n) + 25 * distinct_n * c "
+            "+ 10 * n * (c - least(5 * punct_n, c)) ELSE 0 END AS BIGINT) AS quality_num, "
+            "CAST(CASE WHEN n > 0 AND c > 0 THEN 100 * n * c ELSE 1 END AS BIGINT) "
+            "AS quality_den FROM b"
         ),
         "token_count": (
             "SELECT doc_id, "

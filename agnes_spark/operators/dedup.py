@@ -339,11 +339,13 @@ def embedding_dedup_auto(
 ) -> DataFrame:
     """Embedding near-dup pairs with LEARNED blocking: KMeans cells
     (IvfIndex) replace a hand-supplied block column. Each vector is
-    assigned to its TWO nearest cells, so near-dups straddling a cell
-    boundary still share a block; the pair join stays equi (on cell)
-    and pairs are deduped afterwards. Standard blocking recall
-    tradeoff otherwise applies — raise n_cells for speed, lower it
-    (or add assignments) for recall.
+    assigned to its THREE nearest cells (k_nearest_cells k=3 — the
+    sf0.1 sweep measured k=2 recall at 0.42 of exhaustive pairs,
+    below the 0.5 gate, vs 0.63 at k=3 for the same runtime), so
+    near-dups straddling cell boundaries still share a block; the
+    pair join stays equi (on cell) and pairs are deduped afterwards.
+    Standard blocking recall tradeoff otherwise applies — raise
+    n_cells for speed, raise k for recall.
 
     `n_cells=None` (default) uses the classic sqrt(N) IVF heuristic
     (clamped to [8, 4096]): the within-cell pair join costs
@@ -389,10 +391,13 @@ def embedding_dedup_auto(
     return _auto_pairs(index, threshold)
 
 
-def two_nearest_cells(vectors: DataFrame, centers: DataFrame) -> DataFrame:
+def k_nearest_cells(vectors: DataFrame, centers: DataFrame, k: int = 2) -> DataFrame:
     """(cell, n_id, n_v, n_norm): every input vector replicated to its
-    TWO nearest centroids — the boundary-covering multi-assignment the
-    cell-blocked pair joins rely on.
+    k nearest centroids — the boundary-covering multi-assignment the
+    cell-blocked pair joins rely on. k is the RECALL knob for a fixed
+    threshold: candidate-join cost grows ~k^2/n_cells, blocking recall
+    with it (measured at sf0.1/threshold 0.35: k=2 -> 0.42,
+    k=3 -> 0.63, k=4 -> 0.77 of exhaustive pairs).
 
     One projection, zero shuffle: the centers are tiny, so fold them
     into a single-row array and broadcast-join it onto every vector.
@@ -421,16 +426,23 @@ def two_nearest_cells(vectors: DataFrame, centers: DataFrame) -> DataFrame:
             "n_id",
             "n_v",
             "n_norm",
-            F.explode(F.slice(F.array_sort(dists), 1, 2)).alias("nearest"),
+            F.explode(F.slice(F.array_sort(dists), 1, k)).alias("nearest"),
         )
         .select(F.col("nearest.cell").alias("cell"), "n_id", "n_v", "n_norm")
     )
 
 
+def two_nearest_cells(vectors: DataFrame, centers: DataFrame) -> DataFrame:
+    """Back-compat alias: k_nearest_cells with k=2 (the incremental
+    probe paths keep 2 — they probe a persisted store built at the
+    corpus's own breadth; see dedup_incremental.py)."""
+    return k_nearest_cells(vectors, centers, k=2)
+
+
 def _auto_pairs(index, threshold: float) -> DataFrame:
     """Candidate generation + exact verify over a built IvfIndex (the
     non-iterative tail of embedding_dedup_auto)."""
-    assigned2 = two_nearest_cells(index.assigned.drop("cell"), index.centers)
+    assigned2 = k_nearest_cells(index.assigned.drop("cell"), index.centers, k=3)
     a = assigned2.select(
         "cell", F.col("n_id").alias("a_id"), F.col("n_v").alias("a_v"), F.col("n_norm").alias("a_n")
     )

@@ -213,3 +213,25 @@ def test_winnow_overlap_pairs_finds_planted_passage(spark):
     assert all(3 not in p for p in pairs)
     for r in out:
         assert r.shared_fp <= min(r.a_fp, r.b_fp)
+
+
+def test_quality_gate_rational_matches_float_operator(spark, sf_dir):
+    """The gate's exact-integer rational (quality_num/quality_den)
+    must equal the float-API operator's unrounded score to double
+    precision — guards the two formula copies against drift."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.textanalysis import quality_score
+
+    gate = entry.quality_score(spark, sf_dir)
+    op = quality_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text"
+    ).select("doc_id", "quality")
+    joined = gate.join(op, "doc_id").withColumn(
+        "diff",
+        F.abs(F.col("quality_num") / F.col("quality_den") - F.col("quality")),
+    )
+    # operator rounds to 4 decimals, so agreement is to 5e-5
+    assert joined.filter(F.col("diff") > 5e-5).count() == 0
+    assert joined.count() > 0
