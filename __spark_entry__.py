@@ -4575,6 +4575,33 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution's fuzzy-match step (operators/join.py
+    fuzzy_join): part names corrupted by a DETERMINISTIC typo (drop
+    the character at position partkey mod length — same substring
+    expression on both engines, like pii_scrub's injection pattern)
+    are matched back against the clean name dictionary at levenshtein
+    <= 1. The length-band blocking keeps the join equi (edit distance
+    bounds the length difference, so the banding loses no true match);
+    ambiguous corruptions legitimately match several names and all
+    matches are emitted. Full hash oracle."""
+    from agnes_spark.operators.join import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    pos = F.pmod(F.col("p_partkey"), F.length("p_name")) + 1
+    corrupted = part.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos - 1),
+            F.col("p_name").substr(pos + 1, F.length("p_name")),
+        ).alias("typo_name"),
+    )
+    dictionary = part.select(F.col("p_name").alias("clean_name")).distinct()
+    return fuzzy_join(corrupted, dictionary, "typo_name", "clean_name", max_dist=1).select(
+        "p_partkey", "typo_name", "clean_name", F.col("edit_dist").cast("long").alias("edit_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4686,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scripting_block": sql_scripting_block,
         "udtf_chunk_docs": udtf_chunk_docs,
         "rolling_corr_daily": rolling_corr_daily,
+        "fuzzy_match_names": fuzzy_match_names,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5602,6 +5630,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, n_days, round(cov_rn / (sd_rev * sd_n), 4) "
             "AS corr_rev_orders FROM win "
             "WHERE n_days = 30 AND sd_rev > 1e-9 AND sd_n > 1e-9"
+        ),
+        "fuzzy_match_names": (
+            "WITH c AS (SELECT p_partkey, "
+            "substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) || "
+            "substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) "
+            "AS typo_name FROM part), "
+            "d AS (SELECT DISTINCT p_name AS clean_name FROM part) "
+            "SELECT p_partkey, typo_name, clean_name, "
+            "CAST(levenshtein(typo_name, clean_name) AS BIGINT) AS edit_dist "
+            "FROM c JOIN d ON abs(length(typo_name) - length(clean_name)) <= 1 "
+            "WHERE levenshtein(typo_name, clean_name) <= 1"
         ),
         # the built-in (sequence+slice) form of the UDTF's semantics —
         # the oracle doubles as proof the UDTF was an API gate, not a

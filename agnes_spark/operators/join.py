@@ -188,3 +188,38 @@ def asof_join(
         *[F.col(f"__f_{c}").alias(c) for c in right_values],
     )
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate string join: pairs with levenshtein(left_col,
+    right_col) <= max_dist — entity resolution's fuzzy-match step
+    (typo'd names against a clean dictionary).
+
+    Never an all-pairs: edit distance <= d bounds the LENGTH
+    difference to d, so the left side is replicated to its 2d+1
+    candidate lengths and equi-joined against the right side keyed by
+    exact length — candidates are |left|*(2d+1) x per-length-bucket
+    rows, the exact verify (levenshtein) runs only on them. Blocking
+    on length alone is conservative (full recall: the length bound is
+    implied by the distance bound, so no true match is lost); for
+    huge dictionaries add a second band (e.g. first character) at a
+    known recall cost.
+    """
+    lens = F.array(
+        *[F.length(F.col(left_col)) + F.lit(i) for i in range(-max_dist, max_dist + 1)]
+    )
+    l2 = left.withColumn("__blen", F.explode(lens)).filter(F.col("__blen") > 0)
+    r2 = right.withColumn("__blen", F.length(F.col(right_col)))
+    return (
+        l2.join(r2, "__blen")
+        .withColumn("__dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .filter(F.col("__dist") <= max_dist)
+        .drop("__blen")
+        .withColumnRenamed("__dist", "edit_dist")
+    )

@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "sql_scripting_block",
     "udtf_chunk_docs",
     "rolling_corr_daily",
+    "fuzzy_match_names",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

@@ -119,3 +119,22 @@ def test_asof_join_tolerance(spark):
 
     no_tol = asof_join(trades, quotes, on="t", by=["sym"], right_values=["px"])
     assert {r.t: r.px for r in no_tol.collect()} == {100.0: 10.0, 200.0: 11.0, 500.0: 11.0}
+
+
+def test_fuzzy_join_banded_full_recall(spark):
+    """Length banding must lose no true match (the length bound is
+    implied by the distance bound): every pair within max_dist appears,
+    nothing beyond it does, and the join stays equi (no cartesian)."""
+    from agnes_spark.operators.join import fuzzy_join
+    from agnes_spark.plans import has_cartesian
+
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, "blu bolt"), (3, "xyzzy")], "id long, q string"
+    )
+    right = spark.createDataFrame(
+        [("red widget",), ("blue bolt",), ("hot gear",)], "name string"
+    )
+    out = fuzzy_join(left, right, "q", "name", max_dist=1)
+    got = {(r["id"], r["name"], r["edit_dist"]) for r in out.collect()}
+    assert got == {(1, "red widget", 0), (2, "blue bolt", 1)}
+    assert not has_cartesian(out)
