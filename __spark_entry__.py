@@ -4680,9 +4680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 29 staged keys below (12 early-r6
-        # + 17 late-r6, through rolling_corr_daily) to the front, then
-        # fill the remaining 21 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 30 staged keys below (12 early-r6
+        # + 18 late-r6, through fuzzy_match_names) to the front, then
+        # fill the remaining 20 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
