@@ -4602,6 +4602,27 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users reached by day — the 'running COUNT
+    DISTINCT over a growing window' that naively needs distinct state
+    per window position. The scalable form: distinct count collapses
+    to each user's FIRST day (one hash agg), then cumulative reach is
+    a running sum of first-appearance counts over the bounded hourly
+    frame (revenue_dod_delta's allowlist class). Exact, all-integer,
+    no distinct-within-window state anywhere."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    first_hour = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("hour")
+    )
+    hourly_new = first_hour.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly_new.select(
+        "hour", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4680,9 +4701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 30 staged keys below (12 early-r6
-        # + 18 late-r6, through fuzzy_match_names) to the front, then
-        # fill the remaining 20 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 31 staged keys below (12 early-r6
+        # + 19 late-r6, through cumulative_reach) to the front, then
+        # fill the remaining 19 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -4714,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunk_docs": udtf_chunk_docs,
         "rolling_corr_daily": rolling_corr_daily,
         "fuzzy_match_names": fuzzy_match_names,
+        "cumulative_reach": cumulative_reach,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5630,6 +5652,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, n_days, round(cov_rn / (sd_rev * sd_n), 4) "
             "AS corr_rev_orders FROM win "
             "WHERE n_days = 30 AND sd_rev > 1e-9 AND sd_n > 1e-9"
+        ),
+        "cumulative_reach": (
+            "WITH fh AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour "
+            "FROM events GROUP BY 1), "
+            "hn AS (SELECT hour, count(*) AS new_users FROM fh GROUP BY 1) "
+            "SELECT hour, new_users, CAST(sum(new_users) OVER (ORDER BY hour "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_users FROM hn"
         ),
         "fuzzy_match_names": (
             "WITH c AS (SELECT p_partkey, "

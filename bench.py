@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "udtf_chunk_docs",
     "rolling_corr_daily",
     "fuzzy_match_names",
+    "cumulative_reach",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

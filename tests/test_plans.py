@@ -204,6 +204,7 @@ AUDIT_SP_ALLOWED = {
     "check_shuffle_deterministic",
     "revenue_dod_delta",
     "rolling_corr_daily",  # rolling window over the bounded daily frame (calendar days)
+    "cumulative_reach",  # running sum over the bounded hourly first-appearance frame
     "column_entropy",
     "chi2_independence",
     "q15_top_supplier",
