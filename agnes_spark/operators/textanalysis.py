@@ -282,37 +282,71 @@ def repetition_metrics(
     These are the repetition filters used to cut low-quality documents
     from pretraining corpora (Gopher/MassiveText-class heuristics).
 
-    Shape at scale: one explode keyed by (id, bigram) with map-side
-    partial aggregation, then a per-id rollup — both shuffles carry
-    one row per distinct (id, gram), never per token. Docs with fewer
-    than 2 words get 0.0 for both fractions.
+    Shape at scale: MAP-ONLY — every output is a per-document scalar,
+    so the whole metric is computed inside one Arrow mapInPandas pass
+    (tokens, distinct count, and the bigram mode counted per doc in a
+    single O(n_tokens) sweep) with ZERO shuffles; the earlier
+    explode+double-aggregate formulation moved one row per distinct
+    (id, gram) through two exchanges for what is embarrassingly
+    parallel work. Only integer counts leave Python; the fractions and
+    rounding are computed by the same Spark expressions as before, so
+    values are bit-identical to the expression-based plan. Docs with
+    fewer than 2 words get 0.0 for both fractions.
     """
-    toks = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("w"))
-    # ordered (non-distinct) bigram list — word_shingles would dedupe
-    k = F.size("w") - F.lit(1)
-    bigrams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    import re
+    from collections import Counter
+
+    # ASCII-whitespace split, matching Java's default (non-UNICODE) \s+
+    # in ws_tokens; Python str.split() would also break on U+00A0 etc.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _counts(batches):
+        for pdf in batches:
+            ids = pdf[id_col]
+            out = {
+                id_col: ids,
+                "n_words": [],
+                "n_distinct": [],
+                "top_c": [],
+                "tot_c": [],
+            }
+            for text in pdf[text_col]:
+                if text is None:
+                    out["n_words"].append(None)
+                    out["n_distinct"].append(None)
+                    out["top_c"].append(None)
+                    out["tot_c"].append(None)
+                    continue
+                toks = [t for t in ws.split(text) if t]
+                n = len(toks)
+                out["n_words"].append(n)
+                out["n_distinct"].append(len(set(toks)))
+                if n >= 2:
+                    c = Counter(zip(toks, toks[1:]))
+                    out["top_c"].append(max(c.values()))
+                    out["tot_c"].append(n - 1)
+                else:
+                    out["top_c"].append(None)
+                    out["tot_c"].append(None)
+            yield pd.DataFrame(out).astype(
+                {
+                    "n_words": "Int64",
+                    "n_distinct": "Int64",
+                    "top_c": "Int64",
+                    "tot_c": "Int64",
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    per_doc = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _counts,
+        schema=(
+            f"{id_col} {id_type}, n_words long, n_distinct long, "
+            "top_c long, tot_c long"
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = toks.select(
-        F.col(id_col),
-        F.size("w").alias("n_words"),
-        F.size(F.array_distinct("w")).alias("n_distinct"),
-        F.explode_outer(bigrams).alias("bg"),
-    )
-    per_bg = base.groupBy(id_col, "n_words", "n_distinct", "bg").agg(
-        F.count(F.lit(1)).alias("c")
     )
     return (
-        per_bg.groupBy(id_col, "n_words", "n_distinct")
-        .agg(
-            F.max(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("top_c"),
-            F.sum(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("tot_c"),
-        )
-        .select(
+        per_doc.select(
             F.col(id_col),
             F.col("n_words").cast("long").alias("n_words"),
             F.when(
