@@ -4623,6 +4623,38 @@ def cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: exact triangle census of the part co-purchase
+    graph — vertices are parts, edges connect parts co-ordered in the
+    same 1995-shipped basket (the year filter pushes down to the scan
+    and bounds pair volume ~7x; distinct-ing the multiset edge list is
+    triangle_count's own first step). Triangles are the '3 products
+    bought together' bundles at the base of bundle recommenders.
+
+    Counting runs through graph.triangle_count — degree-oriented wedge
+    join (Suri & Vassilvitskii WWW'11), whose out-neighborhoods stay
+    O(sqrt(m)) under power-law skew. Orientation never changes the
+    count, so the DuckDB oracle uses the trivial id-orientation and
+    still hash-matches exactly."""
+    from agnes_spark.operators.graph import triangle_count, within_group_pairs
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = within_group_pairs(li, "l_orderkey", "l_partkey")
+    out = triangle_count(pairs, "a", "b")
+    return out.select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4701,9 +4733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 31 staged keys below (12 early-r6
-        # + 19 late-r6, through cumulative_reach) to the front, then
-        # fill the remaining 19 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 32 staged keys below (12 early-r6
+        # + 20 late-r6, through triangle_copurchase) to the front, then
+        # fill the remaining 18 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -4736,6 +4768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_daily": rolling_corr_daily,
         "fuzzy_match_names": fuzzy_match_names,
         "cumulative_reach": cumulative_reach,
+        "triangle_copurchase": triangle_copurchase,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5660,6 +5693,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hour, new_users, CAST(sum(new_users) OVER (ORDER BY hour "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_users FROM hn"
+        ),
+        # id-oriented (a<b) triangle closure — orientation does not
+        # change the census, so this matches the degree-oriented Spark
+        # plan exactly
+        "triangle_copurchase": (
+            "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+            "WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'), "
+            "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "nv AS (SELECT count(DISTINCT x) AS n_vertices FROM "
+            "(SELECT a AS x FROM e UNION ALL SELECT b FROM e)), "
+            "ne AS (SELECT count(*) AS n_edges FROM e), "
+            "t AS (SELECT count(*) AS n_triangles FROM e e1 "
+            "JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT CAST(n_vertices AS BIGINT) AS n_vertices, "
+            "CAST(n_edges AS BIGINT) AS n_edges, "
+            "CAST(n_triangles AS BIGINT) AS n_triangles FROM nv, ne, t"
         ),
         "fuzzy_match_names": (
             "WITH c AS (SELECT p_partkey, "

@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "rolling_corr_daily",
     "fuzzy_match_names",
     "cumulative_reach",
+    "triangle_copurchase",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

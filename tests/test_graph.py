@@ -215,3 +215,28 @@ def test_within_group_pairs_matches_self_join(spark, sf_dir):
     )
     assert mismatches == 0
     assert got.count() > 0
+
+
+def test_triangle_count_known_graph(spark):
+    from agnes_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 more),
+    # fed with duplicates, reversed direction, and a self-loop — all
+    # of which must collapse before counting.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(2, 1), (4, 5), (5, 4), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df, "src", "dst").collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from agnes_spark.operators.graph import triangle_count
+
+    # star graphs and even cycles are triangle-free
+    star = [(0, i) for i in range(1, 8)]
+    cycle = [(10 + i, 10 + (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(star + cycle, "src long, dst long")
+    row = triangle_count(df, "src", "dst").collect()[0]
+    assert row.n_triangles == 0
+    assert (row.n_vertices, row.n_edges) == (8 + 6, 7 + 6)

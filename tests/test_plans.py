@@ -186,6 +186,7 @@ AUDIT_BNLJ_ALLOWED = {
     "ann_ivf_topk",
     "check_embedding_auto_recall",
     "check_ivf_autotuned_recall",
+    "triangle_copurchase",  # crossJoin of three 1-row census aggregates
 }
 
 
