@@ -30,6 +30,14 @@ SHOWCASE = [
     ("q9_product_profit", "widest join in the suite: every dim broadcast, one agg shuffle"),
     ("bloom_pruned_join", "Bloom probe filters the fact side BELOW the join exchange"),
     ("dynamic_partition_prune", "dynamicpruningexpression in the scan's PartitionFilters"),
+    (
+        "repetition_metrics",
+        "per-doc scalars via ONE ArrowEvalPython pass — zero shuffles",
+    ),
+    (
+        "triangle_copurchase",
+        "degree-oriented wedge join; shipdate filter pushed to the scan",
+    ),
 ]
 
 
