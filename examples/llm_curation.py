@@ -57,7 +57,15 @@ def main() -> None:
     good = rep.filter(
         (F.col("dup_word_frac") < 0.9) & (F.col("top_bigram_frac") < 0.5)
     ).select("doc_id")
-    docs = docs.join(good, "doc_id", "left_semi")
+    # materialize the kept corpus before the stages that reference it
+    # repeatedly (scrub joins docs to itself; decontaminate reads a
+    # train AND an eval slice of it): without the cut, every reference
+    # re-runs the dedup->cluster->score lineage — and its Python-stage
+    # subplans get no exchange reuse, so the recompute is
+    # multiplicative (measured minutes vs ~15 s for this script). In a
+    # production pipeline this is the natural "write the curated
+    # corpus to parquet between phases" point.
+    docs = docs.join(good, "doc_id", "left_semi").localCheckpoint()
     n3 = docs.count()
 
     # 4. PII scrub
