@@ -302,9 +302,10 @@ def repetition_metrics(
 
     def _counts(batches):
         for pdf in batches:
-            ids = pdf[id_col]
+            # positional, not index-aligned: the counts are built as
+            # plain lists, so the ids must not carry an index of their own
             out = {
-                id_col: ids,
+                id_col: pdf[id_col].to_numpy(),
                 "n_words": [],
                 "n_distinct": [],
                 "top_c": [],
