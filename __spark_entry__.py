@@ -4655,6 +4655,34 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: Welch's unequal-variance t-test of
+    order value between two deterministic customer cohorts (o_custkey
+    parity — the hash-assignment A/B shape), via stats.welch_ttest.
+
+    Values enter as EXACT cents (the integer-output convention), so
+    the operator's decimal accumulators make the t statistic
+    bit-deterministic across partitionings and engines; the oracle
+    reproduces the identical formula over DuckDB's exact HUGEINT sums.
+    t_stat involves a sqrt (off any rational grid), so round(6) is
+    boundary-safe where a mean output would not be."""
+    from agnes_spark.operators.stats import welch_ttest
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).alias("cohort"),
+        F.round(F.col("o_totalprice") * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    t = welch_ttest(o, "cohort", "cents", 0, 1)
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df_welch", 4).alias("df_welch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4733,9 +4761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 32 staged keys below (12 early-r6
-        # + 20 late-r6, through triangle_copurchase) to the front, then
-        # fill the remaining 18 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 33 staged keys below (12 early-r6
+        # + 21 late-r6, through ab_welch_ttest) to the front, then
+        # fill the remaining 17 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -4769,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_names": fuzzy_match_names,
         "cumulative_reach": cumulative_reach,
         "triangle_copurchase": triangle_copurchase,
+        "ab_welch_ttest": ab_welch_ttest,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5693,6 +5722,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hour, new_users, CAST(sum(new_users) OVER (ORDER BY hour "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_users FROM hn"
+        ),
+        # the identical Welch formula over DuckDB's exact HUGEINT sums,
+        # converted to double at the same single point as the Spark
+        # decimal accumulators
+        "ab_welch_ttest": (
+            "WITH c AS (SELECT o_custkey % 2 AS g, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+            "s AS (SELECT g, count(*) AS n, CAST(sum(cents) AS DOUBLE) AS sm, "
+            "CAST(sum(cents * cents) AS DOUBLE) AS ss FROM c GROUP BY g), "
+            "j AS (SELECT a.n AS na, a.sm AS sa, a.ss AS ssa, "
+            "b.n AS nb, b.sm AS sb, b.ss AS ssb "
+            "FROM s a, s b WHERE a.g = 0 AND b.g = 1), "
+            "f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+            "(((ssa - ((na * (sa / na)) * (sa / na))) / (na - 1)) / na) AS sea, "
+            "(((ssb - ((nb * (sb / nb)) * (sb / nb))) / (nb - 1)) / nb) AS seb "
+            "FROM j) "
+            "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, "
+            "round(((sea + seb) * (sea + seb)) / "
+            "(((sea * sea) / (na - 1)) + ((seb * seb) / (nb - 1))), 4) AS df_welch "
+            "FROM f"
         ),
         # id-oriented (a<b) triangle closure — orientation does not
         # change the census, so this matches the degree-oriented Spark

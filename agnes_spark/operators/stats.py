@@ -77,3 +77,71 @@ def view_stats(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
         "field string, num_na long, num_exists long, sum double, "
         "mean double, stdev double, min double, max double",
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups of
+    `group_col`, over `value_col`. Returns ONE row: (n_a, n_b, mean_a,
+    mean_b, t_stat, df_welch) — the experimentation primitive (A/B
+    readout) computed entirely from one grouped aggregate.
+
+    Scale shape: a single filter+groupBy pass (map-side partial aggs,
+    two result rows) collected into a scalar projection — no window,
+    no second scan, nothing driver-side but the 2-row pivot. The
+    t statistic and Welch-Satterthwaite df are assembled in Spark
+    expressions from (n, sum, sum of squares), so callers who need
+    per-segment tests can swap the filter for a groupBy over segment
+    pairs without touching the math. Both groups need n >= 2 (the
+    sample variances divide by n-1).
+    """
+    g = F.col(group_col)
+    raw = F.col(value_col)
+    # integral inputs sum EXACTLY via decimal accumulators, then convert
+    # to double ONCE — the statistic becomes bit-deterministic across
+    # partitionings and engines (double sums are order-dependent the
+    # moment partial sums pass 2^53). Floating inputs keep double sums.
+    integral = dict(df.dtypes)[value_col] in {"tinyint", "smallint", "int", "bigint"}
+    if integral:
+        vd = raw.cast("decimal(19,0)")
+        sum_expr, sumsq_expr = F.sum(vd), F.sum(vd * vd)
+    else:
+        v = raw.cast("double")
+        sum_expr, sumsq_expr = F.sum(v), F.sum(v * v)
+    agg = (
+        df.filter(g.isin([group_a, group_b]) & raw.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_expr.cast("double").alias("s"),
+            sumsq_expr.cast("double").alias("ss"),
+        )
+    )
+    a = agg.filter(F.col("__g") == group_a).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = agg.filter(F.col("__g") == group_b).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("ssb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    sea, seb = va / F.col("na"), vb / F.col("nb")
+    se2 = sea + seb
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        ((ma - mb) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1))
+        ).alias("df_welch"),
+    )

@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "fuzzy_match_names",
     "cumulative_reach",
     "triangle_copurchase",
+    "ab_welch_ttest",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

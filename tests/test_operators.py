@@ -345,3 +345,42 @@ def test_weighted_sample_aes_properties(spark, sf_dir):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = sum(r.n_chars for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_welch_ttest_matches_direct_formula(spark):
+    from agnes_spark.operators.stats import welch_ttest
+
+    a = [12, 15, 11, 19, 14, 13, 16]
+    b = [22, 25, 21, 24, 28]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 999)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = welch_ttest(df, "grp", "val", "a", "b").collect()[0]
+
+    # independent reference computation in plain Python floats
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / (sea + seb) ** 0.5
+    dfw = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert abs(got.mean_a - ma) < 1e-9 and abs(got.mean_b - mb) < 1e-9
+    assert abs(got.t_stat - t) < 1e-9
+    assert abs(got.df_welch - dfw) < 1e-9
+
+
+def test_welch_ttest_float_path(spark):
+    from agnes_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [(0, 1.5), (0, 2.5), (0, 3.5), (1, 4.0), (1, 6.0), (1, 8.0)],
+        "grp int, val double",
+    )
+    got = welch_ttest(df, "grp", "val", 0, 1).collect()[0]
+    assert got.mean_a == 2.5 and got.mean_b == 6.0
+    assert got.t_stat < 0  # group 1 is larger

@@ -187,6 +187,7 @@ AUDIT_BNLJ_ALLOWED = {
     "check_embedding_auto_recall",
     "check_ivf_autotuned_recall",
     "triangle_copurchase",  # crossJoin of three 1-row census aggregates
+    "ab_welch_ttest",  # crossJoin of the two 1-row cohort aggregates
 }
 
 
