@@ -4683,6 +4683,26 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic data profiling: Benford's-law leading-digit screen of
+    order amounts (stats.benford_digit_profile). The leading digit
+    comes from the decimal string of the cents floor — no log/pow FP
+    near the grouping key — and the expected frequencies are shared
+    double literals (stats.BENFORD_FREQS), so Spark and the oracle
+    compute bit-identical expected counts and chi-square contributions
+    regardless of libm differences."""
+    from agnes_spark.operators.stats import benford_digit_profile
+
+    o = _t(spark, sf_dir, "orders")
+    prof = benford_digit_profile(o, "o_totalprice")
+    return prof.select(
+        "digit",
+        "n_obs",
+        F.round("expected_n", 4).alias("expected_n"),
+        F.round("chi2_contrib", 6).alias("chi2_contrib"),
+    ).orderBy("digit")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4761,9 +4781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 33 staged keys below (12 early-r6
-        # + 21 late-r6, through ab_welch_ttest) to the front, then
-        # fill the remaining 17 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 34 staged keys below (12 early-r6
+        # + 22 late-r6, through benford_totalprice) to the front, then
+        # fill the remaining 16 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -4798,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_reach": cumulative_reach,
         "triangle_copurchase": triangle_copurchase,
         "ab_welch_ttest": ab_welch_ttest,
+        "benford_totalprice": benford_totalprice,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5723,6 +5744,29 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_users FROM hn"
         ),
+        # expected frequencies interpolated from the SAME
+        # stats.BENFORD_FREQS double literals the Spark plan uses
+        "benford_totalprice": (
+            lambda: (
+                "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice "
+                "* 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit "
+                "FROM orders WHERE o_totalprice > 0), "
+                "g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), "
+                "t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n_total FROM g), "
+                "e AS (SELECT digit, n_obs, n_total * (CASE digit "
+                + " ".join(
+                    f"WHEN {d} THEN {f!r}"
+                    for d, f in __import__(
+                        "agnes_spark.operators.stats", fromlist=["BENFORD_FREQS"]
+                    ).BENFORD_FREQS.items()
+                )
+                + " END) AS exp_n FROM g, t) "
+                "SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, "
+                "round(exp_n, 4) AS expected_n, "
+                "round(((n_obs - exp_n) * (n_obs - exp_n)) / exp_n, 6) "
+                "AS chi2_contrib FROM e ORDER BY digit"
+            )
+        )(),
         # the identical Welch formula over DuckDB's exact HUGEINT sums,
         # converted to double at the same single point as the Spark
         # decimal accumulators

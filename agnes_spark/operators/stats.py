@@ -145,3 +145,58 @@ def welch_ttest(
             / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1))
         ).alias("df_welch"),
     )
+
+
+# P(leading digit = d) = log10(1 + 1/d), precomputed once so Spark and
+# any cross-checking engine consume the IDENTICAL double literals
+# (libm log10 implementations may differ in the last ulp)
+BENFORD_FREQS = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digit_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law leading-digit profile of a positive numeric
+    column — the classic forensic screen for fabricated amounts.
+    Returns 9 rows: (digit, n_obs, expected_n, chi2_contrib), where
+    chi2_contrib = (n_obs - expected_n)^2 / expected_n (the global
+    chi-square statistic is their sum).
+
+    Scale shape: one filter + one 9-group hash aggregate + a 1-row
+    total broadcast back onto 9 rows — nothing else, at any size. The
+    leading digit is taken from the decimal STRING form of the value
+    floored to cents, so no log/pow floating point touches the
+    grouping key.
+    """
+    v = F.col(value_col)
+    cents = F.floor(v * 100).cast("bigint")
+    digits = (
+        df.filter(v > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("n_total"))
+    freq = F.create_map(
+        *[F.lit(x) for kv in BENFORD_FREQS.items() for x in kv]
+    )
+    exp_n = F.col("n_total") * freq[F.col("digit")]
+    return (
+        digits.crossJoin(total)
+        .select(
+            F.col("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            exp_n.alias("expected_n"),
+            ((F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "cumulative_reach",
     "triangle_copurchase",
     "ab_welch_ttest",
+    "benford_totalprice",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

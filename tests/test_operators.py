@@ -384,3 +384,24 @@ def test_welch_ttest_float_path(spark):
     got = welch_ttest(df, "grp", "val", 0, 1).collect()[0]
     assert got.mean_a == 2.5 and got.mean_b == 6.0
     assert got.t_stat < 0  # group 1 is larger
+
+
+def test_benford_digit_profile_known_counts(spark):
+    import math
+
+    from agnes_spark.operators.stats import BENFORD_FREQS, benford_digit_profile
+
+    # literals must be the exactly-rounded log10(1 + 1/d) doubles
+    for d in range(1, 10):
+        assert BENFORD_FREQS[d] == math.log10(1 + 1 / d)
+
+    # values engineered so leading digits are known: 1x, 2x, 9x, and
+    # non-positives that must be excluded
+    vals = [1.23, 12.3, 123.0, 2.5, 0.29, 9.99, 0.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_digit_profile(df, "x").collect()}
+    assert {d: r.n_obs for d, r in rows.items()} == {1: 3, 2: 2, 9: 1}
+    n = 6
+    exp1 = n * BENFORD_FREQS[1]
+    assert abs(rows[1].expected_n - exp1) < 1e-12
+    assert abs(rows[1].chi2_contrib - (3 - exp1) ** 2 / exp1) < 1e-9

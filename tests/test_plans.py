@@ -188,6 +188,7 @@ AUDIT_BNLJ_ALLOWED = {
     "check_ivf_autotuned_recall",
     "triangle_copurchase",  # crossJoin of three 1-row census aggregates
     "ab_welch_ttest",  # crossJoin of the two 1-row cohort aggregates
+    "benford_totalprice",  # 1-row total broadcast onto the 9 digit rows
 }
 
 
@@ -212,6 +213,7 @@ AUDIT_SP_ALLOWED = {
     "q15_top_supplier",
     "rolling_7d_revenue",
     "vocab_coverage",  # global cum-sum window over the VOCAB frame (bounded by distinct terms)
+    "benford_totalprice",  # final sort of the 9-digit profile frame
 }
 
 
