@@ -4703,6 +4703,26 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitoring: Jensen-Shannon divergence of the
+    language distribution between two deterministic document snapshots
+    (doc_id parity stands in for before/after corpus versions), via
+    stats.js_divergence_profile. Counts are exact integers; p, q, m
+    derive from them identically in both engines, and the ln-based
+    terms follow the lm_surprise precedent (round 6 is stable across
+    libm implementations)."""
+    from agnes_spark.operators.stats import js_divergence_profile
+
+    d = _t(spark, sf_dir, "documents")
+    prof = js_divergence_profile(d, "lang", F.col("doc_id") % 2 == 0)
+    return prof.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.round("jsd_contrib", 6).alias("jsd_contrib"),
+    ).orderBy("category")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4781,9 +4801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 34 staged keys below (12 early-r6
-        # + 22 late-r6, through benford_totalprice) to the front, then
-        # fill the remaining 16 window slots with the oldest-graded
+        # r7 ROTATION NOTE: move the 35 staged keys below (12 early-r6
+        # + 23 late-r6, through drift_js_divergence) to the front, then
+        # fill the remaining 15 window slots with the oldest-graded
         # keys; verify list(queries())[49] programmatically after.
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -4819,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_copurchase": triangle_copurchase,
         "ab_welch_ttest": ab_welch_ttest,
         "benford_totalprice": benford_totalprice,
+        "drift_js_divergence": drift_js_divergence,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -5743,6 +5764,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hour, new_users, CAST(sum(new_users) OVER (ORDER BY hour "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_users FROM hn"
+        ),
+        # exact integer counts; identical p/q/m arithmetic; ln terms
+        # follow the lm_surprise round-6 precedent
+        "drift_js_divergence": (
+            "WITH c AS (SELECT lang AS category, "
+            "count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_a, "
+            "count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_b "
+            "FROM documents GROUP BY lang), "
+            "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, "
+            "CAST(sum(n_b) AS BIGINT) AS tb FROM c), "
+            "e AS (SELECT category, n_a, n_b, "
+            "n_a / CAST(ta AS DOUBLE) AS p, n_b / CAST(tb AS DOUBLE) AS q "
+            "FROM c, t) "
+            "SELECT category, CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "round(0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) "
+            "ELSE 0.0 END) + 0.5 * (CASE WHEN q > 0 THEN "
+            "q * ln(q / ((p + q) / 2)) ELSE 0.0 END), 6) AS jsd_contrib "
+            "FROM e ORDER BY category"
         ),
         # expected frequencies interpolated from the SAME
         # stats.BENFORD_FREQS double literals the Spark plan uses

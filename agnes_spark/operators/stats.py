@@ -200,3 +200,39 @@ def benford_digit_profile(df: DataFrame, value_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def js_divergence_profile(
+    df: DataFrame, category_col: str, in_a: "F.Column"
+) -> DataFrame:
+    """Jensen-Shannon divergence between the categorical distributions
+    of two slices of `df` (rows where boolean `in_a` is true vs the
+    rest) — the distribution-drift screen for corpus snapshots, shard
+    mixes, or before/after filter audits. Returns one row per category:
+    (category, n_a, n_b, jsd_contrib), where the total JSD in nats is
+    sum(jsd_contrib); it is 0 iff the distributions match and bounded
+    by ln(2).
+
+    Scale shape: ONE hash aggregate over (category) with conditional
+    counts, a 1-row totals broadcast back onto the tiny category frame,
+    and a pure projection for the divergence terms. Absent categories
+    contribute p*ln(p/m) -> 0 via the explicit zero guard (the
+    analytic limit), so disjoint supports still work.
+    """
+    counts = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~in_a, F.lit(1))).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = F.col("n_a") / F.col("ta")
+    q = F.col("n_b") / F.col("tb")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    return counts.crossJoin(totals).select(
+        "category",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (0.5 * term(p) + 0.5 * term(q)).alias("jsd_contrib"),
+    )

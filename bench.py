@@ -123,6 +123,7 @@ EXTRA_QUERIES = [
     "triangle_copurchase",
     "ab_welch_ttest",
     "benford_totalprice",
+    "drift_js_divergence",
     "feature_asof_count",
     "decayed_engagement",
     "corr_matrix",

@@ -405,3 +405,39 @@ def test_benford_digit_profile_known_counts(spark):
     exp1 = n * BENFORD_FREQS[1]
     assert abs(rows[1].expected_n - exp1) < 1e-12
     assert abs(rows[1].chi2_contrib - (3 - exp1) ** 2 / exp1) < 1e-9
+
+
+def test_js_divergence_profile(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.stats import js_divergence_profile
+
+    # A: 3x "en", 1x "fr"; B: 2x "en", 2x "de" — "de" absent from A,
+    # "fr" absent from B (disjoint-support guard)
+    rows = [(0, "en")] * 3 + [(0, "fr")] + [(1, "en")] * 2 + [(1, "de")] * 2
+    df = spark.createDataFrame(rows, "side int, lang string")
+    prof = {
+        r.category: r
+        for r in js_divergence_profile(df, "lang", F.col("side") == 0).collect()
+    }
+
+    def contrib(p, q):
+        m = (p + q) / 2
+        t = lambda x: x * math.log(x / m) if x > 0 else 0.0  # noqa: E731
+        return 0.5 * t(p) + 0.5 * t(q)
+
+    assert (prof["en"].n_a, prof["en"].n_b) == (3, 2)
+    assert abs(prof["en"].jsd_contrib - contrib(0.75, 0.5)) < 1e-12
+    assert abs(prof["fr"].jsd_contrib - contrib(0.25, 0.0)) < 1e-12
+    assert abs(prof["de"].jsd_contrib - contrib(0.0, 0.5)) < 1e-12
+    total = sum(r.jsd_contrib for r in prof.values())
+    assert 0 < total <= math.log(2) + 1e-12
+
+    # identical slices -> zero divergence
+    same = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (0, "fr"), (1, "fr")], "side int, lang string"
+    )
+    z = js_divergence_profile(same, "lang", F.col("side") == 0).collect()
+    assert all(abs(r.jsd_contrib) < 1e-15 for r in z)

@@ -189,6 +189,7 @@ AUDIT_BNLJ_ALLOWED = {
     "triangle_copurchase",  # crossJoin of three 1-row census aggregates
     "ab_welch_ttest",  # crossJoin of the two 1-row cohort aggregates
     "benford_totalprice",  # 1-row total broadcast onto the 9 digit rows
+    "drift_js_divergence",  # 1-row totals broadcast onto the category frame
 }
 
 
