@@ -98,7 +98,9 @@ def welch_ttest(
     expressions from (n, sum, sum of squares), so callers who need
     per-segment tests can swap the filter for a groupBy over segment
     pairs without touching the math. Both groups need n >= 2 (the
-    sample variances divide by n-1).
+    sample variances divide by n-1). The exact integral path holds
+    while sum(v^2) fits decimal(38,0) — |v| up to ~1e14 at a billion
+    rows — beyond which Spark raises rather than silently truncating.
     """
     g = F.col(group_col)
     raw = F.col(value_col)
@@ -174,7 +176,9 @@ def benford_digit_profile(df: DataFrame, value_col: str) -> DataFrame:
     total broadcast back onto 9 rows — nothing else, at any size. The
     leading digit is taken from the decimal STRING form of the value
     floored to cents, so no log/pow floating point touches the
-    grouping key.
+    grouping key. Domain: amounts >= 0.01 (smaller positives floor to
+    zero cents and land in a spurious digit-0 bucket — pre-scale such
+    columns before profiling).
     """
     v = F.col(value_col)
     cents = F.floor(v * 100).cast("bigint")
