@@ -4734,20 +4734,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-6 window (counted to exactly 50):
-    #   1-20:  NEW this round (grouping sets, cohort/funnel/RFM/regr
-    #          analytics, anomaly + gap detection, deterministic mode,
-    #          distribution windows, raw-moment stats, Z-order +
-    #          bucketed-layout end-to-end gates, readability/crosstab/
-    #          bigram text ops, salted two-phase agg, forward as-of)
-    #   21-50: the 30 keys whose last driver row was r1
-    #          (pre-Spark-4.1.2) — judge re-verified green in r5; this
-    #          closes the grading-freshness gap: after this round every
-    #          key has a post-Spark-4 driver row
-    #   51+:   the r5-graded window (all green in CORRECTNESS_r05),
-    #          then r2/r3/r4-graded keys
+    # Round-7 window (counted to exactly 50):
+    #   1-35:  the 35 keys staged in r6 — never driver-graded; all 35
+    #          judge-verified green at sf0.01 in the r6 verdict
+    #   36-50: the 15 oldest-graded keys (split_sentences, last driver
+    #          row r2, plus 14 r3-latest keys — incl. quality_score and
+    #          curation_pipeline whose implementations changed in r6, so
+    #          their fresh driver rows matter most)
+    #   51+:   the r6-graded window (all green in CORRECTNESS_r06), then
+    #          r5/r4/r3-graded keys
     return {
-        # --- NEW this round ---
+        # --- staged in r6, never driver-graded (judge-verified r6) ---
+        "compaction_roundtrip": compaction_roundtrip,
+        "schema_evolution_read": schema_evolution_read,
+        "stream_band_join": stream_band_join,
+        "feature_asof_count": feature_asof_count,
+        "decayed_engagement": decayed_engagement,
+        "scd2_pit_join": scd2_pit_join,
+        "column_entropy": column_entropy,
+        "chi2_independence": chi2_independence,
+        "corr_matrix": corr_matrix,
+        "weighted_sample_docs": weighted_sample_docs,
+        "interpolate_gaps": interpolate_gaps,
+        "weighted_median_price": weighted_median_price,
+        "bloom_pruned_join": bloom_pruned_join,
+        "partitioned_write_prune": partitioned_write_prune,
+        "dynamic_partition_prune": dynamic_partition_prune,
+        "transition_matrix": transition_matrix,
+        "vocab_coverage": vocab_coverage,
+        "mad_outliers": mad_outliers,
+        "pagerank_copurchase": pagerank_copurchase,
+        "check_pagerank_parity": check_pagerank_parity,
+        "twap_user": twap_user,
+        "ohlc_hourly": ohlc_hourly,
+        "order_streaks": order_streaks,
+        "frequent_itempairs": frequent_itempairs,
+        "recursive_cte_chain": recursive_cte_chain,
+        "session_variable_query": session_variable_query,
+        "sql_scripting_block": sql_scripting_block,
+        "udtf_chunk_docs": udtf_chunk_docs,
+        "rolling_corr_daily": rolling_corr_daily,
+        "fuzzy_match_names": fuzzy_match_names,
+        "cumulative_reach": cumulative_reach,
+        "triangle_copurchase": triangle_copurchase,
+        "ab_welch_ttest": ab_welch_ttest,
+        "benford_totalprice": benford_totalprice,
+        "drift_js_divergence": drift_js_divergence,
+        # --- 15 oldest driver rows (r2/r3), rotated back in ---
+        "split_sentences": split_sentences,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "geo_mean": geo_mean,
+        "ols_slope": ols_slope,
+        "minmax_by": minmax_by,
+        "curation_pipeline": curation_pipeline,
+        "multimodal_decode": multimodal_decode,
+        "word_count": word_count,
+        "collect_values": collect_values,
+        # ---------------- end of the 50-key window ----------------
+        # staged for the r8 window (new this round, never graded).
+        # r8 ROTATION NOTE: move the new-in-r7 keys below to the front
+        # of the window, then the 7 remaining r3-latest keys
+        # (serialize_roundtrip .. rolling_7d_revenue), then fill the
+        # rest with the oldest-graded keys; verify list(queries())[49]
+        # programmatically after.
+        "serialize_roundtrip": serialize_roundtrip,
+        "decontaminate": decontaminate,
+        "pack_chunks": pack_chunks,
+        "train_test_split": train_test_split,
+        "normalize_text": normalize_text,
+        "tfidf_top_terms": tfidf_top_terms,
+        "rolling_7d_revenue": rolling_7d_revenue,
+        # r6-graded window (all green in CORRECTNESS_r06)
         "grouping_sets_agg": grouping_sets_agg,
         "retention_cohorts": retention_cohorts,
         "funnel_conversion": funnel_conversion,
@@ -4799,47 +4862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_arith": field_arith,
         "melt_wide": melt_wide,
         "unique_values": unique_values,
-        # ---------------- end of the 50-key window ----------------
-        # staged for the r7 window (new, never graded).
-        # r7 ROTATION NOTE: move the 35 staged keys below (12 early-r6
-        # + 23 late-r6, through drift_js_divergence) to the front, then
-        # fill the remaining 15 window slots with the oldest-graded
-        # keys; verify list(queries())[49] programmatically after.
-        "compaction_roundtrip": compaction_roundtrip,
-        "schema_evolution_read": schema_evolution_read,
-        "stream_band_join": stream_band_join,
-        "feature_asof_count": feature_asof_count,
-        "decayed_engagement": decayed_engagement,
-        "scd2_pit_join": scd2_pit_join,
-        "column_entropy": column_entropy,
-        "chi2_independence": chi2_independence,
-        "corr_matrix": corr_matrix,
-        "weighted_sample_docs": weighted_sample_docs,
-        "interpolate_gaps": interpolate_gaps,
-        "weighted_median_price": weighted_median_price,
-        "bloom_pruned_join": bloom_pruned_join,
-        "partitioned_write_prune": partitioned_write_prune,
-        "dynamic_partition_prune": dynamic_partition_prune,
-        "transition_matrix": transition_matrix,
-        "vocab_coverage": vocab_coverage,
-        "mad_outliers": mad_outliers,
-        "pagerank_copurchase": pagerank_copurchase,
-        "check_pagerank_parity": check_pagerank_parity,
-        "twap_user": twap_user,
-        "ohlc_hourly": ohlc_hourly,
-        "order_streaks": order_streaks,
-        "frequent_itempairs": frequent_itempairs,
-        "recursive_cte_chain": recursive_cte_chain,
-        "session_variable_query": session_variable_query,
-        "sql_scripting_block": sql_scripting_block,
-        "udtf_chunk_docs": udtf_chunk_docs,
-        "rolling_corr_daily": rolling_corr_daily,
-        "fuzzy_match_names": fuzzy_match_names,
-        "cumulative_reach": cumulative_reach,
-        "triangle_copurchase": triangle_copurchase,
-        "ab_welch_ttest": ab_welch_ttest,
-        "benford_totalprice": benford_totalprice,
-        "drift_js_divergence": drift_js_divergence,
         # r5-graded window (all green in CORRECTNESS_r05)
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4891,29 +4913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_lt": join_lt,
         "join_band": join_band,
         "merge_views": merge_views,
-        # r2/r3-graded keys
-        "split_sentences": split_sentences,
-        "tfidf_top_terms": tfidf_top_terms,
-        "pack_chunks": pack_chunks,
-        "curation_pipeline": curation_pipeline,
-        "collect_values": collect_values,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_embedding": dedup_embedding,
-        "ann_cosine_topk": ann_cosine_topk,
-        "lang_id": lang_id,
-        "quality_score": quality_score,
-        "token_count": token_count,
-        "geo_mean": geo_mean,
-        "ols_slope": ols_slope,
-        "rolling_7d_revenue": rolling_7d_revenue,
-        "minmax_by": minmax_by,
-        "multimodal_decode": multimodal_decode,
-        "word_count": word_count,
-        "train_test_split": train_test_split,
-        "normalize_text": normalize_text,
-        "serialize_roundtrip": serialize_roundtrip,
-        "decontaminate": decontaminate,
         # graded green in r4
         "label_centroids": label_centroids,
         "time_rollup": time_rollup,
