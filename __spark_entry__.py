@@ -4986,7 +4986,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, round(rk, 8) AS aes_rank FROM ("
             "SELECT doc_id, n_chars, "
             "power((((doc_id % 2147483648) * 2654435761) % 2147483648 + 0.5) / 2147483648.0, "
-            "1.0 / greatest(n_chars, 1.0)) AS rk FROM documents) "
+            "1.0 / CAST(n_chars AS DOUBLE)) AS rk FROM documents "
+            "WHERE n_chars > 0) "
             "ORDER BY rk DESC, doc_id ASC LIMIT 100"
         ),
         "interpolate_gaps": (

@@ -207,14 +207,15 @@ def fuzzy_join(
     exact length — candidates are |left|*(2d+1) x per-length-bucket
     rows, the exact verify (levenshtein) runs only on them. Blocking
     on length alone is conservative (full recall: the length bound is
-    implied by the distance bound, so no true match is lost); for
-    huge dictionaries add a second band (e.g. first character) at a
-    known recall cost.
+    implied by the distance bound, so no true match is lost — the
+    length-0 bucket is kept so empty right-side strings can match
+    left strings of length <= max_dist); for huge dictionaries add a
+    second band (e.g. first character) at a known recall cost.
     """
     lens = F.array(
         *[F.length(F.col(left_col)) + F.lit(i) for i in range(-max_dist, max_dist + 1)]
     )
-    l2 = left.withColumn("__blen", F.explode(lens)).filter(F.col("__blen") > 0)
+    l2 = left.withColumn("__blen", F.explode(lens)).filter(F.col("__blen") >= 0)
     r2 = right.withColumn("__blen", F.length(F.col(right_col)))
     return (
         l2.join(r2, "__blen")

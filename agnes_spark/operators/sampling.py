@@ -192,6 +192,12 @@ def weighted_sample_aes(
     engine that can multiply integers draws the SAME sample, so a
     resumed/re-run 100 TB job reproduces its sample exactly.
 
+    Weights are used at face value — fractional weights in (0,1)
+    keep their true inclusion odds (u^(1/w) for w<1 pushes ranks
+    toward 0, as A-ES requires). Rows with weight <= 0 are excluded
+    from the sample frame entirely (A-ES is undefined there; they
+    must never be sampleable), matching the paper's w > 0 domain.
+
     `u` comes from the Knuth multiplicative hash of (id + seed) —
     arithmetic, engine-portable (same rationale as
     stratified_sample_exact) — never from rand().
@@ -210,13 +216,13 @@ def weighted_sample_aes(
         )
         / F.lit(float(_M31))
     )
-    w = F.greatest(
-        weight_col if not isinstance(weight_col, str) else F.col(weight_col),
-        F.lit(1.0),
-    )
+    w = (
+        weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    ).cast("double")
     rk = F.pow(u, F.lit(1.0) / w)
     return (
-        df.withColumn("aes_rank", rk)
+        df.filter(w > F.lit(0.0))
+        .withColumn("aes_rank", rk)
         .orderBy(F.col("aes_rank").desc(), F.col(id_col).asc())
         .limit(k)
     )

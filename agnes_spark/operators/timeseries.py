@@ -45,7 +45,13 @@ def interpolate_linear(
     next_t = F.first(F.when(v.isNotNull(), t_us), ignorenulls=True).over(w_next)
     frac = (t_us - prev_t) / (next_t - prev_t)
     interp = prev_v + (next_v - prev_v) * frac
+    # Equal-timestamp brackets (duplicate rows per instant, one null)
+    # would divide by zero -> Inf/NaN silently landing in _filled;
+    # guard so the result is NULL instead (the row has no bracket).
     filled = F.when(v.isNotNull(), v).otherwise(
-        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+            interp,
+        )
     )
     return series.withColumn(f"{value_col}_filled", filled)

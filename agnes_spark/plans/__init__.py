@@ -60,14 +60,24 @@ def codegen_stage_count(df: DataFrame) -> int:
     AQE off for the measurement: df.select("*") forces a fresh
     QueryExecution under the toggled conf, the logical plan is
     untouched, and the conf is restored. The non-adaptive count is the
-    meaningful one — it is the fusion structure AQE starts from."""
+    meaningful one — it is the fusion structure AQE starts from.
+
+    NOT thread-safe: the toggle is on the session-wide conf, so a
+    concurrently planned query in the SAME session can observe AQE
+    disabled during the measurement window. Call from one thread (the
+    plan-audit tests do), or from a dedicated spark.newSession()."""
     sess = df.sparkSession
-    old = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    old = sess.conf.get("spark.sql.adaptive.enabled", None)
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         p = plan_string(df.select("*"), "codegen")
     finally:
-        sess.conf.set("spark.sql.adaptive.enabled", old)
+        # restore exactly: unset if it was unset (a blanket 'true'
+        # write would pin the default and shadow later cluster confs)
+        if old is None:
+            sess.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            sess.conf.set("spark.sql.adaptive.enabled", old)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
     if m:
         return int(m.group(1))

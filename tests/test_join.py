@@ -138,3 +138,18 @@ def test_fuzzy_join_banded_full_recall(spark):
     got = {(r["id"], r["name"], r["edit_dist"]) for r in out.collect()}
     assert got == {(1, "red widget", 0), (2, "blue bolt", 1)}
     assert not has_cartesian(out)
+
+
+def test_fuzzy_join_empty_strings_match(spark):
+    """levenshtein(x, '') = len(x), so empty right-side strings ARE
+    within max_dist of left strings of length <= max_dist; the
+    length-0 bucket must not be filtered out of the candidate set."""
+    from agnes_spark.operators.join import fuzzy_join
+
+    left = spark.createDataFrame([(1, "a"), (2, ""), (3, "abc")], "id long, q string")
+    right = spark.createDataFrame([("",), ("b",)], "name string")
+    got = {
+        (r["id"], r["name"], r["edit_dist"])
+        for r in fuzzy_join(left, right, "q", "name", max_dist=1).collect()
+    }
+    assert got == {(1, "", 1), (1, "b", 1), (2, "", 0), (2, "b", 1)}

@@ -329,6 +329,30 @@ def test_interpolate_linear_fills_between_neighbors(spark):
     assert got[("a", "2024-01-01 03:00:00")] == 9.0
 
 
+def test_interpolate_linear_equal_timestamp_bracket_is_null(spark):
+    """A null row whose nearest neighbors share ITS timestamp (dup
+    rows per instant) must yield NULL, not Inf/NaN from the zero-width
+    bracket division."""
+    import math
+
+    from agnes_spark.operators.timeseries import interpolate_linear
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {
+            "k": ["a"] * 3,
+            "t": ["2024-01-01 00:00:00"] * 3,
+            "v": [1.0, None, 9.0],
+        },
+        types={"k": "string", "t": "string", "v": "double"},
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    vals = [r.v_filled for r in interpolate_linear(df, ["k"], "t", "v").collect()]
+    nulls = [v for v in vals if v is None]
+    assert len(nulls) == 1  # the null row stays null
+    assert not any(v is not None and (math.isinf(v) or math.isnan(v)) for v in vals)
+
+
 def test_weighted_sample_aes_properties(spark, sf_dir):
     from agnes_spark.operators.sampling import weighted_sample_aes
 
@@ -345,6 +369,29 @@ def test_weighted_sample_aes_properties(spark, sf_dir):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = sum(r.n_chars for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_aes_fractional_and_nonpositive_weights(spark):
+    """Fractional weights keep their TRUE inclusion odds (no clamp to
+    1.0 — the old clamp collapsed normalized weights to uniform), and
+    weight <= 0 rows are never sampleable."""
+    from agnes_spark.operators.sampling import weighted_sample_aes
+
+    rows = [(i, 0.001) for i in range(200)] + [(i, 100.0) for i in range(200, 220)]
+    rows += [(999, 0.0), (1000, -5.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_aes(df, "id", "w", k=20)
+    ids = [r.id for r in got.collect()]
+    assert len(ids) == 20
+    # zero/negative weights excluded outright
+    assert 999 not in ids and 1000 not in ids
+    # heavy rows (weight 1e5x the light ones) dominate the sample:
+    # under the old clamp all weights collapsed to 1 -> ~2 heavy rows
+    # expected; with true weights nearly all 20 heavy rows win
+    heavy = sum(1 for i in ids if 200 <= i < 220)
+    assert heavy >= 15
+    # ranks are valid (0,1) powers — no NaN from negative bases
+    assert all(0.0 < r.aes_rank <= 1.0 for r in got.collect())
 
 
 def test_welch_ttest_matches_direct_formula(spark):
