@@ -4259,15 +4259,52 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of parts in the co-purchase graph
     (operators/graph.py pagerank) — the iterative-algorithm class
     (beyond connected components) a crawl-prioritization or
-    domain-ranking pipeline runs at corpus scale. Rank values are
-    iterative floating point, so the driver check is rows-only; the
-    real gate is check_pagerank_parity, which pins every rank against
-    an independent numpy power iteration."""
+    domain-ranking pipeline runs at corpus scale. FULL oracle: DuckDB
+    unrolls the identical 12-round power iteration as chained CTEs
+    (measured cross-engine divergence ~1e-15 at sf0.01, five orders
+    below the nearest round-6 boundary; check_pagerank_parity pins
+    every rank against an independent numpy iteration as well). The
+    top-50 cutoff orders by the ROUNDED rank with part_id tiebreak so
+    both engines resolve near-ties identically."""
     ranks, _edges = _copurchase_pagerank(spark, sf_dir)
     return (
         ranks.select(F.col("id").alias("part_id"), F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("part_id").asc())
         .limit(50)
+    )
+
+
+def _pagerank_oracle_sql(rounds: int = 12) -> str:
+    """DuckDB twin of pagerank_copurchase: the SAME 12-round power
+    iteration unrolled as chained CTEs (no WITH RECURSIVE — DuckDB
+    restricts aggregation in the recursive member, and a fixed
+    schedule unrolls exactly). Mirrors graph.py pagerank's expression
+    shape — 0.15 + 0.85 * sum(rank/deg), post-sum multiply — and the
+    symmetric co-purchase graph has no dangling nodes (every endpoint
+    has an out-edge), so the dangling term is identically zero."""
+    parts = [
+        "und AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, "
+        "greatest(x.l_partkey, y.l_partkey) AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey <> y.l_partkey)",
+        "edges AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b AS src, a AS dst FROM und)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT src AS id, deg, CAST(1.0 AS DOUBLE) AS rank FROM deg)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"r{i + 1} AS (SELECT d.src AS id, d.deg AS deg, "
+            "0.15 + 0.85 * s.in_mass AS rank FROM deg d JOIN ("
+            "SELECT e.dst, sum(r.rank / r.deg) AS in_mass "
+            f"FROM edges e JOIN r{i} r ON e.src = r.id GROUP BY e.dst) s "
+            "ON d.src = s.dst)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id AS part_id, round(rank, 6) AS rank FROM r{rounds} "
+        "ORDER BY round(rank, 6) DESC, id ASC LIMIT 50"
     )
 
 
@@ -5089,6 +5126,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
             "FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1"
         ),
+        # promoted from rows-only in r7: DuckDB unrolls the identical
+        # 12-round power iteration (see _pagerank_oracle_sql)
+        "pagerank_copurchase": _pagerank_oracle_sql(12),
         "column_entropy": (
             "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "
             "d AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY 1), "
