@@ -4760,6 +4760,126 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("category")
 
 
+# Shared DuckDB CTE chain for the span-dedup oracles: literal gram
+# strings where Spark uses blake2b int64 hashes (positions-only
+# outputs make the engines comparable), identical island-merge via
+# running-max windows. k=10 is inlined (w[i:i+9], pos+9, range end
+# len(w)-8 == len(w)-k+2).
+_SPAN_ORACLE_CTE = (
+    "tok AS (SELECT doc_id, list_filter(string_split("
+    "regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') AS w "
+    "FROM documents), "
+    "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS gram "
+    "FROM tok, UNNEST(range(1, len(w) - 8)) AS t(i)), "
+    "m AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+    "count(*) OVER (PARTITION BY gram) AS c FROM g) WHERE c >= 2), "
+    "x AS (SELECT doc_id, pos, max(pos + 9) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "AS prev_end FROM m), "
+    "f AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR "
+    "pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span FROM x), "
+    "s AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS span_id FROM f), "
+    "spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok, "
+    "CAST(max(pos) + 9 AS BIGINT) AS end_tok, "
+    "CAST(count(*) AS BIGINT) AS n_windows FROM s GROUP BY doc_id, span_id)"
+)
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span dedup detection (dedup.py duplicate_spans — Lee
+    et al. 2022): maximal token spans whose every 10-token window
+    occurs >= 2 times anywhere in the corpus, as 0-based inclusive
+    token offsets per doc. The only span-granularity dedup family
+    (exact/ngram/MinHash/SimHash/winnow/embedding are all doc- or
+    fingerprint-granularity). FULL oracle: DuckDB matches literal
+    gram STRINGS where Spark matches their blake2b int64 hashes — the
+    output carries only positions, so the engines agree unless a
+    64-bit collision manufactures a false duplicate (odds
+    ~positions^2/2^64, the accepted class of every hashed-shingle
+    gate)."""
+    from agnes_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_spans(d, "doc_id", "text", k=10, min_count=2)
+        .select(
+            "doc_id",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("end_tok").cast("long").alias("end_tok"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+def dedup_spans_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half (dedup.py drop_duplicate_spans): cut every
+    detected duplicate span out of the text and emit the cleaned
+    string for each affected doc. FULL oracle — DuckDB rebuilds the
+    cleaned text as string_agg over the uncovered token offsets, so
+    the JVM array-cut expression is verified verbatim, not just by
+    its counts."""
+    from agnes_spark.operators.dedup import drop_duplicate_spans, duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, "doc_id", "text", k=10, min_count=2)
+    return (
+        drop_duplicate_spans(d, spans, "doc_id", "text")
+        .filter(F.col("n_tok_removed") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tok_removed").cast("long").alias("n_tok_removed"),
+            "text_deduped",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def check_span_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-span recall twin for dedup_spans: append one fixed
+    20-token phrase to every doc with doc_id % 50 == 7, run
+    duplicate_spans (k=10) on the modified corpus, and emit every
+    planted doc whose appended region [n_tok, n_tok+19] is NOT fully
+    covered by a single detected span. Must be empty: every 10-window
+    inside the planted region repeats across all planted docs, so the
+    positions are contiguous and merge into one covering span —
+    end-to-end recall of hash -> window-count -> island-merge, the
+    guarantee the sf0.1 embedding-recall defect of r6 showed needs
+    its own gate."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.dedup import duplicate_spans
+
+    plant = " ".join(f"planted{i:02d}" for i in range(20))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_orig"),
+        F.when(
+            F.col("doc_id") % 50 == 7,
+            F.concat_ws(" ", F.trim(F.col("text")), F.lit(plant)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = duplicate_spans(d, "doc_id", "text", k=10, min_count=2)
+    planted = d.filter(F.col("doc_id") % 50 == 7).select("doc_id", "n_orig")
+    covered = (
+        planted.join(spans, "doc_id", "left")
+        .withColumn(
+            "__covers",
+            F.when(
+                (F.col("start_tok") <= F.col("n_orig"))
+                & (F.col("end_tok") >= F.col("n_orig") + 19),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("__covers").alias("ok"))
+    )
+    return covered.filter(F.col("ok") != 1).select("doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4840,6 +4960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (serialize_roundtrip .. rolling_7d_revenue), then fill the
         # rest with the oldest-graded keys; verify list(queries())[49]
         # programmatically after.
+        "dedup_spans": dedup_spans,
+        "dedup_spans_removal": dedup_spans_removal,
+        "check_span_recall": check_span_recall,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5129,6 +5252,35 @@ def oracle_sql() -> dict[str, str]:
         # promoted from rows-only in r7: DuckDB unrolls the identical
         # 12-round power iteration (see _pagerank_oracle_sql)
         "pagerank_copurchase": _pagerank_oracle_sql(12),
+        # --- staged r8: substring-span dedup (Lee et al. 2022) ---
+        "dedup_spans": (
+            "WITH " + _SPAN_ORACLE_CTE + " "
+            "SELECT doc_id, start_tok, end_tok, n_windows FROM spans "
+            "ORDER BY doc_id, start_tok"
+        ),
+        "dedup_spans_removal": (
+            "WITH " + _SPAN_ORACLE_CTE + ", "
+            "cov AS (SELECT DISTINCT doc_id FROM spans), "
+            "toks AS (SELECT tok.doc_id, j - 1 AS off, w[j] AS tk "
+            "FROM tok, UNNEST(range(1, len(w) + 1)) AS u(j) "
+            "WHERE tok.doc_id IN (SELECT doc_id FROM cov)), "
+            "kept AS (SELECT t.doc_id, t.off, t.tk FROM toks t "
+            "WHERE NOT EXISTS (SELECT 1 FROM spans sp "
+            "WHERE sp.doc_id = t.doc_id "
+            "AND t.off BETWEEN sp.start_tok AND sp.end_tok)) "
+            "SELECT c.doc_id, "
+            "CAST(nt.n_tok - coalesce(k.n_kept, 0) AS BIGINT) AS n_tok_removed, "
+            "coalesce(k.text_deduped, '') AS text_deduped "
+            "FROM cov c "
+            "JOIN (SELECT doc_id, len(w) AS n_tok FROM tok) nt USING (doc_id) "
+            "LEFT JOIN (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(tk, ' ' ORDER BY off) AS text_deduped "
+            "FROM kept GROUP BY doc_id) k USING (doc_id) "
+            "ORDER BY c.doc_id"
+        ),
+        "check_span_recall": (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
+        ),
         "column_entropy": (
             "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "
             "d AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY 1), "

@@ -126,6 +126,42 @@ def word_shingles_udf(n: int = 3):
     return _shingle
 
 
+def positional_kgram_hashes_udf(k: int = 10):
+    """POSITIONAL k-word-gram hashes as array<long>: element i is the
+    keyed 8-byte blake2b of tokens[i:i+k] joined by one space (t.split()
+    tokenization, same as hashed_shingles_udf). Unlike the shingle UDF
+    this keeps every position and does NOT dedupe — the array index IS
+    the token offset, which substring-span detection needs to map hash
+    matches back to document coordinates. Gram strings never cross the
+    Arrow boundary; only 8-byte hashes shuffle. A hash collision can
+    merge two unrelated grams (odds ~positions^2/2^64 — negligible even
+    at corpus scale, same accepted class as hashed_shingles_udf)."""
+    import hashlib
+
+    @F.pandas_udf("array<long>")
+    def _h(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            toks = t.split()
+            if len(toks) < k:
+                return []
+            out = []
+            for i in range(len(toks) - k + 1):
+                v = int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(toks[i : i + k]).encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            return out
+
+        return texts.apply(one)
+
+    return _h
+
+
 def hashed_shingles_udf(n: int = 3):
     """Distinct n-word shingles hashed straight to int64 inside the
     UDF (keyed 8-byte blake2b) — shingle STRINGS never cross the

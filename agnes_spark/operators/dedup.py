@@ -1,14 +1,18 @@
 """Deduplication operators for LLM-data pipelines.
 
-Five dedup families, all built so candidate generation is an EQUI-join
-on a bucket key (hash / LSH band / simhash chunk / coarse cluster) —
-the only strategy that survives 100 TB. All-pairs work happens only
-inside buckets; shingles are hashed to int64 before any shuffle.
+Six dedup families, all built so candidate generation is an EQUI-join
+on a bucket key (hash / LSH band / simhash chunk / coarse cluster /
+k-gram window hash) — the only strategy that survives 100 TB.
+All-pairs work happens only inside buckets; shingles are hashed to
+int64 before any shuffle. Doc-granularity families (exact, n-gram
+Jaccard, MinHash, SimHash, embedding) drop whole documents;
+duplicate_spans (Lee et al. 2022) is SPAN granularity — it finds and
+removes repeated substrings inside otherwise-unique documents.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from agnes_spark.functions import (
@@ -19,6 +23,7 @@ from agnes_spark.functions import (
     l2_norm,
     minhash_signature_udf,
     pack_bits,
+    positional_kgram_hashes_udf,
     simhash_bits_udf,
     vec_double,
 )
@@ -497,4 +502,124 @@ def embedding_dedup_pairs(
         .withColumn("cos", dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
         .filter(F.col("cos") >= threshold)
         .select("blk", "a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-span dedup detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find maximal token
+    spans whose every k-token window occurs >= min_count times in the
+    corpus (across documents OR repeated within one — boilerplate,
+    licenses, navigation chrome). Doc-level dedup cannot see these;
+    span-level removal is the one public LLM-curation dedup family the
+    doc-granularity operators above don't cover.
+
+    Returns (id_col, start_tok, end_tok, n_windows): 0-based inclusive
+    token offsets of each maximal duplicated span and the number of
+    matched k-windows merged into it. Feed to drop_duplicate_spans to
+    cut the spans out of the text.
+
+    Spark shape (the suffix-array of the paper is a single-machine
+    construction; the hash-window form is the distributed equivalent):
+      1. one Arrow pass hashes every positional k-token window to
+         int64 (positional_kgram_hashes_udf — gram strings never
+         shuffle, the array index is the token offset);
+      2. corpus-wide occurrence counts via a window count over the
+         hash — one shuffle keyed by the 8-byte hash, no join-back
+         (the counted row already carries doc_id and pos);
+      3. matched positions merge into maximal spans per doc with a
+         running-max window: a new span starts where the position
+         gap exceeds the window overlap (pos > prev_end + 1).
+    Every shuffle is keyed by hash or doc id — no cartesian, no
+    driver state, and the explode is |tokens| rows of 16 bytes/doc,
+    the same scale class as the shingle pipelines. Boilerplate-hot
+    hashes skew step 2's partitioning; AQE's skew handling splits
+    them (the count itself is all any row needs, not the group).
+    """
+    g = (
+        # repartition BEFORE the Python stage: a single-file source
+        # otherwise runs the whole UDF serially in one worker
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            positional_kgram_hashes_udf(k)(F.col(text_col)).alias("gh"),
+        )
+        # posexplode_outer, NOT posexplode: the plain generator injects
+        # a size()>0 pre-filter that re-inlines (re-runs) the UDF
+        .select(F.col(id_col), F.posexplode_outer("gh").alias("pos", "h"))
+        .filter(F.col("h").isNotNull())
+    )
+    matched = g.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("n_occ") >= min_count)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = matched.withColumn(
+        "__new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "__span_id",
+        F.sum("__new_span").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(id_col, "__span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__span_id")
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove detected duplicate spans from the text: tokens whose
+    0-based offset falls inside any of the doc's (start_tok, end_tok)
+    spans are cut, the rest re-join with single spaces into
+    `<text_col>_deduped` (plus n_tok_removed). Docs with no spans pass
+    through untouched (left join). The span list collects per doc
+    (bounded: spans per doc is small by construction — they are
+    maximal and disjoint), and the cut is a JVM filter over the token
+    array — no Python in this half."""
+    agg_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["start_tok"]) & (s["i"] <= sp["end_tok"]),
+        ),
+    )
+    return (
+        df.join(agg_spans, on=id_col, how="left")
+        .withColumn(
+            f"{text_col}_deduped",
+            F.when(
+                F.col("__spans").isNull(), F.concat_ws(" ", toks)
+            ).otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))),
+        )
+        .withColumn(
+            "n_tok_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size(toks) - F.size(kept)
+            ),
+        )
+        .drop("__spans")
     )

@@ -170,3 +170,68 @@ def test_exact_dedup_kept_keeps_min_id_rows(spark):
     # agrees with the summary form's keeper choice
     keepers = {r.keep_id for r in exact_dedup(df, "doc_id", "text").collect()}
     assert {d for d, _, _ in out} == keepers
+
+
+def test_duplicate_spans_detects_and_merges(spark):
+    """A 12-token phrase shared by three docs (twice in one) is
+    reported as ONE maximal span per occurrence at the right 0-based
+    offsets; unique docs report nothing; overlapping windows merge."""
+    from agnes_spark.operators.dedup import duplicate_spans
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "alpha beta " + common + " gamma delta"),
+        (2, "one two three four " + common),
+        (3, "totally unique text with nothing shared at all among documents"),
+        (4, "prefix " + common + " mid filler words " + common + " tail"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_windows)
+        for r in duplicate_spans(df, "doc_id", "text", k=5, min_count=2).collect()
+    }
+    # 12-token span = 8 windows of k=5
+    assert got == {
+        (1, 2, 13, 8),
+        (2, 4, 15, 8),
+        (4, 1, 12, 8),
+        (4, 16, 27, 8),
+    }
+
+
+def test_duplicate_spans_intra_doc_repeat_counts(spark):
+    """A span repeated only WITHIN one doc still counts (corpus-wide
+    occurrence >= 2, the Lee et al. definition — boilerplate inside a
+    single doc is a duplicate)."""
+    from agnes_spark.operators.dedup import duplicate_spans
+
+    phrase = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, phrase + " x y z " + phrase), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_spans(df, "doc_id", "text", k=6, min_count=2).collect()
+    }
+    assert got == {(1, 0, 5), (1, 9, 14)}
+
+
+def test_drop_duplicate_spans_cuts_and_passes_through(spark):
+    from agnes_spark.operators.dedup import drop_duplicate_spans, duplicate_spans
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "alpha beta " + common + " gamma delta"),
+        (2, "one two three four " + common),
+        (3, "totally unique text with nothing shared at all among documents"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=5, min_count=2)
+    out = {
+        r.doc_id: (r.text_deduped, r.n_tok_removed)
+        for r in drop_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("alpha beta gamma delta", 12)
+    assert out[2] == ("one two three four", 12)
+    assert out[3] == (docs[2][1], 0)  # untouched doc passes through
