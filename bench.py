@@ -151,6 +151,28 @@ EXTRA_QUERIES = [
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
 
+# Nominal best-of-3 seconds for _host_canary on an unthrottled host
+# (calibrated on the build host, r7). Override with
+# AGNES_BENCH_CANARY_NOMINAL after a hardware change.
+CANARY_NOMINAL_S = 0.22
+CANARY_DEGRADED_RATIO = 1.10
+
+
+def _host_canary(n: int = 2_000_000) -> float:
+    """Fixed single-core integer loop, best-of-3 seconds — a
+    Spark-independent probe of host CPU speed. Round 6 saw ~10-35%
+    intermittent host throttle silently poison bench runs (16.5s
+    headline read as 27s); running this before AND after the bench
+    makes a poisoned run self-flagging instead of a manual ritual."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(n):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,6 +180,7 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    canary_pre = _host_canary()
     spark = get_spark("agnes_spark_bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -223,6 +246,26 @@ def main() -> None:
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
     )
     total_all = round(sum(t for t in timings.values() if t >= 0), 3)
+    canary_post = _host_canary()
+    nominal = float(
+        os.environ.get("AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S))
+    )
+    canary = {
+        "pre_s": canary_pre,
+        "post_s": canary_post,
+        "nominal_s": nominal,
+        # degraded: the host ran >10% slower than nominal at either
+        # end of the bench — treat this run's timings as
+        # throttle-poisoned (re-measure regressions standalone)
+        "degraded": max(canary_pre, canary_post)
+        > CANARY_DEGRADED_RATIO * nominal,
+    }
+    if canary["degraded"]:
+        print(
+            f"bench: HOST CANARY DEGRADED pre={canary_pre}s "
+            f"post={canary_post}s nominal={nominal}s — timings suspect",
+            file=sys.stderr,
+        )
     # raw per-run samples go to a SIDE FILE (r3 verdict: embedding them
     # in the metric line made it unparseable by the driver's tail-capture)
     samples_path = os.environ.get(
@@ -231,7 +274,11 @@ def main() -> None:
     )
     try:
         with open(samples_path, "w") as f:
-            json.dump({"sf": sf, "runs": runs, "samples": all_samples}, f, indent=1)
+            json.dump(
+                {"sf": sf, "runs": runs, "canary": canary, "samples": all_samples},
+                f,
+                indent=1,
+            )
     except OSError as e:
         print(f"bench: could not write BENCH_SAMPLES.json: {e}", file=sys.stderr)
     # the FINAL stdout line is the one compact metric JSON the driver parses
@@ -246,6 +293,7 @@ def main() -> None:
                 "runs": runs,
                 "agg": "median",
                 "total_all_queries": total_all,
+                "canary_degraded": canary["degraded"],
             }
         )
     )

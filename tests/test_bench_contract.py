@@ -47,4 +47,13 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     # samples belong in the side file, never in the metric line
     assert "samples" not in d
     assert os.path.exists(side)
-    assert "q1_pricing_summary" in json.load(open(side))["samples"]
+    side_doc = json.load(open(side))
+    assert "q1_pricing_summary" in side_doc["samples"]
+    # host-speed canary: measured before AND after the bench, stamped
+    # into the side file, and surfaced as one boolean on the metric
+    # line so a throttle-poisoned run is self-flagging
+    canary = side_doc["canary"]
+    assert canary["pre_s"] > 0 and canary["post_s"] > 0
+    assert canary["nominal_s"] > 0
+    assert isinstance(canary["degraded"], bool)
+    assert d["canary_degraded"] == canary["degraded"]
