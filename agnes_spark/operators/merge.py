@@ -16,13 +16,13 @@ alignment must come from somewhere explicit:
   RDD hop); the global window is a single-partition sort, the same
   cost the reference's positional merge pays to define an order at
   all. Prefer this whenever ANY ordering column exists.
-- positional (no key, no order): each side is numbered with
-  `rdd.zipWithIndex` — a two-pass distributed numbering that preserves
-  the incoming row order (partition sizes are counted, then each
-  partition offsets locally; no single-point bottleneck) — and joined
-  on the index. Order-sensitive by definition, exactly like the
-  reference; the documented degenerate path for truly keyless,
-  orderless input.
+- positional (no key, no order): each side gets a contiguous index
+  from a JVM-only two-pass numbering (per-partition local offsets
+  from monotonically_increasing_id, partition counts prefix-summed
+  and broadcast back — the zipWithIndex algorithm without the Python
+  RDD hop) and the sides join on the index. Order-sensitive by
+  definition, exactly like the reference; the documented degenerate
+  path for truly keyless, orderless input.
 """
 
 from __future__ import annotations
@@ -36,13 +36,38 @@ _IDX = "__agnes_row_idx"
 
 
 def with_row_index(df: DataFrame, name: str = _IDX) -> DataFrame:
-    """Attach a 0-based contiguous row index preserving current order."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    """Attach a 0-based contiguous row index preserving current order.
 
-    rdd = df.rdd.zipWithIndex().map(lambda pair: pair[0] + (pair[1],))
-    # build a fresh StructType: StructType.add would mutate df's cached schema
-    out_schema = StructType(list(df.schema.fields) + [StructField(name, LongType(), False)])
-    return df.sparkSession.createDataFrame(rdd, out_schema)
+    JVM-only two-pass numbering — the zipWithIndex algorithm without
+    the Python RDD hop: monotonically_increasing_id encodes
+    (partition_id << 33) + 0-based local row number, so local position
+    is mid % 2^33; per-partition row counts (numPartitions rows)
+    prefix-sum into partition offsets with one tiny window and
+    broadcast-join back on partition id. The broadcast hash join is
+    map-side, so partition-local row order is preserved; the offsets
+    impose the global order — identical semantics to zipWithIndex,
+    zero serialization out of Tungsten. The counts branch re-scans the
+    source column-pruned to the partition id (the same second pass
+    zipWithIndex's count job pays)."""
+    from pyspark.sql import Window
+
+    pid = "__agnes_pid"
+    local = "__agnes_local"
+    base = df.withColumn(pid, F.spark_partition_id()).withColumn(
+        local, F.monotonically_increasing_id() % F.lit(1 << 33)
+    )
+    w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy(pid)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        .select(pid, "__off")
+    )
+    return (
+        base.join(F.broadcast(offsets), pid)
+        .withColumn(name, (F.col("__off") + F.col(local)).cast("long"))
+        .drop(pid, local, "__off")
+    )
 
 
 def merge_views(

@@ -54,6 +54,23 @@ def test_merge_positional(spark):
     assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
 
 
+def test_merge_positional_stays_in_tungsten(spark):
+    """Keyless/orderless positional merge: correct alignment AND no
+    Python-RDD hop — the two-pass numbering (partition offsets +
+    broadcast join-back) replaces rdd.zipWithIndex entirely, so the
+    executed plan must contain no ExistingRDD/PythonRDD scan."""
+    left = spark.range(0, 100).select((F.col("id") * 2).alias("a"))
+    right = spark.range(0, 100).select((F.col("id") * 3).alias("b"))
+    from agnes_spark.operators.merge import merge_views as _merge
+
+    out = _merge(left, right)
+    rows = out.orderBy("a").collect()
+    assert [(r.a, r.b) for r in rows] == [(2 * i, 3 * i) for i in range(100)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "zipWithIndex" not in plan
+    assert "PythonRDD" not in plan
+
+
 def test_merge_order_by_stays_in_tungsten(spark):
     """order_by= positional merge: correct alignment AND no Python-RDD
     scan in the plan (the whole point vs zipWithIndex)."""
