@@ -35,6 +35,13 @@ def stream_self_join(
     event-time distance, so each side's state store holds at most
     watermark + band of history — O(window), not O(stream). This is
     the funnel/attribution primitive (view -> purchase within 30 min).
+
+    Expected log noise: Spark's StreamingJoinHelper WARNs that it
+    cannot extract a state watermark from the non-time `l_id < r_id`
+    conjunct ("Error trying to extract state constraint"). That term
+    only de-duplicates pair orientation; state stays bounded by the
+    two event-time terms, which the helper does extract. The WARN is
+    cosmetic — do not chase it.
     """
     left = (
         events.select(
