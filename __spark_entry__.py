@@ -4760,6 +4760,62 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("category")
 
 
+def mann_whitney_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B readout (stats.mann_whitney_u): tie-corrected
+    Mann-Whitney U over order value in cents between the URGENT and
+    LOW priority classes. The exact-integer core (u2_a = twice U,
+    tie_cubes) hashes exactly; z is one double expression over those
+    integers, mirrored operation-for-operation in the oracle, and its
+    sqrt keeps it off any rational grid so round(6) is boundary-safe
+    (the welch precedent). The prefix sums underneath are the
+    two-level bucketed form — no global single-partition window at
+    any scale."""
+    from agnes_spark.operators.stats import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    u = mann_whitney_u(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+    return u.select(
+        "n_a", "n_b", "u2_a", "tie_cubes", F.round("z", 6).alias("z")
+    )
+
+
+def ks_test_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift screen (stats.ks_two_sample): two-sample
+    Kolmogorov-Smirnov D between the same two priority cohorts'
+    order-value distributions. d_num is the exact integer max of
+    |ecdf_a - ecdf_b| over the common denominator n_a*n_b — zero FP
+    in the hash except the final round(6) ratio of exact integers."""
+    from agnes_spark.operators.stats import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    k = ks_two_sample(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+    return k.select("n_a", "n_b", "d_num", F.round("d", 6).alias("d"))
+
+
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-dependence screen in information units
+    (stats.mutual_information): per-cell PMI contributions of the
+    documents lang x source contingency table (sums to the total MI
+    in nats; 0 iff independent). Counts are exact; the ln argument is
+    a ratio of exact integers (lm_surprise precedent)."""
+    from agnes_spark.operators.stats import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    mi = mutual_information(d, "lang", "source")
+    return mi.select(
+        F.col("x").alias("lang"),
+        F.col("y").alias("source"),
+        "n_xy",
+        F.round("mi_contrib", 6).alias("mi_contrib"),
+    ).orderBy("lang", "source")
+
+
 # Shared DuckDB CTE chain for the span-dedup oracles: literal gram
 # strings where Spark uses blake2b int64 hashes (positions-only
 # outputs make the engines comparable), identical island-merge via
@@ -4963,6 +5019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
         "check_span_recall": check_span_recall,
+        "mann_whitney_cents": mann_whitney_cents,
+        "ks_test_cents": ks_test_cents,
+        "mutual_info_lang_source": mutual_info_lang_source,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5280,6 +5339,63 @@ def oracle_sql() -> dict[str, str]:
         ),
         "check_span_recall": (
             "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
+        ),
+        "mann_whitney_cents": (
+            "WITH f AS (SELECT o_orderpriority AS g, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders "
+            "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), "
+            "pv AS (SELECT v, "
+            "CAST(count(*) FILTER (WHERE g = '1-URGENT') AS BIGINT) AS ca, "
+            "CAST(count(*) FILTER (WHERE g = '5-LOW') AS BIGINT) AS cb "
+            "FROM f GROUP BY v), "
+            "c AS (SELECT v, ca, cb, coalesce(sum(ca + cb) OVER ("
+            "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS cum_all FROM pv), "
+            "agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb, "
+            "CAST(sum(ca * (2 * cum_all + ca + cb + 1)) AS BIGINT) AS r2a, "
+            "CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) "
+            "AS tc FROM c) "
+            "SELECT na AS n_a, nb AS n_b, "
+            "CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a, tc AS tie_cubes, "
+            "round((CAST(r2a - na * (na + 1) AS DOUBLE) "
+            "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
+            "/ (CAST(2.0 AS DOUBLE) * sqrt("
+            "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12.0 AS DOUBLE) "
+            "* (CAST(na + nb + 1 AS DOUBLE) - CAST(tc AS DOUBLE) "
+            "/ (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))), 6) "
+            "AS z FROM agg"
+        ),
+        "ks_test_cents": (
+            "WITH f AS (SELECT o_orderpriority AS g, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders "
+            "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), "
+            "pv AS (SELECT v, "
+            "CAST(count(*) FILTER (WHERE g = '1-URGENT') AS BIGINT) AS ca, "
+            "CAST(count(*) FILTER (WHERE g = '5-LOW') AS BIGINT) AS cb "
+            "FROM f GROUP BY v), "
+            "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS ia, "
+            "sum(cb) OVER (ORDER BY v) AS ib FROM pv), "
+            "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM pv) "
+            "SELECT na AS n_a, nb AS n_b, "
+            "CAST(max(abs(ia * nb - ib * na)) AS BIGINT) AS d_num, "
+            "round(CAST(max(abs(ia * nb - ib * na)) AS DOUBLE) "
+            "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d "
+            "FROM c, t GROUP BY na, nb"
+        ),
+        "mutual_info_lang_source": (
+            "WITH cells AS (SELECT lang, source, "
+            "CAST(count(*) AS BIGINT) AS n_xy FROM documents GROUP BY 1, 2), "
+            "mx AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1), "
+            "my AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1), "
+            "tot AS (SELECT sum(n_xy) AS n_tot FROM cells) "
+            "SELECT cells.lang, cells.source, n_xy, "
+            "round(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE) "
+            "* ln(CAST(n_tot AS DOUBLE) * CAST(n_xy AS DOUBLE) "
+            "/ (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS mi_contrib "
+            "FROM cells JOIN mx USING (lang) JOIN my USING (source), tot "
+            "ORDER BY cells.lang, cells.source"
         ),
         "column_entropy": (
             "WITH e AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1), "

@@ -15,7 +15,7 @@ NA semantics preserved from the reference:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -239,4 +239,212 @@ def js_divergence_profile(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         (0.5 * term(p) + 0.5 * term(q)).alias("jsd_contrib"),
+    )
+
+
+def _pooled_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-distinct-value counts of two groups with EXCLUSIVE pooled
+    prefix sums — the shared substrate of the rank tests
+    (mann_whitney_u, ks_two_sample). Returns (v, ca, cb, cum_a, cum_b,
+    cum_all) where cum_* counts strictly-smaller values.
+
+    The prefix sum is two-level so no global single-partition window
+    ever sees the data: values bucket by range (bounds from one tiny
+    min/max agg), per-bucket totals (n_buckets rows) prefix-sum on the
+    driver-bounded bucket frame, and the within-bucket cumsum windows
+    partition BY BUCKET — at any scale each task holds one bucket's
+    distinct values, not the whole grid.
+    """
+    g = F.col(group_col)
+    per_v = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(g == group_a, F.lit(1))).cast("long").alias("ca"),
+            F.count(F.when(g == group_b, F.lit(1))).cast("long").alias("cb"),
+        )
+    )
+    bounds = per_v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucketed = per_v.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                * F.lit(n_buckets)
+                / (F.col("hi") - F.col("lo") + F.lit(1))
+            ).cast("int"),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bucket offsets: n_buckets rows — the single-partition window is
+    # bounded by the constant bucket count, never by data size
+    w_bkt = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .withColumn("off_a", F.coalesce(F.sum("ba").over(w_bkt), F.lit(0)))
+        .withColumn("off_b", F.coalesce(F.sum("bb").over(w_bkt), F.lit(0)))
+        .select("__bkt", "off_a", "off_b")
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "__bkt")
+        .select(
+            "v",
+            "ca",
+            "cb",
+            (F.col("off_a") + F.coalesce(F.sum("ca").over(w_in), F.lit(0))).alias("cum_a"),
+            (F.col("off_b") + F.coalesce(F.sum("cb").over(w_in), F.lit(0))).alias("cum_b"),
+        )
+        .withColumn("cum_all", F.col("cum_a") + F.col("cum_b"))
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (two-sided normal approximation
+    with tie correction) — the nonparametric A/B readout for skewed
+    metrics where welch_ttest's normality assumption fails.
+
+    Exact-integer core: with per-value tied ranks, twice the rank sum
+    of group A is sum(ca * (2*cum_before + t + 1)) over distinct
+    values (t = pooled count at the value) — all integers, so r2_a,
+    u2_a (twice U_a) and the tie term sum(t^3 - t) are
+    engine-exact; the z statistic is assembled from those integers in
+    one double expression (identical literals both engines). Scale
+    shape: one value-grid aggregate + the two-level prefix sum of
+    _pooled_value_counts; nothing global, nothing driver-side.
+    """
+    pv = _pooled_value_counts(df, group_col, value_col, group_a, group_b)
+    t = F.col("ca") + F.col("cb")
+    agg = pv.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (F.lit(2) * F.col("cum_all") + t + F.lit(1)))
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(t * t * t - t).cast("long").alias("tie_cubes"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2_a = F.col("r2_a") - na * (na + F.lit(1))
+    # var(U) = na*nb/12 * ((n+1) - tie_cubes/(n*(n-1))); z uses twice-U
+    var_u = (
+        na.cast("double")
+        * nb.cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("tie_cubes").cast("double")
+            / (n.cast("double") * (n - F.lit(1)).cast("double"))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        "tie_cubes",
+        (
+            (u2_a.cast("double") - na.cast("double") * nb.cast("double"))
+            / (F.lit(2.0) * F.sqrt(var_u))
+        ).alias("z"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max over values of
+    |ECDF_a - ECDF_b| — the distribution-shift screen that sees shape
+    changes a mean test misses. Exact rational output: the max is
+    taken over the INTEGER numerator |incl_a*n_b - incl_b*n_a| (both
+    ECDFs put over the common denominator n_a*n_b), so d_num is
+    engine-exact and d = d_num/(n_a*n_b) only rounds at the end. Same
+    scale shape as mann_whitney_u (shared _pooled_value_counts)."""
+    pv = _pooled_value_counts(df, group_col, value_col, group_a, group_b)
+    totals = pv.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    incl_a = F.col("cum_a") + F.col("ca")  # CDF is inclusive at v
+    incl_b = F.col("cum_b") + F.col("cb")
+    return (
+        pv.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(incl_a * F.col("n_b") - incl_b * F.col("n_a")).alias("__num"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__num").cast("long").alias("d_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("d"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Pointwise mutual-information decomposition of two categorical
+    columns: one row per (x, y) cell with its exact count and its
+    contribution n_xy/N * ln(N*n_xy/(n_x*n_y)) to the total MI in
+    nats — the feature-dependence screen behind chi2_independence,
+    but in information units (sums to 0 iff independent).
+
+    All inputs to the ln are ratios of exact integer counts (ln of
+    round-6-stable arguments, the lm_surprise precedent), so the
+    contributions are cross-engine stable. One cell aggregate + two
+    tiny margin frames broadcast back; never a global window.
+    """
+    cells = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            (
+                F.col("n_xy").cast("double")
+                / F.col("n_tot").cast("double")
+                * F.log(
+                    F.col("n_tot").cast("double")
+                    * F.col("n_xy").cast("double")
+                    / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+                )
+            ).alias("mi_contrib"),
+        )
     )

@@ -488,3 +488,70 @@ def test_js_divergence_profile(spark):
     )
     z = js_divergence_profile(same, "lang", F.col("side") == 0).collect()
     assert all(abs(r.jsd_contrib) < 1e-15 for r in z)
+
+
+def test_mann_whitney_u_matches_direct_formula(spark):
+    import math
+    from collections import Counter
+
+    from agnes_spark.operators.stats import mann_whitney_u
+
+    a = [12, 15, 11, 19, 14, 13, 16, 15, 15]
+    b = [22, 25, 21, 24, 15, 28, 13]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 999)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = mann_whitney_u(df, "grp", "val", "a", "b").collect()[0]
+
+    cnt = Counter(a + b)
+    ranks, start = {}, 1
+    for v in sorted(cnt):
+        ranks[v] = start + (cnt[v] - 1) / 2
+        start += cnt[v]
+    Ra = sum(ranks[v] for v in a)
+    Ua = Ra - len(a) * (len(a) + 1) / 2
+    n = len(a) + len(b)
+    T = sum(t**3 - t for t in cnt.values())
+    var = len(a) * len(b) / 12 * ((n + 1) - T / (n * (n - 1)))
+    z = (Ua - len(a) * len(b) / 2) / math.sqrt(var)
+    assert (got.n_a, got.n_b) == (9, 7)
+    assert got.u2_a == 2 * Ua and got.tie_cubes == T
+    assert abs(got.z - z) < 1e-12
+
+
+def test_ks_two_sample_exact_numerator(spark):
+    from collections import Counter
+
+    from agnes_spark.operators.stats import ks_two_sample
+
+    a = [12, 15, 11, 19, 14, 13, 16, 15, 15]
+    b = [22, 25, 21, 24, 15, 28, 13]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "grp string, val long"
+    )
+    got = ks_two_sample(df, "grp", "val", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    dmax = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in set(a + b)
+    )
+    assert got.d_num == dmax
+    assert abs(got.d - dmax / (na * nb)) < 1e-15
+
+
+def test_mutual_information_independent_is_zero(spark):
+    from agnes_spark.operators.stats import mutual_information
+
+    # perfectly independent 2x2 grid -> MI exactly 0 per cell
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(df, "x", "y").collect()
+    assert len(out) == 4
+    assert all(abs(r.mi_contrib) < 1e-15 for r in out)
+    # fully dependent -> total MI = ln(2) for a balanced 2-value pair
+    import math
+
+    dep = spark.createDataFrame(
+        [("a", "c")] * 30 + [("b", "d")] * 30, "x string, y string"
+    )
+    tot = sum(r.mi_contrib for r in mutual_information(dep, "x", "y").collect())
+    assert abs(tot - math.log(2)) < 1e-12
