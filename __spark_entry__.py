@@ -4760,6 +4760,81 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("category")
 
 
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense backbone of the co-purchase part graph (graph.py kcore,
+    Seidman 1983): iterative peeling of nodes below k, where k is the
+    density-relative exact integer floor(5*E/(8*N)) — the same cut at
+    any scale factor, computed from two exact counts (a bounded 1-row
+    collect). 8 fixed peel rounds; peeling is monotone so early exit
+    at fixpoint equals the oracle's full unroll (converges by round 8
+    at both test SFs — verified with 12-round runs). FULL oracle:
+    DuckDB unrolls the identical rounds over MATERIALIZED CTEs (the
+    default inlining re-evaluates each referenced-twice round
+    exponentially)."""
+    from agnes_spark.operators.graph import kcore
+
+    _, edges = _copurchase_pagerank(spark, sf_dir)
+    en = edges.agg(
+        F.count(F.lit(1)).alias("e"), F.countDistinct("src").alias("n")
+    ).collect()[0]
+    k = max(2, (5 * en["e"]) // (8 * en["n"]))
+    out = kcore(edges, k=k, max_iter=8)
+    return out.select(
+        F.col("id").alias("part_id"), "degree", F.lit(int(k)).cast("long").alias("k_used")
+    ).orderBy("part_id")
+
+
+def _kcore_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of kcore_copurchase: same und/e0 construction as
+    the pagerank oracle, k computed by the identical integer formula,
+    fixed-round peel unrolled with MATERIALIZED CTEs."""
+    parts = [
+        "und AS MATERIALIZED (SELECT DISTINCT least(x.l_partkey, y.l_partkey) "
+        "AS a, greatest(x.l_partkey, y.l_partkey) AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey <> y.l_partkey)",
+        "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b AS u, a AS v FROM und)",
+        "kk AS MATERIALIZED (SELECT greatest(2, "
+        "(5 * count(*)) // (8 * count(DISTINCT u))) AS k FROM e0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM "
+            f"(SELECT u, count(*) AS deg FROM e{i} GROUP BY u) "
+            "WHERE deg >= (SELECT k FROM kk))"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT u AS part_id, CAST(count(*) AS BIGINT) AS degree, "
+        f"CAST((SELECT k FROM kk) AS BIGINT) AS k_used "
+        f"FROM e{rounds} GROUP BY u ORDER BY part_id"
+    )
+
+
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix of the floor-quantized embedding
+    corpus (embeddings.py quantize_embeddings_floor + gram_matrix_int)
+    — the distributed d x d sufficient statistic behind PCA/whitening,
+    produced by one Arrow matmul pass with d^2-sized partials. Every
+    output cell is an exact BIGINT (int8-range products summed), and
+    floor-quantization is bit-identical cross-engine (pure IEEE floor
+    on identical doubles — no round() half-up ambiguity), so the
+    oracle reproduces every cell exactly."""
+    from agnes_spark.operators.embeddings import (
+        gram_matrix_int,
+        quantize_embeddings_floor,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_floor(e, "embedding", "q_vec")
+    return gram_matrix_int(q, "q_vec").orderBy("i", "j")
+
+
 def mann_whitney_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nonparametric A/B readout (stats.mann_whitney_u): tie-corrected
     Mann-Whitney U over order value in cents between the URGENT and
@@ -5022,6 +5097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_cents": mann_whitney_cents,
         "ks_test_cents": ks_test_cents,
         "mutual_info_lang_source": mutual_info_lang_source,
+        "kcore_copurchase": kcore_copurchase,
+        "gram_matrix_embeddings": gram_matrix_embeddings,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5383,6 +5460,20 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(max(abs(ia * nb - ib * na)) AS DOUBLE) "
             "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d "
             "FROM c, t GROUP BY na, nb"
+        ),
+        "kcore_copurchase": _kcore_oracle_sql(8),
+        "gram_matrix_embeddings": (
+            "WITH q AS (SELECT CASE WHEN amax > 0 THEN "
+            "list_transform(v, x -> CAST(floor(x * CAST(127.0 AS DOUBLE) / amax) "
+            "AS BIGINT)) ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv "
+            "FROM (SELECT embedding::DOUBLE[] AS v, "
+            "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax "
+            "FROM embeddings)), "
+            "dims AS (SELECT CAST(i AS INT) AS i FROM "
+            "UNNEST(range(0, 64)) AS t(i)) "
+            "SELECT a.i, b.i AS j, CAST(sum(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) "
+            "AS g FROM q, dims a, dims b WHERE a.i <= b.i "
+            "GROUP BY a.i, b.i ORDER BY a.i, b.i"
         ),
         "mutual_info_lang_source": (
             "WITH cells AS (SELECT lang, source, "

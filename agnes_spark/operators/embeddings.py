@@ -102,3 +102,70 @@ def label_centroids_long(
         F.round(F.col("m"), 6).alias("val"),
         F.col("n").alias("n_vecs"),
     )
+
+
+def quantize_embeddings_floor(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+) -> DataFrame:
+    """Symmetric int8-range quantization with FLOOR instead of round:
+    q_i = floor(v_i * 127 / max|v|) in [-127, 127]. Same storage
+    lever as quantize_embeddings, but floor on doubles is a pure IEEE
+    operation with no decimal-representation ambiguity — two engines
+    computing the identical double floor to the identical integer,
+    which makes downstream exact-integer kernels (gram_matrix_int)
+    hash-verifiable cross-engine. round()'s half-up boundary is
+    engine-dependent (BigDecimal shortest-repr vs raw binary), which
+    is why the round-based quantizer's gate is recall-twinned instead.
+    All-zero vectors quantize to zeros."""
+    v = vec_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return df.withColumn(
+        out_col,
+        F.when(
+            amax > 0,
+            F.transform(
+                v, lambda x: F.floor(x * F.lit(127.0) / amax).cast("long")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long"))),
+    )
+
+
+def gram_matrix_int(df: DataFrame, q_col: str = "q_vec") -> DataFrame:
+    """Exact integer Gram matrix G = sum over rows of q q^T for an
+    integer-vector column — the distributed heavy half of PCA/whitening
+    /covariance pipelines (the d x d eigen step that follows is a
+    driver-trivial O(d^3)). Returns the upper triangle as (i, j, g)
+    with 0-based dims, i <= j, g an exact BIGINT.
+
+    Scale shape: ONE mapInPandas pass computes a d x d int64 partial
+    per Arrow batch (numpy matmul — d^2 cells, thousands of times
+    smaller than the batch), then a tiny groupBy sums partials; the
+    shuffle is d(d+1)/2 rows per partition regardless of data size.
+    int64-exact while N * (127^2) fits — ~5e14 rows at int8 range.
+    """
+    import pandas as pd
+
+    def part(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(pdf[q_col].tolist(), dtype=np.int64)
+            g = mat.T @ mat
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "g": acc[iu]}
+            )
+
+    return (
+        df.select(q_col)
+        .mapInPandas(part, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("g"))
+    )

@@ -514,3 +514,56 @@ def triangle_count(
     )
     ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return nv.crossJoin(ne).crossJoin(tri)
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iter: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes of degree < k (and their incident edges) until fixpoint or
+    max_iter rounds. Returns the surviving (id, degree) — the dense
+    backbone a co-occurrence or link graph keeps after trimming the
+    sparse fringe (Seidman 1983; the standard first cut for community
+    mining and crawl frontier pruning).
+
+    Input is a DIRECTED edge list expected symmetric (both directions
+    present, the pagerank convention), so out-degree == degree.
+    Per-round shape: one degree aggregate + two semi joins, every
+    shuffle keyed by a node id; lineage truncates with localCheckpoint
+    every 3rd round (the iterative-plan discipline of
+    connected_components/pagerank). Early exit at fixpoint is safe
+    for any fixed-schedule twin: peeling is monotone, so extra rounds
+    after the fixpoint are identity — an engine unrolling exactly
+    max_iter rounds computes the same survivors.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    n_prev = e.count()
+    prev = e
+    for i in range(max_iter):
+        deg = prev.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        nxt = (
+            prev.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if i % 3 == 2:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        n_now = nxt.count()  # materializes; one job per round
+        prev.unpersist()
+        prev = nxt
+        if n_now == n_prev:
+            break  # fixpoint: further rounds are identity
+        n_prev = n_now
+    out = prev.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return out

@@ -240,3 +240,19 @@ def test_triangle_count_triangle_free(spark):
     row = triangle_count(df, "src", "dst").collect()[0]
     assert row.n_triangles == 0
     assert (row.n_vertices, row.n_edges) == (8 + 6, 7 + 6)
+
+
+def test_kcore_peels_pendants_and_cascades(spark):
+    from agnes_spark.operators.graph import kcore
+
+    # triangle 1-2-3 + pendant chain 3-4, 4-5 (symmetric directed)
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.id: r.degree for r in kcore(edges, k=2, max_iter=8).collect()}
+    # 2-core: the pendant chain peels in cascade (5 first, then 4);
+    # the triangle survives with degree 2 each
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: nothing in this graph has a 3-core
+    assert kcore(edges, k=3, max_iter=8).count() == 0
