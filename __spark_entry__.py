@@ -4816,6 +4816,205 @@ def _kcore_oracle_sql(rounds: int = 8) -> str:
     )
 
 
+def window_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage in one gate: ntile(4), percent_rank and
+    cume_dist per order within its priority class. ntile orders by the
+    unique (cents, o_orderkey) pair (its quartile boundaries depend on
+    exact row order, which ties would make engine-private);
+    percent_rank/cume_dist keep the tie-aware cents-only order. Both
+    are single divisions of exact integers — bit-identical doubles in
+    any engine, so they hash UNROUNDED."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    w_unique = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    w_ties = Window.partitionBy("o_orderpriority").orderBy("cents")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.ntile(4).over(w_unique).cast("long").alias("quartile"),
+        F.percent_rank().over(w_ties).alias("pct_rank"),
+        F.cume_dist().over(w_ties).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance diff of two deterministic snapshots of orders
+    (v1 drops keys % 31 == 0; v2 drops keys % 37 == 0 and bumps the
+    price of keys % 11 == 0 by one cent) — the added/removed/changed
+    report a 100 TB ingest runs between dataset versions. One
+    full-outer equi join on the key; identical rows drop out."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 31 != 0).select(
+        "o_orderkey", F.col("cents").alias("old_cents")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 37 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("new_cents"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("old_cents").isNull(), F.lit("added"))
+            .when(F.col("new_cents").isNull(), F.lit("removed"))
+            .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+            .alias("status"),
+            "old_cents",
+            "new_cents",
+        )
+        .filter(F.col("status").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+def interval_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per day, how many user pairs' activity
+    intervals [first event, last event] overlap, and the total overlap
+    time — the concurrency/contention readout over derived intervals.
+    The pair join is equi on the day (pairs are quadratic only in
+    active-users-per-day, the natural block); overlap durations are
+    exact integer microseconds."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    iv = e.groupBy("day", "user_id").agg(
+        F.min("us").alias("s"), F.max("us").alias("t")
+    )
+    a = iv.select("day", F.col("user_id").alias("a_user"), F.col("s").alias("a_s"), F.col("t").alias("a_t"))
+    b = iv.select("day", F.col("user_id").alias("b_user"), F.col("s").alias("b_s"), F.col("t").alias("b_t"))
+    pairs = (
+        a.join(b, "day")
+        .filter(
+            (F.col("a_user") < F.col("b_user"))
+            & (F.col("a_s") <= F.col("b_t"))
+            & (F.col("b_s") <= F.col("a_t"))
+        )
+        .withColumn(
+            "ov_us",
+            F.least("a_t", "b_t") - F.greatest("a_s", "b_s"),
+        )
+    )
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ov_us").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy("day")
+    )
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event revenue
+    (alpha=0.2, adjusted weights — the pandas ewm(adjust=True) form):
+    ewma_t = sum_j (1-a)^(t-j) x_j / sum_j (1-a)^(t-j). Factored as
+    (1-a)^t-free cumulative sums of (1/(1-a))^j x_j so one ORDERED
+    window cumsum per series does it — ordered cumsums add in a fixed
+    order, so the doubles are bit-identical cross-engine. The day
+    series is calendar-bounded (30 rows)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100.0).cast("bigint").alias("cents")
+    )
+    first = daily.agg(F.min("day").alias("d0"))
+    d = daily.crossJoin(F.broadcast(first)).withColumn(
+        "j", F.datediff(F.col("day"), F.col("d0")).cast("int")
+    )
+    w = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grow = F.pow(F.lit(1.25), F.col("j"))  # (1/(1-a))^j, a = 0.2
+    num = F.sum(grow * F.col("cents").cast("double")).over(w)
+    den = F.sum(grow).over(w)
+    return d.select(
+        "day", "cents", F.round((num / den), 6).alias("ewma_cents")
+    ).orderBy("day")
+
+
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile of event value: per hour 0-23,
+    exact cent sums/counts, the hourly mean, and its deviation from
+    the overall mean — the classic diurnal-pattern readout. Means are
+    single divisions of exact integers (bit-identical cross-engine);
+    the overall mean rides a 1-row broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+    )
+    per = e.groupBy("hod").agg(
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = per.agg(
+        F.sum("sum_cents").cast("long").alias("ts_"), F.sum("n").cast("long").alias("tn")
+    )
+    mean_h = F.col("sum_cents").cast("double") / F.col("n").cast("double")
+    mean_all = F.col("ts_").cast("double") / F.col("tn").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "hod",
+            "sum_cents",
+            "n",
+            F.round(mean_h, 6).alias("mean_cents"),
+            F.round(mean_h - mean_all, 6).alias("dev_cents"),
+        )
+        .orderBy("hod")
+    )
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-contribution screen (textanalysis.ngram_novelty): per
+    doc, the fraction of its distinct 3-gram shingles first seen in
+    it (by doc_id order) — near-zero novelty marks a shard already
+    covered by the corpus. Counts are exact integers; the ratio's
+    denominator is bounded by the doc's shingle count (~300), so no
+    rational can land on a round-6 boundary. Oracle matches literal
+    shingle strings where Spark matches hashes (the jaccard-oracle
+    convention)."""
+    from agnes_spark.operators.textanalysis import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    nv = ngram_novelty(d, "doc_id", "text", n=3)
+    return nv.select(
+        "doc_id", "n_grams", "n_novel", F.round("novelty", 6).alias("novelty")
+    ).orderBy("doc_id")
+
+
+def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix schedule (sampling.domain_mixture_weights): per
+    (lang, source) domain, exact char-size sums and the
+    temperature-0.7 sampling weight w_d proportional to share^tau —
+    the standard flattening of dominant domains in multilingual
+    pretraining mixes. Shares and weights are exp/ln-class doubles
+    over exact integers (round-6 stable); the normalization sums the
+    bounded domain-cell frame only."""
+    from agnes_spark.operators.sampling import domain_mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = domain_mixture_weights(d, ["lang", "source"], "n_chars", temperature=0.7)
+    return w.select(
+        "lang",
+        "source",
+        F.col("n_size").alias("n_chars"),
+        F.round("share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("lang", "source")
+
+
 def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gram matrix of the floor-quantized embedding
     corpus (embeddings.py quantize_embeddings_floor + gram_matrix_int)
@@ -5020,6 +5219,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (textanalysis.
+    pmi_collocations) — the multi-word-expression / tokenizer-vocab
+    screen: PMI = ln(c_bg * N / (c1 * c2)) over corpus counts,
+    min_count=5. Count tables shuffle vocabulary, not tokens; the
+    ranking key is the paired-division double ratio (bit-identical
+    IEEE tree over exact integers, overflow-free at any corpus size),
+    ln only in the round-6 output column (lm_surprise precedent)."""
+    from agnes_spark.operators.textanalysis import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", min_count=5, k=50)
+
+
+def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the co-purchase part graph
+    (graph.py link_prediction, Liben-Nowell & Kleinberg CIKM'03):
+    top-100 NON-adjacent pairs by common-neighbor count, with
+    preferential-attachment and neighbor-Jaccard scores. All scores
+    are exact integers or one division of exact integers; the cut
+    orders by (cn desc, u, w) — fully deterministic. Reuses the
+    cached symmetric co-purchase edges (one build per session)."""
+    from agnes_spark.operators.graph import link_prediction
+
+    _, edges = _copurchase_pagerank(spark, sf_dir)
+    lp = link_prediction(edges, min_cn=2)
+    return (
+        lp.select(
+            "u",
+            "w",
+            "cn",
+            "deg_u",
+            "deg_w",
+            "pa",
+            F.round("jacc", 6).alias("jacc"),
+        )
+        .orderBy(F.col("cn").desc(), "u", "w")
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5099,6 +5339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_lang_source": mutual_info_lang_source,
         "kcore_copurchase": kcore_copurchase,
         "gram_matrix_embeddings": gram_matrix_embeddings,
+        "ngram_novelty_docs": ngram_novelty_docs,
+        "domain_mixture_docs": domain_mixture_docs,
+        "window_funcs_suite": window_funcs_suite,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "interval_overlap_daily": interval_overlap_daily,
+        "ewma_daily_revenue": ewma_daily_revenue,
+        "hourly_seasonality": hourly_seasonality,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "link_prediction_copurchase": link_prediction_copurchase,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5462,6 +5711,144 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t GROUP BY na, nb"
         ),
         "kcore_copurchase": _kcore_oracle_sql(8),
+        "window_funcs_suite": (
+            "WITH o AS (SELECT o_orderkey, o_orderpriority, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderkey, o_orderpriority, cents, "
+            "CAST(ntile(4) OVER (PARTITION BY o_orderpriority "
+            "ORDER BY cents, o_orderkey) AS BIGINT) AS quartile, "
+            "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) "
+            "AS pct_rank, "
+            "cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents) "
+            "AS cume FROM o ORDER BY o_orderkey"
+        ),
+        "snapshot_diff_orders": (
+            "WITH o AS (SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+            "v1 AS (SELECT o_orderkey, cents AS old_cents FROM o "
+            "WHERE o_orderkey % 31 <> 0), "
+            "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 "
+            "THEN cents + 1 ELSE cents END AS new_cents FROM o "
+            "WHERE o_orderkey % 37 <> 0) "
+            "SELECT o_orderkey, CASE WHEN old_cents IS NULL THEN 'added' "
+            "WHEN new_cents IS NULL THEN 'removed' "
+            "WHEN old_cents <> new_cents THEN 'changed' END AS status, "
+            "old_cents, new_cents FROM v1 FULL OUTER JOIN v2 USING (o_orderkey) "
+            "WHERE (CASE WHEN old_cents IS NULL THEN 'added' "
+            "WHEN new_cents IS NULL THEN 'removed' "
+            "WHEN old_cents <> new_cents THEN 'changed' END) IS NOT NULL "
+            "ORDER BY o_orderkey"
+        ),
+        "interval_overlap_daily": (
+            "WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id, "
+            "epoch_us(ts) AS us FROM events), "
+            "iv AS (SELECT day, user_id, min(us) AS s, max(us) AS t "
+            "FROM e GROUP BY 1, 2) "
+            "SELECT a.day, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(least(a.t, b.t) - greatest(a.s, b.s)) AS BIGINT) "
+            "AS total_overlap_us "
+            "FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id "
+            "AND a.s <= b.t AND b.s <= a.t GROUP BY a.day ORDER BY a.day"
+        ),
+        "ewma_daily_revenue": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1), "
+            "d0 AS (SELECT min(day) AS d0 FROM daily), "
+            "dd AS (SELECT day, cents, datediff('day', d0, day) AS j "
+            "FROM daily, d0), "
+            "c AS (SELECT day, cents, "
+            "sum(pow(CAST(1.25 AS DOUBLE), j) * CAST(cents AS DOUBLE)) "
+            "OVER (ORDER BY j) AS num, "
+            "sum(pow(CAST(1.25 AS DOUBLE), j)) OVER (ORDER BY j) AS den "
+            "FROM dd) "
+            "SELECT day, cents, round(num / den, 6) AS ewma_cents "
+            "FROM c ORDER BY day"
+        ),
+        "hourly_seasonality": (
+            "WITH e AS (SELECT EXTRACT(hour FROM ts) AS hod, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "per AS (SELECT CAST(hod AS BIGINT) AS hod, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+            "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS ts_, "
+            "CAST(sum(n) AS BIGINT) AS tn FROM per) "
+            "SELECT hod, sum_cents, n, "
+            "round(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+            "AS mean_cents, "
+            "round(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) "
+            "- CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS dev_cents "
+            "FROM per, tot ORDER BY hod"
+        ),
+        "ngram_novelty_docs": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') "
+            "AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM tok, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
+            "m AS (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY shingle) AS first_doc FROM sh) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_novel, "
+            "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty "
+            "FROM m GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "domain_mixture_docs": (
+            "WITH per AS (SELECT lang, source, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_size FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(n_size) AS BIGINT) AS n_tot FROM per), "
+            "sc AS (SELECT lang, source, n_size, "
+            "CAST(n_size AS DOUBLE) / CAST(n_tot AS DOUBLE) AS share, "
+            "pow(CAST(n_size AS DOUBLE) / CAST(n_tot AS DOUBLE), "
+            "CAST(0.7 AS DOUBLE)) AS pt FROM per, tot), "
+            "z AS (SELECT sum(pt) AS zz FROM sc) "
+            "SELECT lang, source, n_size AS n_chars, round(share, 6) AS share, "
+            "round(pt / zz, 6) AS weight FROM sc, z ORDER BY lang, source"
+        ),
+        "pmi_collocations_docs": (
+            "WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "p AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+            "FROM t WHERE len(w) >= 2), "
+            "bg AS (SELECT w[i] AS w1, w[i + 1] AS w2, "
+            "CAST(count(*) AS BIGINT) AS c_bg FROM p GROUP BY 1, 2 "
+            "HAVING count(*) >= 5), "
+            "ugc AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM "
+            "(SELECT unnest(w) AS tk FROM t) GROUP BY tk), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM p) "
+            "SELECT w1, w2, c_bg, u1.c AS c1, u2.c AS c2, "
+            "round(ln((CAST(c_bg AS DOUBLE) / CAST(u1.c AS DOUBLE)) "
+            "* (CAST(n_tot AS DOUBLE) / CAST(u2.c AS DOUBLE))), 6) AS pmi "
+            "FROM bg JOIN ugc u1 ON bg.w1 = u1.tk "
+            "JOIN ugc u2 ON bg.w2 = u2.tk, tot "
+            "ORDER BY (CAST(c_bg AS DOUBLE) / CAST(u1.c AS DOUBLE)) "
+            "* (CAST(n_tot AS DOUBLE) / CAST(u2.c AS DOUBLE)) DESC, w1, w2 "
+            "LIMIT 50"
+        ),
+        "link_prediction_copurchase": (
+            "WITH und AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, "
+            "greatest(x.l_partkey, y.l_partkey) AS b "
+            "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey <> y.l_partkey), "
+            "e0 AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b AS u, a AS v FROM und), "
+            "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY u), "
+            "wg AS (SELECT a.v AS u, b.v AS w FROM e0 a "
+            "JOIN e0 b ON a.u = b.u AND a.v < b.v), "
+            "cn AS (SELECT u, w, CAST(count(*) AS BIGINT) AS cn FROM wg "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "cand AS (SELECT cn.u, cn.w, cn.cn FROM cn WHERE NOT EXISTS "
+            "(SELECT 1 FROM und WHERE und.a = cn.u AND und.b = cn.w)) "
+            "SELECT c.u, c.w, c.cn, du.deg AS deg_u, dw.deg AS deg_w, "
+            "CAST(du.deg * dw.deg AS BIGINT) AS pa, "
+            "round(CAST(c.cn AS DOUBLE) "
+            "/ CAST(du.deg + dw.deg - c.cn AS DOUBLE), 6) AS jacc "
+            "FROM cand c JOIN deg du ON c.u = du.u JOIN deg dw ON c.w = dw.u "
+            "ORDER BY c.cn DESC, c.u, c.w LIMIT 100"
+        ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "
             "list_transform(v, x -> CAST(floor(x * CAST(127.0 AS DOUBLE) / amax) "

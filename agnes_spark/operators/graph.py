@@ -567,3 +567,76 @@ def kcore(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     return out
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_cn: int = 2,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood link-prediction scores for NON-adjacent node
+    pairs sharing >= min_cn common neighbors: common-neighbor count
+    `cn`, preferential attachment `pa` = deg(u)*deg(w), and Jaccard
+    of the neighbor sets cn/(deg(u)+deg(w)-cn) (Liben-Nowell &
+    Kleinberg CIKM'03). Returns (u, w, cn, deg_u, deg_w, pa, jacc)
+    with u < w.
+
+    Input is a DIRECTED edge list expected symmetric (both
+    directions, the pagerank/kcore convention), so out-degree ==
+    degree. Shape: one wedge self-join equi on the shared neighbor
+    (pair enumeration is quadratic only within a node's
+    neighborhood), a count aggregate, one anti join to drop existing
+    edges, two degree equi-joins. All scores are exact integers or a
+    single division of exact integers — bit-deterministic anywhere.
+
+    Wedge volume is sum_v deg(v)^2; at web scale the standard move is
+    to exclude super-node hubs from the wedge center (they predict
+    everything and dominate cost) — pass max_wedge_degree to drop
+    centers above the cap before the self-join.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ctr = e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    if max_wedge_degree is not None:
+        ok = deg.filter(F.col("deg") <= int(max_wedge_degree)).select(
+            F.col("u").alias("c")
+        )
+        ctr = ctr.join(ok, "c", "left_semi")
+    a = ctr.select("c", F.col("n").alias("pu"))
+    b = ctr.select(F.col("c").alias("c2"), F.col("n").alias("pw"))
+    wedges = a.join(
+        b, (F.col("c") == F.col("c2")) & (F.col("pu") < F.col("pw"))
+    ).select(F.col("pu").alias("u"), F.col("pw").alias("w"))
+    cn = (
+        wedges.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .filter(F.col("cn") >= F.lit(int(min_cn)))
+    )
+    cand = cn.join(
+        e.select(F.col("u").alias("eu"), F.col("v").alias("ev")),
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )
+    du = deg.select(F.col("u").alias("du_id"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("u").alias("dw_id"), F.col("deg").alias("deg_w"))
+    out = (
+        cand.join(du, F.col("u") == F.col("du_id"))
+        .join(dw, F.col("w") == F.col("dw_id"))
+        .select(
+            "u",
+            "w",
+            "cn",
+            "deg_u",
+            "deg_w",
+            (F.col("deg_u") * F.col("deg_w")).cast("long").alias("pa"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("cn")).cast("double")
+            ).alias("jacc"),
+        )
+    )
+    return out

@@ -226,3 +226,40 @@ def weighted_sample_aes(
         .orderBy(F.col("aes_rank").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_cols: list[str],
+    size_col,
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per domain — the mixture
+    schedule of multilingual/multi-source training runs (raise rare
+    domains, damp dominant ones: w_d proportional to p_d^tau, tau<1
+    flattens). Returns one row per domain: the exact size sum, the
+    share p_d, and the normalized weight.
+
+    One domain aggregate (exact integer sizes) + a 1-row totals
+    broadcast; p^tau is exp/ln-class math over ratios of exact
+    integers (round-6 stable cross-engine, the lm_surprise
+    precedent), and the final normalization sums |domains| doubles —
+    a bounded cell frame, never data-sized."""
+    per = df.groupBy(*[F.col(c) for c in domain_cols]).agg(
+        F.sum(F.col(size_col).cast("long")).cast("long").alias("n_size")
+    )
+    tot = per.agg(F.sum("n_size").cast("long").alias("n_tot"))
+    p = F.col("n_size").cast("double") / F.col("n_tot").cast("double")
+    scaled = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__pt", F.pow(p, F.lit(float(temperature)))
+    )
+    denom = scaled.agg(F.sum("__pt").alias("__z"))
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            *domain_cols,
+            "n_size",
+            p.alias("share"),
+            (F.col("__pt") / F.col("__z")).alias("weight"),
+        )
+    )

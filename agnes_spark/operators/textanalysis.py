@@ -525,3 +525,124 @@ def bm25_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "bm25")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    n-gram shingles that appear in NO earlier document (first seen
+    here, by id order) — the marginal-contribution screen a corpus
+    curator runs before paying to ingest another shard (novelty ~0
+    means the shard is already covered). Returns (id, n_grams,
+    n_novel, novelty) with exact integer counts.
+
+    Shape: the distinct (doc, gram-hash) frame from the shared
+    shingle UDF, a min-over-gram window (one shuffle keyed by the
+    8-byte hash — the window-count-over-hash pattern, no join-back),
+    then a per-doc count aggregate. Gram strings never shuffle.
+    """
+    from pyspark.sql import Window
+
+    from agnes_spark.functions import hashed_shingles_udf
+
+    sh = hashed_shingles_udf(n)
+    g = (
+        # explode_outer, NOT explode: the plain generator injects a
+        # size()>0 pre-filter that re-inlines (re-runs) the UDF
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode_outer(sh(F.col(text_col))).alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    first = F.min(id_col).over(Window.partitionBy("h"))
+    per = (
+        g.withColumn("__first", first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__first") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.withColumn(
+        "novelty", F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    the multi-word-expression / tokenizer-vocab-candidate screen:
+    PMI(w1,w2) = ln(c(w1 w2) * N / (c(w1) * c(w2))) over corpus
+    bigram counts, restricted to bigrams seen >= min_count times.
+
+    Shape at scale: one bigram-count and one unigram-count table
+    (map-side partial aggs — shuffle volume is vocabulary, not the
+    token stream), two equi joins between count tables (already far
+    smaller than the corpus), a 1-row N broadcast. The min_count cut
+    lands BEFORE the joins, so the joined frame is the collocation
+    candidates only.
+
+    Determinism: the ranking key is the single-expression double
+    ratio (c_bg/c1)*(N/c2) — a fixed tree of correctly-rounded IEEE
+    ops over exact integers, bit-identical in any engine (and ordered
+    identically to PMI since ln is monotone); ties break on the words
+    themselves. The paired-division form also survives corpus sizes
+    where the naive integer product c1*c2*... would overflow int64
+    (c1*c2 alone reaches 1e26 on a 100 TB token stream). ln lands
+    only in the round-6 output column (lm_surprise precedent).
+    """
+    toks = df.select(ws_tokens(F.col(text_col)).alias("w"))
+    n_b = F.size("w") - F.lit(1)
+    grams = F.when(
+        n_b >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_b),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        toks.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+        .filter(F.col("c_bg") >= F.lit(int(min_count)))
+    )
+    ug = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ug"))
+    )
+    tot = toks.select(F.explode(grams).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot")
+    )
+    u1 = ug.select(F.col("t").alias("w1"), F.col("c_ug").alias("c1"))
+    u2 = ug.select(F.col("t").alias("w2"), F.col("c_ug").alias("c2"))
+    ratio = (
+        F.col("c_bg").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("n_tot").cast("double") / F.col("c2").cast("double"))
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_bg",
+            "c1",
+            "c2",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            ratio.alias("__r"),
+        )
+        .orderBy(F.col("__r").desc(), "w1", "w2")
+        .limit(int(k))
+        .drop("__r")
+    )

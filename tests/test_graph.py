@@ -256,3 +256,36 @@ def test_kcore_peels_pendants_and_cascades(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     # k=3: nothing in this graph has a 3-core
     assert kcore(edges, k=3, max_iter=8).count() == 0
+
+
+def test_link_prediction_known_graph(spark):
+    from agnes_spark.operators.graph import link_prediction
+
+    # square 1-2-3-4-1 plus chord 1-3: non-edge (2,4) has common
+    # neighbors {1,3}; pairs already adjacent never appear
+    und = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    rows = {
+        (r.u, r.w): r
+        for r in link_prediction(edges, min_cn=2).collect()
+    }
+    assert set(rows) == {(2, 4)}
+    r = rows[(2, 4)]
+    assert r.cn == 2 and r.deg_u == 2 and r.deg_w == 2 and r.pa == 4
+    # jaccard = 2 / (2 + 2 - 2)
+    assert abs(r.jacc - 1.0) < 1e-12
+
+
+def test_link_prediction_hub_cap_drops_wedges_through_hubs(spark):
+    from agnes_spark.operators.graph import link_prediction
+
+    # star center 0 with leaves 1..4: every leaf pair shares only the
+    # hub; capping the wedge-center degree below 4 removes them all
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    assert link_prediction(edges, min_cn=1).count() == 6
+    assert link_prediction(edges, min_cn=1, max_wedge_degree=3).count() == 0

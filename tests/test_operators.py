@@ -555,3 +555,24 @@ def test_mutual_information_independent_is_zero(spark):
     )
     tot = sum(r.mi_contrib for r in mutual_information(dep, "x", "y").collect())
     assert abs(tot - math.log(2)) < 1e-12
+
+
+def test_domain_mixture_weights_flattens_dominant_domain(spark):
+    from agnes_spark.operators.sampling import domain_mixture_weights
+
+    df = table(
+        spark,
+        {
+            "lang": ["en", "en", "fr", "de"],
+            "n": [700, 200, 80, 20],
+        },
+        types={"lang": "string", "n": "bigint"},
+    )
+    rows = {r.lang: r for r in domain_mixture_weights(df, ["lang"], "n", 0.5).collect()}
+    # weights normalize to 1 and tau=0.5 compresses the range:
+    # weight ratio en/de must be far below the 45x share ratio
+    total = sum(r.weight for r in rows.values())
+    assert abs(total - 1.0) < 1e-9
+    assert rows["en"].n_size == 900 and abs(rows["en"].share - 0.9) < 1e-12
+    assert rows["en"].weight / rows["de"].weight < 10
+    assert rows["en"].weight > rows["fr"].weight > rows["de"].weight

@@ -190,6 +190,13 @@ AUDIT_BNLJ_ALLOWED = {
     "ab_welch_ttest",  # crossJoin of the two 1-row cohort aggregates
     "benford_totalprice",  # 1-row total broadcast onto the 9 digit rows
     "drift_js_divergence",  # 1-row totals broadcast onto the category frame
+    "domain_mixture_docs",  # 1-row total + 1-row normalizer onto the domain frame
+    "ewma_daily_revenue",  # 1-row min-day broadcast onto the daily frame
+    "hourly_seasonality",  # 1-row totals broadcast onto the 24 hour rows
+    "mann_whitney_cents",  # 1-row moments broadcast onto the 2 cohort rows
+    "ks_test_cents",  # 1-row cohort-totals broadcast onto the value frame
+    "mutual_info_lang_source",  # 1-row N broadcast onto the (a,b) cell frame
+    "pmi_collocations_docs",  # 1-row corpus-N broadcast onto the candidate frame
 }
 
 
@@ -215,6 +222,17 @@ AUDIT_SP_ALLOWED = {
     "rolling_7d_revenue",
     "vocab_coverage",  # global cum-sum window over the VOCAB frame (bounded by distinct terms)
     "benford_totalprice",  # final sort of the 9-digit profile frame
+    "ewma_daily_revenue",  # ordered cumsum over the bounded daily frame (calendar days)
+    "mann_whitney_cents",  # bucket-totals prefix sum (n_buckets=64 rows)
+    "ks_test_cents",  # bucket-totals prefix sum (n_buckets=64 rows)
+    # Positional/total-order semantics REQUIRE a global order by
+    # definition (reference view.rs positional merge / sort-defined
+    # indices). The r7 JVM-only row index (merge.py with_row_index)
+    # surfaced the exchange the old Python-RDD zipWithIndex hop hid
+    # from the audit — the cost is unchanged, now visible and pinned:
+    "merge_views",
+    "sort_comparator",
+    "unique_indices",
 }
 
 

@@ -235,3 +235,52 @@ def test_quality_gate_rational_matches_float_operator(spark, sf_dir):
     # operator rounds to 4 decimals, so agreement is to 5e-5
     assert joined.filter(F.col("diff") > 5e-5).count() == 0
     assert joined.count() > 0
+
+
+def test_pmi_collocations_ranks_exclusive_pair_first(spark):
+    from agnes_spark.operators.textanalysis import pmi_collocations
+
+    # "tick tock" always co-occur exclusively; "end"/"cat" also occur
+    # outside "the _", so PMI(tick,tock) > PMI(the,end)
+    docs = table(
+        spark,
+        {
+            "doc_id": list(range(7)),
+            "text": [
+                "tick tock the end",
+                "tick tock the cat",
+                "tick tock the end",
+                "tick tock the cat",
+                "tick tock the end",
+                "tick tock the cat",
+                "end cat end cat end cat",
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    got = pmi_collocations(docs, "text", min_count=3, k=10).collect()
+    assert got[0].w1 == "tick" and got[0].w2 == "tock"
+    assert got[0].c_bg == 6
+    pmis = {(r.w1, r.w2): r.pmi for r in got}
+    assert pmis[("tick", "tock")] > pmis[("the", "end")]
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark):
+    from agnes_spark.operators.textanalysis import ngram_novelty
+
+    docs = table(
+        spark,
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e",
+                "a b c d e",          # exact dup of doc 1 -> novelty 0
+                "x y z w v",          # all-new shingles -> novelty 1
+            ],
+        },
+        types={"doc_id": "bigint", "text": "string"},
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs, "doc_id", "text", n=3).collect()}
+    assert got[1].novelty == 1.0
+    assert got[2].novelty == 0.0 and got[2].n_grams == 3
+    assert got[3].novelty == 1.0
