@@ -5260,6 +5260,37 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations report (operators/
+    dataquality.py — the Deequ/Great-Expectations validation class):
+    completeness, uniqueness, set/range membership, a custom
+    predicate, and FK referential integrity over orders, in ONE
+    aggregate pass plus one anti-join for the FK. Exact integer
+    violation counts; `passed` is derived, so the whole report is
+    full-oracle-able."""
+    from agnes_spark.operators import dataquality as dq
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = [
+        dq.not_null("o_orderkey"),
+        dq.unique("o_orderkey"),
+        dq.not_null("o_custkey"),
+        dq.in_set(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        dq.in_range("o_totalprice", 0.0, 1000000.0),
+        dq.matches("o_orderstatus", "^[OFP]$"),
+        dq.satisfies(
+            "urgent_has_customer",
+            (F.col("o_orderpriority") == "1-URGENT") & F.col("o_custkey").isNull(),
+        ),
+        dq.foreign_key("o_custkey", c, "c_custkey"),
+    ]
+    return dq.expectations_report(o, checks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5348,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_seasonality": hourly_seasonality,
         "pmi_collocations_docs": pmi_collocations_docs,
         "link_prediction_copurchase": link_prediction_copurchase,
+        "dq_orders_report": dq_orders_report,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5848,6 +5880,36 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(du.deg + dw.deg - c.cn AS DOUBLE), 6) AS jacc "
             "FROM cand c JOIN deg du ON c.u = du.u JOIN deg dw ON c.w = dw.u "
             "ORDER BY c.cn DESC, c.u, c.w LIMIT 100"
+        ),
+        "dq_orders_report": (
+            "WITH nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders), "
+            "t AS ("
+            "SELECT 'not_null:o_orderkey' AS check_name, CAST(sum(CASE WHEN "
+            "o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
+            "FROM orders "
+            "UNION ALL SELECT 'unique:o_orderkey', CAST(count(o_orderkey) "
+            "- count(DISTINCT o_orderkey) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'not_null:o_custkey', CAST(sum(CASE WHEN "
+            "o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'in_set:o_orderpriority', CAST(sum(CASE WHEN "
+            "o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT', "
+            "'2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'in_range:o_totalprice', CAST(sum(CASE WHEN "
+            "o_totalprice IS NOT NULL AND (o_totalprice < CAST(0.0 AS DOUBLE) "
+            "OR o_totalprice > CAST(1000000.0 AS DOUBLE)) THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'matches:o_orderstatus', CAST(sum(CASE WHEN "
+            "o_orderstatus IS NOT NULL AND NOT regexp_matches(o_orderstatus, "
+            "'^[OFP]$') THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'satisfies:urgent_has_customer', CAST(sum(CASE "
+            "WHEN o_orderpriority = '1-URGENT' AND o_custkey IS NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'foreign_key:o_custkey', CAST(count(*) AS BIGINT) "
+            "FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+            ") SELECT check_name, n_violations, n_rows, "
+            "n_violations = 0 AS passed FROM t, nr ORDER BY check_name"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -197,6 +197,7 @@ AUDIT_BNLJ_ALLOWED = {
     "ks_test_cents",  # 1-row cohort-totals broadcast onto the value frame
     "mutual_info_lang_source",  # 1-row N broadcast onto the (a,b) cell frame
     "pmi_collocations_docs",  # 1-row corpus-N broadcast onto the candidate frame
+    "dq_orders_report",  # 1-row n_rows broadcast onto the per-check rows
 }
 
 
