@@ -5291,6 +5291,51 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.expectations_report(o, checks)
 
 
+_SEARCH_IDX_BUILT: set = set()
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase retrieval (operators/searchindex.py): build the
+    bucketed inverted index ONCE per session (postings/df by term,
+    doclens by id, exact-integer corpus stats), then serve a 3-term
+    BM25 query by probing only those terms' postings. The per-doc
+    total folds term-sorted contributions left-to-right (ordered-sum
+    convention), so scores are bit-deterministic; the top-20 cut
+    orders by the rounded score with id tie-break. The oracle computes
+    the same scores directly from documents — proving the persisted
+    index serves exactly what a direct scan would."""
+    from agnes_spark.operators.searchindex import bm25_search, build_search_index
+
+    prefix = "srchidx_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    if ck not in _SEARCH_IDX_BUILT:
+        d = _t(spark, sf_dir, "documents")
+        build_search_index(d, "doc_id", "text", prefix)
+        _SEARCH_IDX_BUILT.add(ck)
+    return bm25_search(spark, prefix, ["fast", "query", "spark"], k=20)
+
+
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase part graph (graph.py
+    degree_assortativity, Newman 2002) — one row: edge count, the five
+    exact-integer moment sums (decimal(38,0) accumulators, the
+    welch_ttest discipline), and the correlation r as one double
+    expression over them — bit-deterministic cross-engine."""
+    from agnes_spark.operators.graph import degree_assortativity
+
+    _, edges = _copurchase_pagerank(spark, sf_dir)
+    a = degree_assortativity(edges)
+    return a.select(
+        "m",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        F.round("r", 6).alias("r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5380,6 +5425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "link_prediction_copurchase": link_prediction_copurchase,
         "dq_orders_report": dq_orders_report,
+        "search_bm25_topk": search_bm25_topk,
+        "assortativity_copurchase": assortativity_copurchase,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -5910,6 +5957,60 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
             ") SELECT check_name, n_violations, n_rows, "
             "n_violations = 0 AS passed FROM t, nr ORDER BY check_name"
+        ),
+        "search_bm25_topk": (
+            "WITH t AS (SELECT doc_id AS id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1), "
+            "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), "
+            "q AS (SELECT unnest(['fast', 'query', 'spark']) AS term), "
+            "sc AS (SELECT tf.id, tf.term, "
+            "ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) "
+            "+ CAST(1.0 AS DOUBLE)) * tf * CAST(2.2 AS DOUBLE) "
+            "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+            "+ CAST(0.75 AS DOUBLE) * dl "
+            "/ (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s "
+            "FROM tf JOIN q USING (term) JOIN dfreq USING (term) "
+            "JOIN dl USING (id), stats), "
+            "agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched, "
+            "list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score "
+            "FROM sc GROUP BY id) "
+            "SELECT id, n_terms_matched, round(score, 6) AS score FROM agg "
+            "ORDER BY round(score, 6) DESC, id ASC LIMIT 20"
+        ),
+        "assortativity_copurchase": (
+            "WITH und AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, "
+            "greatest(x.l_partkey, y.l_partkey) AS b "
+            "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey <> y.l_partkey), "
+            "e0 AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b AS u, a AS v FROM und), "
+            "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY u), "
+            "tg AS (SELECT du.deg AS x, dv.deg AS y FROM e0 "
+            "JOIN deg du ON e0.u = du.u JOIN deg dv ON e0.v = dv.u), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+            "CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y, "
+            "CAST(sum(x * y) AS BIGINT) AS sum_xy, "
+            "CAST(sum(x * x) AS BIGINT) AS sum_x2, "
+            "CAST(sum(y * y) AS BIGINT) AS sum_y2 FROM tg) "
+            "SELECT m, sum_x, sum_y, sum_xy, sum_x2, sum_y2, "
+            "round(CASE WHEN sqrt(CAST(m AS DOUBLE) * CAST(sum_x2 AS DOUBLE) "
+            "- CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) "
+            "* sqrt(CAST(m AS DOUBLE) * CAST(sum_y2 AS DOUBLE) "
+            "- CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0 THEN "
+            "(CAST(m AS DOUBLE) * CAST(sum_xy AS DOUBLE) "
+            "- CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) "
+            "/ (sqrt(CAST(m AS DOUBLE) * CAST(sum_x2 AS DOUBLE) "
+            "- CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) "
+            "* sqrt(CAST(m AS DOUBLE) * CAST(sum_y2 AS DOUBLE) "
+            "- CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) END, 6) AS r "
+            "FROM s"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

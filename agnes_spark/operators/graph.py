@@ -640,3 +640,57 @@ def link_prediction(
         )
     )
     return out
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the directed edge list —
+    positive when hubs link to hubs, negative in hub-and-spoke
+    topologies. Returns ONE row (m, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2, r). On a symmetric edge list this is the standard
+    undirected coefficient.
+
+    Shape: one degree aggregate, two equi joins to tag each edge with
+    endpoint degrees, one global aggregate — no window, nothing
+    driver-side. The five moment sums accumulate through exact
+    decimal(38,0) (the welch_ttest discipline): deg^2 products summed
+    over any realistic edge count stay far under 38 digits, so r is
+    one double expression over exact integers — engine-portable.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    du = deg.select(F.col("u").alias("su"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("sv"), F.col("deg").alias("y"))
+    tagged = (
+        e.join(du, F.col("u") == F.col("su"))
+        .join(dv, F.col("v") == F.col("sv"))
+        .select("x", "y")
+    )
+    d38 = "decimal(38,0)"
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sx2"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("sy2"),
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    num = md * sxy - sx * sy
+    den = F.sqrt(md * sx2 - sx * sx) * F.sqrt(md * sy2 - sy * sy)
+    return agg.select(
+        "m",
+        F.col("sx").cast("long").alias("sum_x"),
+        F.col("sy").cast("long").alias("sum_y"),
+        F.col("sxy").cast("long").alias("sum_xy"),
+        F.col("sx2").cast("long").alias("sum_x2"),
+        F.col("sy2").cast("long").alias("sum_y2"),
+        F.when(den > 0, num / den).alias("r"),
+    )

@@ -1,0 +1,118 @@
+"""Persisted inverted index + BM25 query serving — the search-engine
+surface of the engine.
+
+Reference scope: agnes computes per-view statistics and filters but has
+no retrieval surface; BM25 scoring exists here as the per-doc
+bm25_top_terms (textanalysis.py). This module adds the two-phase form
+a 100 TB corpus actually needs: build the index ONCE (postings, doc
+lengths, document frequencies, corpus stats persisted as bucketed
+tables), then serve many queries by probing only the matched terms'
+postings — per-query cost is O(sum of matched postings), never a
+corpus scan.
+
+Layout (the dedup_incremental discipline): postings and term-df
+bucket by term — a query's term probe is bucket-local; doc lengths
+bucket by doc id — the tf-side join reshuffles only matched postings
+(bounded by the query's posting lists, not the corpus). Corpus stats
+are one exact-integer row (n_docs, sum_dl), so avgdl is a single
+division both at build and query time.
+
+Determinism: per-(doc, term) BM25 contributions are one double
+expression over exact integers; the per-doc total folds the
+term-sorted contribution array left-to-right (F.aggregate over
+array_sort), so the sum order is fixed — bit-identical across
+partitionings and engines (the ordered-cumsum convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import ws_tokens
+
+
+def build_search_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    num_buckets: int = 32,
+) -> None:
+    """Tokenize once and persist four index tables under
+    `table_prefix`: _postings (term, id, tf) and _df (term, df)
+    bucketed by term; _doclens (id, dl) bucketed by id; _stats one
+    exact row (n_docs, sum_dl)."""
+    from agnes_spark.operators.partitioning import write_bucketed
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("term", "id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    write_bucketed(tf, f"{table_prefix}_postings", ["term"], num_buckets)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    write_bucketed(dfreq, f"{table_prefix}_df", ["term"], num_buckets)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    write_bucketed(dl, f"{table_prefix}_doclens", ["id"], num_buckets)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    stats.write.mode("overwrite").saveAsTable(f"{table_prefix}_stats")
+
+
+def bm25_search(
+    spark: SparkSession,
+    table_prefix: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by summed Okapi BM25
+    (Lucene +1-shifted idf, never negative):
+
+      idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+      s(t, d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Returns (id, n_terms_matched, score) ordered by the ROUNDED
+    score desc, id asc (deterministic cut). Only the query terms'
+    postings are read — the probe is bucket-local on term; the
+    doc-length join moves matched postings only."""
+    q = spark.createDataFrame([(t,) for t in dict.fromkeys(terms)], "term string")
+    post = spark.table(f"{table_prefix}_postings").join(F.broadcast(q), "term")
+    dfreq = spark.table(f"{table_prefix}_df").join(F.broadcast(q), "term")
+    dl = spark.table(f"{table_prefix}_doclens")
+    stats = spark.table(f"{table_prefix}_stats")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom
+    scored = (
+        post.join(dfreq, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", contrib.alias("s"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+    )
+    return (
+        per_doc.select(
+            "id", "n_terms_matched", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(int(k))
+    )

@@ -289,3 +289,29 @@ def test_link_prediction_hub_cap_drops_wedges_through_hubs(spark):
     )
     assert link_prediction(edges, min_cn=1).count() == 6
     assert link_prediction(edges, min_cn=1, max_wedge_degree=3).count() == 0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from agnes_spark.operators.graph import degree_assortativity
+
+    # star: hub degree 4 links to degree-1 leaves -> strongly
+    # disassortative (r = -1 for a pure star)
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m == 8 and row.sum_x == row.sum_y == 20
+    assert abs(row.r + 1.0) < 1e-12
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    from agnes_spark.operators.graph import degree_assortativity
+
+    # 4-cycle: all degrees equal -> zero variance -> r undefined (NULL)
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m == 8 and row.r is None

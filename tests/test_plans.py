@@ -198,6 +198,7 @@ AUDIT_BNLJ_ALLOWED = {
     "mutual_info_lang_source",  # 1-row N broadcast onto the (a,b) cell frame
     "pmi_collocations_docs",  # 1-row corpus-N broadcast onto the candidate frame
     "dq_orders_report",  # 1-row n_rows broadcast onto the per-check rows
+    "search_bm25_topk",  # 1-row corpus-stats broadcast onto matched postings
 }
 
 
