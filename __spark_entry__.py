@@ -5336,6 +5336,104 @@ def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation (stats.spearman_corr)
+    between lineitem quantity (heavy ties: 50 integer levels) and
+    extended price in cents — the monotonic-association readout robust
+    to the price outliers a Pearson gate would chase. Doubled average
+    tied ranks are exact integers; the five Pearson sums over them
+    ride decimal accumulators; rho is ONE double expression (the
+    mann-whitney z precedent) so round(6) is boundary-safe."""
+    from agnes_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    s = spearman_corr(li, "qty", "cents")
+    return s.select("n", F.round("rho", 6).alias("rho"))
+
+
+def anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (stats.anova_oneway) of order value in cents
+    across ALL five priority classes — the k-group generalization of
+    ab_welch_ttest. Per-group sufficient statistics are exact
+    decimals; the one cross-group double sum (sum of S_g^2/n_g) folds
+    in group-key order (aggregate over sort_array(collect_list)) so it
+    is bit-deterministic, mirrored by the oracle's list_reduce over
+    list(... ORDER BY g) — both engines start the fold at the first
+    term (Spark's 0.0 + t1 == t1 exactly)."""
+    from agnes_spark.operators.stats import anova_oneway
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    a = anova_oneway(o, "o_orderpriority", "cents")
+    return a.select(
+        "k",
+        "n",
+        F.round("ss_between", 4).alias("ss_between"),
+        F.round("ss_within", 4).alias("ss_within"),
+        F.round("f_stat", 6).alias("f_stat"),
+    )
+
+
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint profile (timeseries.cusum_profile, Page 1954)
+    over the daily-revenue series: per day the EXACT scaled cumulative
+    deviation S_i = N*cumsum(x) - i*total(x) (the mean's division
+    cleared, so every S_i is an integer) and the peak-|S| changepoint
+    flag. The ordered window runs on the calendar-bounded daily frame
+    (the revenue_dod_delta precedent); s_num fits BIGINT through
+    sf100 (n_days * total_cents ~ 5e18) and the operator carries
+    decimal(38,0) beyond that."""
+    from agnes_spark.operators.timeseries import cusum_profile
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    prof = cusum_profile(daily, "day", "rev_cents")
+    return prof.select(
+        "day", "rev_cents", F.col("s_num").cast("bigint").alias("s_num"), "is_peak"
+    ).orderBy("day")
+
+
+def cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-to-snapshot materialization (incremental.
+    apply_changelog): a deterministic Debezium-style CDC feed over
+    orders — insert every key at seq 1, update keys %7==0 at seq 2
+    (+5 cents), delete keys %13==0 at seq 3 — collapsed to final
+    state by keep-last-per-key. ONE shuffle (WindowGroupLimit prunes
+    rank>1 map-side); the oracle derives the same final state in
+    closed form, so the gate proves the window semantics, not just
+    the arithmetic."""
+    from agnes_spark.operators.incremental import apply_changelog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    ins = o.select(
+        "o_orderkey", "cents", F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("cents") + 5).alias("cents"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "cents", F.lit(3).alias("seq"), F.lit("D").alias("op")
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+    final = apply_changelog(changes, ["o_orderkey"], "seq", "op")
+    return final.select("o_orderkey", "cents", "op").orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5427,6 +5525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_report": dq_orders_report,
         "search_bm25_topk": search_bm25_topk,
         "assortativity_copurchase": assortativity_copurchase,
+        "spearman_qty_price": spearman_qty_price,
+        "anova_f_priority": anova_f_priority,
+        "cusum_changepoint_revenue": cusum_changepoint_revenue,
+        "cdc_orders_apply": cdc_orders_apply,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6011,6 +6113,72 @@ def oracle_sql() -> dict[str, str]:
             "* sqrt(CAST(m AS DOUBLE) * CAST(sum_y2 AS DOUBLE) "
             "- CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) END, 6) AS r "
             "FROM s"
+        ),
+        "spearman_qty_price": (
+            "WITH p AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY x), "
+            "rx AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 "
+            "FROM gx), "
+            "gy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY y), "
+            "ry AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 "
+            "FROM gy), "
+            "j AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y FROM p "
+            "JOIN rx ON p.x = rx.v JOIN ry ON p.y = ry.v), "
+            "a AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(r2x AS HUGEINT)) AS DOUBLE) AS sx, "
+            "CAST(sum(CAST(r2y AS HUGEINT)) AS DOUBLE) AS sy, "
+            "CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS DOUBLE) AS sxx, "
+            "CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS DOUBLE) AS syy, "
+            "CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS DOUBLE) AS sxy FROM j) "
+            "SELECT n, round((CAST(n AS DOUBLE) * sxy - sx * sy) "
+            "/ sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) "
+            "* (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho FROM a"
+        ),
+        "anova_f_priority": (
+            "WITH f AS (SELECT o_orderpriority AS g, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders "
+            "WHERE o_orderpriority IS NOT NULL), "
+            "per AS (SELECT g, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS ss "
+            "FROM f GROUP BY g), "
+            "a AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+            "CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS DOUBLE) AS sa, "
+            "CAST(sum(ss) AS DOUBLE) AS ssa, "
+            "list_reduce(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) ORDER BY g), (x, y) -> x + y) AS fold FROM per) "
+            "SELECT k, nt AS n, "
+            "round(fold - sa * sa / CAST(nt AS DOUBLE), 4) AS ss_between, "
+            "round(ssa - fold, 4) AS ss_within, "
+            "round(((fold - sa * sa / CAST(nt AS DOUBLE)) "
+            "/ (CAST(k AS DOUBLE) - 1.0)) "
+            "/ ((ssa - fold) / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))), 6) "
+            "AS f_stat FROM a"
+        ),
+        "cusum_changepoint_revenue": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents FROM orders GROUP BY day), "
+            "t AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(rev_cents) AS HUGEINT) AS tot FROM d), "
+            "p AS (SELECT day, rev_cents, "
+            "n * sum(CAST(rev_cents AS HUGEINT)) OVER (ORDER BY day) "
+            "- CAST(row_number() OVER (ORDER BY day) AS HUGEINT) * tot AS s_num "
+            "FROM d, t), "
+            "m AS (SELECT max(abs(s_num)) AS pk FROM p) "
+            "SELECT day, rev_cents, CAST(s_num AS BIGINT) AS s_num, "
+            "abs(s_num) = pk AS is_peak FROM p, m ORDER BY day"
+        ),
+        "cdc_orders_apply": (
+            "SELECT o_orderkey, "
+            "CAST(CASE WHEN o_orderkey % 7 = 0 "
+            "THEN round(o_totalprice * 100.0) + 5 "
+            "ELSE round(o_totalprice * 100.0) END AS BIGINT) AS cents, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'I' END AS op "
+            "FROM orders WHERE o_orderkey % 13 <> 0 ORDER BY o_orderkey"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -74,3 +74,29 @@ def incremental_refresh(
         partition_col,
     )
     return parts
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse an ordered CDC changelog (insert/update/delete events)
+    into the final table state: the LAST event per key wins; keys
+    whose last event is a delete vanish. The standard
+    changelog-to-snapshot materialization a 100 TB ingest runs over
+    Debezium/binlog-style feeds.
+
+    ONE shuffle (window keep-last per key — WindowGroupLimit prunes
+    rank > 1 map-side, the exact_dedup_kept shape); no join, no
+    driver state. `seq_col` must be unique per key (CDC offsets are);
+    ties would make the winner engine-private.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .drop("__rn")
+    )

@@ -448,3 +448,152 @@ def mutual_information(
             ).alias("mi_contrib"),
         )
     )
+
+def _doubled_ranks(df: DataFrame, value_col: str, n_buckets: int = 64) -> DataFrame:
+    """Per-distinct-value DOUBLED average tied rank: (v, r2) with
+    r2 = 2*cum_before + t + 1 (t = count at v), an exact integer for
+    any tie pattern — the substrate of spearman_corr. Same two-level
+    bucketed prefix sum as _pooled_value_counts (range buckets from a
+    1-row bounds agg, per-bucket offsets on the constant-size bucket
+    frame, within-bucket windows partition BY BUCKET), so no global
+    single-partition window at any scale."""
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    bounds = per_v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucketed = per_v.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                * F.lit(n_buckets)
+                / (F.col("hi") - F.col("lo") + F.lit(1))
+            ).cast("int"),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_bkt = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("t").alias("bt"))
+        .withColumn("off", F.coalesce(F.sum("bt").over(w_bkt), F.lit(0)))
+        .select("__bkt", "off")
+    )
+    cum = F.col("off") + F.coalesce(F.sum("t").over(w_in), F.lit(0))
+    return bucketed.join(F.broadcast(offs), "__bkt").select(
+        "v", (F.lit(2) * cum + F.col("t") + F.lit(1)).cast("long").alias("r2")
+    )
+
+
+def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware, average-rank convention)
+    between two numeric columns. Returns ONE row (n, rho).
+
+    Exact-integer core: each column's doubled average tied rank r2 is
+    an integer (_doubled_ranks), rows get their ranks back via two
+    equi joins on the value, and the five Pearson sufficient sums over
+    (r2x, r2y) accumulate in decimal(38,0) — engine- and
+    partitioning-exact. rho is ONE double expression over those sums
+    (the doubling cancels between numerator and denominator). Rows
+    with a NULL in either column are excluded (pairwise-complete).
+
+    Scale shape: two grouped value-grid aggregates + bucketed prefix
+    sums + two shuffle joins on the value + one global aggregate —
+    no global window, nothing driver-side.
+    """
+    pairs = df.filter(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+    rx = _doubled_ranks(pairs, "__x").withColumnRenamed("r2", "r2x")
+    ry = _doubled_ranks(pairs, "__y").withColumnRenamed("r2", "r2y")
+    ranked = (
+        pairs.join(rx, pairs["__x"] == rx["v"])
+        .drop("v")
+        .join(ry, pairs["__y"] == ry["v"])
+        .drop("v")
+    )
+    dx = F.col("r2x").cast("decimal(19,0)")
+    dy = F.col("r2y").cast("decimal(19,0)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("n", (num / den).alias("rho"))
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F-test across ALL levels of `group_col` over
+    `value_col`. Returns ONE row (k, n, ss_between, ss_within, f_stat).
+
+    Exact accumulation: per-group (n, sum, sum-of-squares) ride
+    decimal accumulators for integral inputs (the welch_ttest
+    discipline), so the sufficient statistics are partitioning- and
+    engine-exact. The cross-group sum of S_g^2/n_g — the one place a
+    sum of DOUBLES appears — folds the per-group terms in GROUP-KEY
+    ORDER via aggregate(sort_array(collect_list(...))), making the
+    result bit-deterministic (the search_bm25 ordered-sum convention);
+    the group-cardinality frame this collects is bounded by the number
+    of distinct levels, which a categorical factor keeps small at any
+    row scale. Groups need n_g >= 1 and k >= 2; f_stat needs N > k.
+    """
+    g = F.col(group_col)
+    raw = F.col(value_col)
+    integral = dict(df.dtypes)[value_col] in {"tinyint", "smallint", "int", "bigint"}
+    if integral:
+        vd = raw.cast("decimal(19,0)")
+        sum_expr, sumsq_expr = F.sum(vd), F.sum(vd * vd)
+    else:
+        v = raw.cast("double")
+        sum_expr, sumsq_expr = F.sum(v), F.sum(v * v)
+    per = (
+        df.filter(g.isNotNull() & raw.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_expr.alias("s"),
+            sumsq_expr.alias("ss"),
+        )
+    )
+    term = (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("double").alias("s_all"),
+        F.sum("ss").cast("double").alias("ss_all"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("__g"), term.alias("term")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("fold"),
+    )
+    nd = F.col("n_tot").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("fold") - F.col("s_all") * F.col("s_all") / nd
+    ssw = F.col("ss_all") - F.col("fold")
+    return agg.select(
+        "k",
+        F.col("n_tot").alias("n"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
+    )

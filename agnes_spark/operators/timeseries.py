@@ -55,3 +55,47 @@ def interpolate_linear(
         )
     )
     return series.withColumn(f"{value_col}_filled", filled)
+
+
+def cusum_profile(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint profile of an (already aggregated,
+    calendar-bounded) series: per row, the scaled cumulative deviation
+    S_i = N * cumsum_i(x) - i * total(x) — N times the classic
+    cumsum-of-(x - mean), kept EXACT by clearing the mean's division.
+    The row where |S_i| peaks is the single-changepoint estimate
+    (Page 1954 / Taylor's cumulative-sum changepoint method).
+
+    Adds `s_num` (decimal(38,0), exact at any scale: the product is
+    bounded by n_rows * total, and a calendar-bounded series keeps
+    n_rows small even at 100 TB of raw input) and `is_peak`. One
+    ordered window pass over the bounded series frame + one 1-row
+    totals broadcast + one 1-row max broadcast.
+    """
+    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    tot = series.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(19,0)")).cast("decimal(38,0)").alias("__t"),
+    )
+    prof = (
+        series.withColumn("__cum", F.sum(F.col(value_col).cast("decimal(19,0)")).over(w))
+        .withColumn("__i", F.row_number().over(Window.orderBy(time_col)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s_num",
+            (
+                F.col("__n") * F.col("__cum").cast("decimal(38,0)")
+                - F.col("__i").cast("decimal(38,0)") * F.col("__t")
+            ).cast("decimal(38,0)"),
+        )
+        .drop("__cum", "__i", "__n", "__t")
+    )
+    peak = prof.agg(F.max(F.abs(F.col("s_num"))).alias("__pk"))
+    return (
+        prof.crossJoin(F.broadcast(peak))
+        .withColumn("is_peak", F.abs(F.col("s_num")) == F.col("__pk"))
+        .drop("__pk")
+    )

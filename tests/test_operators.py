@@ -576,3 +576,96 @@ def test_domain_mixture_weights_flattens_dominant_domain(spark):
     assert rows["en"].n_size == 900 and abs(rows["en"].share - 0.9) < 1e-12
     assert rows["en"].weight / rows["de"].weight < 10
     assert rows["en"].weight > rows["fr"].weight > rows["de"].weight
+
+
+def test_spearman_corr_matches_pandas(spark):
+    from agnes_spark.operators.stats import spearman_corr
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4, 5]
+    rows = list(zip(xs, ys)) + [(None, 1), (2, None)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0]
+
+    import numpy as np
+    import pandas as pd
+
+    rx = pd.Series(xs).rank().to_numpy()  # average tied ranks
+    ry = pd.Series(ys).rank().to_numpy()
+    ref = float(np.corrcoef(rx, ry)[0, 1])
+    assert got.n == len(xs)
+    assert abs(got.rho - ref) < 1e-12
+
+
+def test_spearman_corr_perfect_monotone(spark):
+    from agnes_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 30)], "x long, y long"
+    )
+    got = spearman_corr(df, "x", "y").collect()[0]
+    assert abs(got.rho - 1.0) < 1e-15
+    inv = spark.createDataFrame(
+        [(i, -i * i) for i in range(1, 30)], "x long, y long"
+    )
+    assert abs(spearman_corr(inv, "x", "y").collect()[0].rho + 1.0) < 1e-15
+
+
+def test_anova_oneway_matches_direct_formula(spark):
+    from agnes_spark.operators.stats import anova_oneway
+
+    groups = {
+        "a": [12, 15, 11, 19, 14],
+        "b": [22, 25, 21, 24, 15, 28],
+        "c": [5, 9, 7, 6],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = anova_oneway(df, "grp", "val").collect()[0]
+
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    mean = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - mean) ** 2 for vs in groups.values())
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got.k, got.n) == (k, n)
+    assert abs(got.ss_between - ssb) < 1e-9
+    assert abs(got.ss_within - ssw) < 1e-9
+    assert abs(got.f_stat - f) < 1e-9
+
+
+def test_cusum_profile_peak_at_level_shift(spark):
+    from agnes_spark.operators.timeseries import cusum_profile
+
+    # 10 days at 100 then 10 days at 200 -> |S| peaks exactly at the shift
+    rows = [(i, 100) for i in range(10)] + [(i, 200) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    out = cusum_profile(df, "t", "v").orderBy("t").collect()
+    n, tot = 20, 100 * 10 + 200 * 10
+    cum = 0
+    for i, r in enumerate(out, start=1):
+        cum += r.v
+        assert int(r.s_num) == n * cum - i * tot
+    peaks = [r.t for r in out if r.is_peak]
+    assert peaks == [9]
+
+
+def test_apply_changelog_last_op_wins(spark):
+    from agnes_spark.operators.incremental import apply_changelog
+
+    rows = [
+        (1, 10, 1, "I"),
+        (1, 11, 2, "U"),
+        (2, 20, 1, "I"),
+        (2, 0, 2, "D"),
+        (3, 30, 1, "I"),
+        (2, 25, 3, "I"),  # re-insert after delete
+        (4, 40, 1, "I"),
+        (4, 0, 2, "D"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, seq long, op string")
+    out = {r.k: (r.v, r.op) for r in apply_changelog(df, ["k"], "seq").collect()}
+    assert out == {1: (11, "U"), 2: (25, "I"), 3: (30, "I")}
