@@ -5434,6 +5434,122 @@ def cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("o_orderkey", "cents", "op").orderBy("o_orderkey")
 
 
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-look dataset profiler (dataquality.profile_columns): five
+    orders columns melted by ONE stack() projection, then one grouped
+    aggregate computes rows/nulls/exact-distinct/min/max per column —
+    one scan total, no per-column passes. Values compare AS STRINGS;
+    the two non-string-safe columns (timestamp, double price) are
+    pre-canonicalized to date-string and cents so both engines format
+    identically."""
+    from agnes_spark.operators.dataquality import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_date_str"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    return profile_columns(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_date_str", "cents"]
+    )
+
+
+_BINARY_INGEST_CACHE: dict[tuple, str] = {}
+
+
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion parity (sources/formats.read_binary_files):
+    every 25th document's utf-8 bytes land as one opaque .bin file
+    (fixture setup — a bounded 1/25th collect standing in for an
+    object-store landing zone), then the binaryFile source reads them
+    back DISTRIBUTED and the gate emits (doc_id from filename, byte
+    length, md5 of content). The oracle md5s the same utf-8 text
+    straight from the table, proving the payload survives the
+    write->binary-read hop bit-for-bit — the contract every
+    image/audio pipeline builds on."""
+    from agnes_spark.sources.formats import read_binary_files
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    d = _BINARY_INGEST_CACHE.get(ck)
+    if d is None:
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        d = _gate_scratch(f"binfiles_{os.path.basename(sf_dir.rstrip('/'))}")
+        for r in docs:
+            with open(os.path.join(d, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        _BINARY_INGEST_CACHE[ck] = d
+    files = read_binary_files(spark, d, glob="*.bin")
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return files.select(
+        F.regexp_extract(fname, r"^([0-9]+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("md5_hex"),
+    ).orderBy("doc_id")
+
+
+def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order/array-function coverage in one gate: per order,
+    the sorted line-number array is probed with size / element_at /
+    array_max / transform+aggregate (fold) / filter / array_contains /
+    concat_ws — all JVM-side whole-stage expressions, zero Python.
+    Every derived value is an exact integer or a string over ints, so
+    the oracle (DuckDB list lambdas) hash-matches bit-for-bit; the
+    fold starts at 0 where DuckDB's list_reduce seeds with the first
+    element — identical for integer addition."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_linenumber").cast("bigint").alias("ln")
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("ln")).alias("lines")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_max("lines").alias("max_line"),
+        F.aggregate(
+            F.transform("lines", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("sum_sq"),
+        F.size(F.filter("lines", lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.array_contains("lines", F.lit(3)).alias("has_three"),
+        F.concat_ws(",", F.transform("lines", lambda x: x.cast("string"))).alias(
+            "joined"
+        ),
+    ).orderBy("l_orderkey")
+
+
+def regex_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function coverage over raw text: first digit-run
+    extraction, digit-run count (regexp_extract_all), char length
+    after global digit masking, md5 of vowel-stripped text, and an
+    rlike flag — the extraction/masking primitives every text-curation
+    pass uses. Patterns stay in the character-class subset where Java
+    regex (Spark) and RE2 (DuckDB) agree; both engines return '' (not
+    NULL) on a no-match extract, verified."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_num_runs"),
+        F.length(F.regexp_replace("text", "[0-9]", "#")).cast("long").alias(
+            "len_masked"
+        ),
+        F.md5(F.regexp_replace("text", "[aeiou]", "")).alias("md5_novowels"),
+        F.col("text").rlike("[0-9]{3,}").alias("has_long_num"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5529,6 +5645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f_priority": anova_f_priority,
         "cusum_changepoint_revenue": cusum_changepoint_revenue,
         "cdc_orders_apply": cdc_orders_apply,
+        "data_profile_orders": data_profile_orders,
+        "binaryfile_ingest": binaryfile_ingest,
+        "array_funcs_suite": array_funcs_suite,
+        "regex_funcs_docs": regex_funcs_docs,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6179,6 +6299,57 @@ def oracle_sql() -> dict[str, str]:
             "ELSE round(o_totalprice * 100.0) END AS BIGINT) AS cents, "
             "CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'I' END AS op "
             "FROM orders WHERE o_orderkey % 13 <> 0 ORDER BY o_orderkey"
+        ),
+        "data_profile_orders": (
+            "WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, "
+            "o_orderstatus, o_orderpriority, "
+            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date_str, "
+            "CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR) "
+            "AS cents FROM orders) "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                f"min({c}) AS min_val, max({c}) AS max_val FROM src"
+                for c in [
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_date_str",
+                    "cents",
+                ]
+            )
+            + " ORDER BY col_name"
+        ),
+        "binaryfile_ingest": (
+            "SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS md5_hex FROM documents "
+            "WHERE doc_id % 25 = 0 ORDER BY doc_id"
+        ),
+        "array_funcs_suite": (
+            "WITH g AS (SELECT l_orderkey, "
+            "list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber) AS lines "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT l_orderkey, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "lines[1] AS first_line, list_max(lines) AS max_line, "
+            "CAST(list_reduce(list_transform(lines, x -> x * x), "
+            "(a, b) -> a + b) AS BIGINT) AS sum_sq, "
+            "CAST(len(list_filter(lines, x -> x % 2 = 0)) AS BIGINT) AS n_even, "
+            "list_contains(lines, 3) AS has_three, "
+            "array_to_string(list_transform(lines, x -> CAST(x AS VARCHAR)), ',') "
+            "AS joined FROM g ORDER BY l_orderkey"
+        ),
+        "regex_funcs_docs": (
+            "SELECT doc_id, "
+            "regexp_extract(text, '([0-9]+)', 1) AS first_num, "
+            "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) "
+            "AS n_num_runs, "
+            "CAST(length(regexp_replace(text, '[0-9]', '#', 'g')) AS BIGINT) "
+            "AS len_masked, "
+            "md5(regexp_replace(text, '[aeiou]', '', 'g')) AS md5_novowels, "
+            "regexp_matches(text, '[0-9]{3,}') AS has_long_num "
+            "FROM documents ORDER BY doc_id"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -146,3 +146,38 @@ def expectations_report(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         F.col("__nr").alias("n_rows"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-scan, per-column dataset profile: (col_name, n_rows,
+    n_null, n_distinct, min_val, max_val) with values compared AS
+    STRINGS (uniform schema across heterogeneous columns) — the
+    first-look profiler a 100 TB onboarding runs before writing
+    expectations.
+
+    Spark-first shape: the columns MELT via one stack() projection
+    (k output rows per input row, still one scan of only the profiled
+    columns — column pruning reaches the parquet reader), then ONE
+    grouped aggregate per col_name computes all five stats;
+    count(distinct) rides the same aggregate via Spark's expand. No
+    per-column passes, no driver loop. Callers profiling float
+    columns should pre-cast to a canonical string form if the profile
+    must be engine-portable (double->string formatting is not).
+    """
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
+            F.count_distinct(F.col("val")).cast("long").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )

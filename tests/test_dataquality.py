@@ -64,3 +64,17 @@ def test_expectations_report_all_green_passes(spark):
     ).collect()
     assert len(rep) == 3
     assert all(r.passed and r.n_violations == 0 for r in rep)
+
+
+def test_profile_columns_one_pass_stats(spark):
+    from agnes_spark.operators.dataquality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "x long, s string"
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert out["x"].n_rows == 4 and out["x"].n_null == 1
+    assert out["x"].n_distinct == 2
+    assert (out["x"].min_val, out["x"].max_val) == ("1", "2")
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
