@@ -5550,6 +5550,68 @@ def regex_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def feature_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-encoding pipeline (operators/encoding.py): exact
+    frequency encoding, leakage-free leave-one-out target encoding
+    ((S_g - y_i)/(n_g - 1), one double division of exact decimal
+    accumulators — hashed UNROUNDED, the window_funcs precedent), and
+    fixed-list one-hot flags, all from ONE bounded category aggregate
+    broadcast back plus a stateless projection. The standard tabular
+    feature prep before any model sees a categorical column."""
+    from agnes_spark.operators.encoding import (
+        frequency_encode,
+        one_hot_encode,
+        target_encode_loo,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    e = frequency_encode(o, "o_orderpriority")
+    e = target_encode_loo(e, "o_orderpriority", "cents")
+    e = one_hot_encode(e, "o_orderstatus", ["O", "F", "P"])
+    return e.select(
+        "o_orderkey",
+        "o_orderpriority_freq",
+        "o_orderpriority_te",
+        "o_orderstatus_is_o",
+        "o_orderstatus_is_f",
+        "o_orderstatus_is_p",
+    ).orderBy("o_orderkey")
+
+
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily revenue — the robust
+    centerline a monitoring dashboard draws where rolling_7d_revenue's
+    mean chases outliers. median == percentile(0.5) with linear
+    interpolation in BOTH engines; over bigint cents the result is
+    always x.0 or x.5 — exactly representable, hashed unrounded. The
+    window is the calendar-bounded daily frame (revenue_dod_delta
+    precedent)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("rev_cents").over(w))
+    m = F.size(arr)
+    mid = F.element_at(arr, ((m + 1) / 2).cast("int")).cast("double")
+    lo = F.element_at(arr, (m / 2).cast("int")).cast("double")
+    hi = F.element_at(arr, (m / 2 + 1).cast("int")).cast("double")
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.when(m % 2 == 1, mid).otherwise((lo + hi) / F.lit(2.0)).alias("med7"),
+    ).orderBy("day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5649,6 +5711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binaryfile_ingest": binaryfile_ingest,
         "array_funcs_suite": array_funcs_suite,
         "regex_funcs_docs": regex_funcs_docs,
+        "feature_encode_orders": feature_encode_orders,
+        "rolling_median_revenue": rolling_median_revenue,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6339,6 +6403,33 @@ def oracle_sql() -> dict[str, str]:
             "list_contains(lines, 3) AS has_three, "
             "array_to_string(list_transform(lines, x -> CAST(x AS VARCHAR)), ',') "
             "AS joined FROM g ORDER BY l_orderkey"
+        ),
+        "feature_encode_orders": (
+            "WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderstatus, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+            "s AS (SELECT o_orderpriority AS cat, "
+            "CAST(count(*) AS BIGINT) AS n, sum(CAST(cents AS HUGEINT)) AS sm "
+            "FROM o GROUP BY o_orderpriority) "
+            "SELECT o_orderkey, n AS o_orderpriority_freq, "
+            "CASE WHEN n > 1 THEN "
+            "(CAST(sm AS DOUBLE) - CAST(cents AS DOUBLE)) "
+            "/ CAST(n - 1 AS DOUBLE) END AS o_orderpriority_te, "
+            "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END "
+            "AS o_orderstatus_is_o, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END "
+            "AS o_orderstatus_is_f, "
+            "CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END "
+            "AS o_orderstatus_is_p "
+            "FROM o JOIN s ON o.o_orderpriority = s.cat ORDER BY o_orderkey"
+        ),
+        "rolling_median_revenue": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents FROM orders GROUP BY day) "
+            "SELECT day, rev_cents, "
+            "quantile_cont(rev_cents, 0.5) OVER (ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 "
+            "FROM d ORDER BY day"
         ),
         "regex_funcs_docs": (
             "SELECT doc_id, "

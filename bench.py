@@ -147,6 +147,34 @@ EXTRA_QUERIES = [
     "q8_market_share",
     "q13_custdist",
     "q22_lapsed_customers",
+    # round-7 additions (kcore_copurchase stays out: 8 fixed peel
+    # rounds of iterative overhead, the pagerank rationale)
+    "dedup_spans",
+    "dedup_spans_removal",
+    "search_bm25_topk",
+    "link_prediction_copurchase",
+    "pmi_collocations_docs",
+    "assortativity_copurchase",
+    "gram_matrix_embeddings",
+    "ngram_novelty_docs",
+    "mann_whitney_cents",
+    "ks_test_cents",
+    "mutual_info_lang_source",
+    "spearman_qty_price",
+    "anova_f_priority",
+    "cusum_changepoint_revenue",
+    "cdc_orders_apply",
+    "data_profile_orders",
+    "array_funcs_suite",
+    "regex_funcs_docs",
+    "binaryfile_ingest",
+    "window_funcs_suite",
+    "snapshot_diff_orders",
+    "interval_overlap_daily",
+    "ewma_daily_revenue",
+    "hourly_seasonality",
+    "dq_orders_report",
+    "weighted_sample_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
