@@ -5612,6 +5612,129 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase part graph (graph.py
+    label_propagation, Raghavan et al. 2007): 4 synchronous rounds of
+    adopt-the-most-frequent-neighbor-label with the (count DESC, label
+    ASC) total tie-break — the deterministic LPA variant a reproducible
+    pipeline needs. FULL oracle: DuckDB unrolls the identical rounds
+    over MATERIALIZED CTEs (the kcore precedent); community sizes ride
+    a keyed window both sides."""
+    from pyspark.sql import Window
+
+    from agnes_spark.operators.graph import label_propagation
+
+    _, edges = _copurchase_pagerank(spark, sf_dir)
+    lp = label_propagation(edges, max_iter=4)
+    wsz = Window.partitionBy("community")
+    return lp.select(
+        F.col("id").alias("part_id"),
+        "community",
+        F.count(F.lit(1)).over(wsz).cast("long").alias("community_size"),
+    ).orderBy("part_id")
+
+
+def _labelprop_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB twin of labelprop_communities: same und/e0 construction
+    as the kcore/pagerank oracles, labels initialized to node ids,
+    fixed synchronous rounds with the identical total tie-break."""
+    parts = [
+        "und AS MATERIALIZED (SELECT DISTINCT least(x.l_partkey, y.l_partkey) "
+        "AS a, greatest(x.l_partkey, y.l_partkey) AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey <> y.l_partkey)",
+        "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b AS u, a AS v FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM e0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.u, l.lab, count(*) AS cnt "
+            f"FROM e0 e JOIN l{i} l ON e.v = l.id GROUP BY e.u, l.lab)"
+        )
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT u AS id, lab FROM "
+            f"(SELECT u, lab, row_number() OVER (PARTITION BY u "
+            f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id AS part_id, lab AS community, "
+        f"CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size "
+        f"FROM l{rounds} ORDER BY id"
+    )
+
+
+def abc_parts_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the running share is <= 80%, B to 95%, C after —
+    the classic merchandising cut. EXACT class boundaries: the share
+    comparison is cum*100 <= 80*total over integer cents (no double
+    ever decides a class), so the output is engine-exact. The ordered
+    window runs AFTER aggregation to the part grain — bounded by the
+    part catalog (a dimension), not the fact table."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("__t"))
+    return (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev_cents",
+            "cum_cents",
+            F.when(F.col("cum_cents") * 100 <= F.col("__t") * 80, F.lit("A"))
+            .when(F.col("cum_cents") * 100 <= F.col("__t") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: each user's first three event types (by
+    (ts, event_id) — the total-order tiebreak of user_idle_gaps) joined
+    into a path string, counted across users — the Sankey-source /
+    onboarding-funnel readout. Keyed window for the first-3 cut, path
+    assembly via the ordered-fold convention (sort_array over (rank,
+    type) structs), one count aggregate; the top-20 cut breaks count
+    ties by path text."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("user_id", "__rn", "event_type")
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5713,6 +5836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_funcs_docs": regex_funcs_docs,
         "feature_encode_orders": feature_encode_orders,
         "rolling_median_revenue": rolling_median_revenue,
+        "labelprop_communities": labelprop_communities,
+        "abc_parts_classification": abc_parts_classification,
+        "top_paths_events": top_paths_events,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6076,6 +6202,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t GROUP BY na, nb"
         ),
         "kcore_copurchase": _kcore_oracle_sql(8),
+        "labelprop_communities": _labelprop_oracle_sql(4),
         "window_funcs_suite": (
             "WITH o AS (SELECT o_orderkey, o_orderpriority, "
             "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders) "
@@ -6441,6 +6568,29 @@ def oracle_sql() -> dict[str, str]:
             "md5(regexp_replace(text, '[aeiou]', '', 'g')) AS md5_novowels, "
             "regexp_matches(text, '[0-9]{3,}') AS has_long_num "
             "FROM documents ORDER BY doc_id"
+        ),
+        "abc_parts_classification": (
+            "WITH rev AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents FROM lineitem GROUP BY l_partkey), "
+            "t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM rev), "
+            "c AS (SELECT l_partkey, rev_cents, "
+            "CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_cents FROM rev) "
+            "SELECT l_partkey, rev_cents, cum_cents, "
+            "CASE WHEN cum_cents * 100 <= tot * 80 THEN 'A' "
+            "WHEN cum_cents * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc "
+            "FROM c, t ORDER BY l_partkey"
+        ),
+        "top_paths_events": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+            "AS path FROM r WHERE rn <= 3 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p "
+            "GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 20"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

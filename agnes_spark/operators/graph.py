@@ -694,3 +694,65 @@ def degree_assortativity(
         F.col("sy2").cast("long").alias("sum_y2"),
         F.when(den > 0, num / den).alias("r"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) with a TOTAL deterministic tie-break: each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. Returns
+    (id, community).
+
+    Determinism: classic LPA breaks ties randomly and updates
+    asynchronously — useless for a reproducible pipeline. The
+    synchronous + (count DESC, label ASC) total order makes every
+    round a pure function of the previous one, so a fixed-round unroll
+    is engine-portable (the kcore oracle pattern). Input is a directed
+    edge list expected symmetric (both directions present).
+
+    Per-round shape: one equi join labels->edges keyed on the node id,
+    one (u, label) count aggregate, one row_number window partitioned
+    BY NODE — every shuffle keyed, nothing global. Lineage truncates
+    with localCheckpoint every 3rd round (the iterative-plan
+    discipline of connected_components/pagerank). Fixed rounds, no
+    early exit: synchronous LPA can 2-cycle on bipartite structure,
+    so "unchanged" is the only safe stop and a fixed schedule keeps
+    twin implementations bit-identical.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    labels = (
+        e.select(F.col("u").alias("id")).distinct().withColumn("lab", F.col("id"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lab"))
+    prev: DataFrame | None = None
+    for i in range(max_iter):
+        counts = (
+            e.join(labels.select(F.col("id").alias("v"), "lab"), "v")
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        nxt = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("id"), "lab")
+        )
+        if i % 3 == 2:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        nxt.count()  # materialize; one job per round
+        if prev is not None:
+            prev.unpersist()
+        labels = nxt
+        prev = nxt
+    e.unpersist()
+    return labels.select("id", F.col("lab").alias("community"))

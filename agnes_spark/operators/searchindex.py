@@ -26,6 +26,7 @@ partitionings and engines (the ordered-cumsum convention).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,26 @@ def build_search_index(
     bucketed by term; _doclens (id, dl) bucketed by id; _stats one
     exact row (n_docs, sum_dl)."""
     from agnes_spark.operators.partitioning import write_bucketed
+
+    # Idempotent across PROCESSES, not just sessions: the in-memory
+    # catalog forgets managed tables between runs while their
+    # warehouse directories survive, so a bare saveAsTable would die
+    # with LOCATION_ALREADY_EXISTS on the next process. Drop any
+    # registration AND delete the orphan location first (the
+    # bucketed-layout-gate convention).
+    spark = docs.sparkSession
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    for suffix in ("_postings", "_df", "_doclens", "_stats"):
+        t = f"{table_prefix}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(wh, t))
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
 
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(ws_tokens(F.col(text_col))).alias("term")

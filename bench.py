@@ -175,6 +175,11 @@ EXTRA_QUERIES = [
     "hourly_seasonality",
     "dq_orders_report",
     "weighted_sample_docs",
+    "feature_encode_orders",
+    "rolling_median_revenue",
+    "labelprop_communities",
+    "abc_parts_classification",
+    "top_paths_events",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

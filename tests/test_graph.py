@@ -315,3 +315,31 @@ def test_degree_assortativity_regular_graph_is_null(spark):
     )
     row = degree_assortativity(edges).collect()[0]
     assert row.m == 8 and row.r is None
+
+
+def test_label_propagation_two_cliques(spark):
+    from agnes_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge -> two communities
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.id: r.community for r in label_propagation(df, max_iter=4).collect()}
+    assert len(out) == 8
+    left = {out[i] for i in (1, 2, 3, 4)}
+    right = {out[i] for i in (10, 11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from agnes_spark.operators.graph import label_propagation
+
+    # node 2 sees labels {1, 3} equally often -> min label wins
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (2, 3)], "src long, dst long"
+    )
+    out = {r.id: r.community for r in label_propagation(df, max_iter=1).collect()}
+    assert out[2] == 1  # tie between 1 and 3 -> smallest

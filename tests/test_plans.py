@@ -199,6 +199,10 @@ AUDIT_BNLJ_ALLOWED = {
     "pmi_collocations_docs",  # 1-row corpus-N broadcast onto the candidate frame
     "dq_orders_report",  # 1-row n_rows broadcast onto the per-check rows
     "search_bm25_topk",  # 1-row corpus-stats broadcast onto matched postings
+    "spearman_qty_price",  # 1-row bounds broadcast onto the value grid (x2 rank frames)
+    "cusum_changepoint_revenue",  # 1-row totals + 1-row peak broadcast onto the daily frame
+    "feature_encode_orders",  # bounded category-stats broadcast (null-safe equality -> BNLJ form)
+    "abc_parts_classification",  # 1-row revenue-total broadcast onto the part frame
 }
 
 
@@ -235,6 +239,10 @@ AUDIT_SP_ALLOWED = {
     "merge_views",
     "sort_comparator",
     "unique_indices",
+    "spearman_qty_price",  # bucket-totals prefix sum (n_buckets=64 rows, x2 rank frames)
+    "cusum_changepoint_revenue",  # ordered cumsum over the bounded daily frame (calendar days)
+    "rolling_median_revenue",  # rolling frame median over the bounded daily frame
+    "abc_parts_classification",  # Pareto cumsum over the part-catalog frame (dimension-bounded)
 }
 
 
