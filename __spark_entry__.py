@@ -5735,6 +5735,62 @@ def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini over part revenues
+    (stats.gini_coefficient) — the inequality scalar behind the ABC
+    cut. The tied-safe closed form folds over the distinct-value grid
+    through decimal accumulators, so the numerator is engine-exact and
+    gini is ONE double division, hashed UNROUNDED (the
+    feature-encode/window-funcs precedent)."""
+    from agnes_spark.operators.stats import gini_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    g = gini_coefficient(rev, "rev_cents")
+    return g.select("n", "total", "gini")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase event credits the LAST
+    non-purchase event type the user produced before it ((ts,
+    event_id) total order; '<none>' when the purchase is the user's
+    first event) — the last-touch model every growth dashboard starts
+    from. One keyed window pass (ignore-nulls last over the preceding
+    frame) + one small aggregate; purchase values are exact cents."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        ev.withColumn("__touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("__touch"), F.lit("<none>")).alias("touch"),
+            F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        pur.groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("touch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -5839,6 +5895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_communities": labelprop_communities,
         "abc_parts_classification": abc_parts_classification,
         "top_paths_events": top_paths_events,
+        "gini_part_revenue": gini_part_revenue,
+        "attribution_last_touch": attribution_last_touch,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6591,6 +6649,33 @@ def oracle_sql() -> dict[str, str]:
             "AS path FROM r WHERE rn <= 3 GROUP BY user_id) "
             "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p "
             "GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 20"
+        ),
+        "gini_part_revenue": (
+            "WITH rev AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS v FROM lineitem GROUP BY l_partkey), "
+            "g AS (SELECT v, CAST(count(*) AS HUGEINT) AS t FROM rev GROUP BY v), "
+            "c AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g), "
+            "a AS (SELECT CAST(sum(t) AS BIGINT) AS n, "
+            "sum(CAST(v AS HUGEINT) * t) AS total, "
+            "sum(CAST(v AS HUGEINT) * (2 * t * cum + t * (t + 1))) AS rx2 FROM c) "
+            "SELECT n, CAST(total AS BIGINT) AS total, "
+            "CAST(rx2 - (CAST(n AS HUGEINT) + 1) * total AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini FROM a"
+        ),
+        "attribution_last_touch": (
+            "WITH t AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents, "
+            "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch "
+            "FROM events) "
+            "SELECT coalesce(touch, '<none>') AS touch, "
+            "CAST(count(*) AS BIGINT) AS n_purchases, "
+            "CAST(sum(cents) AS BIGINT) AS attributed_cents "
+            "FROM t WHERE event_type = 'purchase' "
+            "GROUP BY coalesce(touch, '<none>') ORDER BY touch"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -449,13 +449,14 @@ def mutual_information(
         )
     )
 
-def _doubled_ranks(df: DataFrame, value_col: str, n_buckets: int = 64) -> DataFrame:
-    """Per-distinct-value DOUBLED average tied rank: (v, r2) with
-    r2 = 2*cum_before + t + 1 (t = count at v), an exact integer for
-    any tie pattern — the substrate of spearman_corr. Same two-level
-    bucketed prefix sum as _pooled_value_counts (range buckets from a
-    1-row bounds agg, per-bucket offsets on the constant-size bucket
-    frame, within-bucket windows partition BY BUCKET), so no global
+def _value_counts_cum(df: DataFrame, value_col: str, n_buckets: int = 64) -> DataFrame:
+    """Per-distinct-value counts with EXCLUSIVE prefix sums:
+    (v, t, cum) where t = count at v and cum counts strictly-smaller
+    values — the single-column substrate under spearman_corr and
+    gini_coefficient. Same two-level bucketed prefix sum as
+    _pooled_value_counts (range buckets from a 1-row bounds agg,
+    per-bucket offsets on the constant-size bucket frame,
+    within-bucket windows partition BY BUCKET), so no global
     single-partition window at any scale."""
     per_v = (
         df.filter(F.col(value_col).isNotNull())
@@ -488,7 +489,59 @@ def _doubled_ranks(df: DataFrame, value_col: str, n_buckets: int = 64) -> DataFr
     )
     cum = F.col("off") + F.coalesce(F.sum("t").over(w_in), F.lit(0))
     return bucketed.join(F.broadcast(offs), "__bkt").select(
-        "v", (F.lit(2) * cum + F.col("t") + F.lit(1)).cast("long").alias("r2")
+        "v", "t", cum.cast("long").alias("cum")
+    )
+
+
+def _doubled_ranks(df: DataFrame, value_col: str, n_buckets: int = 64) -> DataFrame:
+    """Per-distinct-value DOUBLED average tied rank: (v, r2) with
+    r2 = 2*cum_before + t + 1 (t = count at v), an exact integer for
+    any tie pattern — the substrate of spearman_corr."""
+    vc = _value_counts_cum(df, value_col, n_buckets)
+    return vc.select(
+        "v",
+        (F.lit(2) * F.col("cum") + F.col("t") + F.lit(1)).cast("long").alias("r2"),
+    )
+
+
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini concentration coefficient of a nonnegative value column —
+    the inequality readout behind every revenue/usage concentration
+    dashboard. Returns ONE row (n, total, g_num, gini) with the
+    tied-safe closed form
+
+        G = (2*sum_i r_i x_i - (n+1)*sum x) / (n * sum x)
+
+    where r_i are 1..n ranks in sorted order (within a tie run every
+    permutation gives the same sum, so ties are harmless). The rank
+    sum folds over the DISTINCT-value grid:
+    sum_v v * (2*t*cum + t*(t+1)) — all exact integers through
+    decimal accumulators, so g_num = 2*sum(r x) - (n+1)*sum(x) is
+    engine-exact and gini is one double division. Scale shape: one
+    value-grid aggregate + the bucketed prefix sum + one global
+    aggregate; no global window, nothing driver-side."""
+    vc = _value_counts_cum(df, value_col)
+    vd = F.col("v").cast("decimal(19,0)")
+    td = F.col("t").cast("decimal(19,0)")
+    cd = F.col("cum").cast("decimal(19,0)")
+    agg = vc.agg(
+        F.sum(F.col("t")).cast("long").alias("n"),
+        F.sum(vd * td).cast("decimal(38,0)").alias("total"),
+        # 2 * sum_i r_i x_i over the tie run at v: v*(2*t*cum + t*(t+1))
+        F.sum(vd * (F.lit(2) * td * cd + td * (td + F.lit(1))))
+        .cast("decimal(38,0)")
+        .alias("rx2"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    g_num = F.col("rx2") - (nd + F.lit(1)) * F.col("total")
+    return agg.select(
+        "n",
+        F.col("total").cast("long").alias("total"),
+        g_num.cast("decimal(38,0)").alias("g_num"),
+        (
+            g_num.cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+        ).alias("gini"),
     )
 
 

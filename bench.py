@@ -180,6 +180,8 @@ EXTRA_QUERIES = [
     "labelprop_communities",
     "abc_parts_classification",
     "top_paths_events",
+    "gini_part_revenue",
+    "attribution_last_touch",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

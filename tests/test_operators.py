@@ -669,3 +669,23 @@ def test_apply_changelog_last_op_wins(spark):
     df = spark.createDataFrame(rows, "k long, v long, seq long, op string")
     out = {r.k: (r.v, r.op) for r in apply_changelog(df, ["k"], "seq").collect()}
     assert out == {1: (11, "U"), 2: (25, "I"), 3: (30, "I")}
+
+
+def test_gini_coefficient_known_values(spark):
+    from agnes_spark.operators.stats import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(i, 10) for i in range(8)], "k long, v long")
+    g = gini_coefficient(eq, "v").collect()[0]
+    assert g.n == 8 and g.total == 80
+    assert abs(g.gini) < 1e-15
+
+    # direct formula on an unequal, tied sample
+    vals = [1, 1, 2, 5, 5, 5, 20, 61]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "k long, v long")
+    got = gini_coefficient(df, "v").collect()[0]
+    s = sorted(vals)
+    n, tot = len(s), sum(s)
+    ref = (2 * sum((i + 1) * x for i, x in enumerate(s)) - (n + 1) * tot) / (n * tot)
+    assert got.n == n and got.total == tot
+    assert abs(got.gini - ref) < 1e-12

@@ -203,6 +203,7 @@ AUDIT_BNLJ_ALLOWED = {
     "cusum_changepoint_revenue",  # 1-row totals + 1-row peak broadcast onto the daily frame
     "feature_encode_orders",  # bounded category-stats broadcast (null-safe equality -> BNLJ form)
     "abc_parts_classification",  # 1-row revenue-total broadcast onto the part frame
+    "gini_part_revenue",  # 1-row bounds broadcast onto the value grid
 }
 
 
@@ -243,6 +244,7 @@ AUDIT_SP_ALLOWED = {
     "cusum_changepoint_revenue",  # ordered cumsum over the bounded daily frame (calendar days)
     "rolling_median_revenue",  # rolling frame median over the bounded daily frame
     "abc_parts_classification",  # Pareto cumsum over the part-catalog frame (dimension-bounded)
+    "gini_part_revenue",  # bucket-totals prefix sum (n_buckets=64 rows)
 }
 
 
