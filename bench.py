@@ -182,6 +182,7 @@ EXTRA_QUERIES = [
     "top_paths_events",
     "gini_part_revenue",
     "attribution_last_touch",
+    "stream_enrich_join",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -92,6 +92,24 @@ def main() -> None:
     print("cross-feature correlation (near 1.0 would mean redundancy):")
     corr.show()
 
+    # 4. categorical encodings (operators/encoding.py): frequency,
+    # leakage-free leave-one-out target mean, and fixed-list one-hot —
+    # one bounded category aggregate broadcast back, no extra scans
+    from agnes_spark.operators.encoding import (
+        frequency_encode,
+        one_hot_encode,
+        target_encode_loo,
+    )
+
+    cat = ev.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    enc = frequency_encode(cat, "event_type")
+    enc = target_encode_loo(enc, "event_type", "cents")
+    enc = one_hot_encode(enc, "event_type", ["purchase", "view"])
+    print("encoded categorical features (freq / LOO target mean / one-hot):")
+    enc.orderBy("event_id").show(5)
+
 
 if __name__ == "__main__":
     main()
