@@ -646,3 +646,42 @@ def pmi_collocations(
         .limit(int(k))
         .drop("__r")
     )
+
+
+def char_entropy(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy in nats —
+    the cheap gibberish/compressibility screen (near-zero entropy =
+    repeated filler; unusually high = binary noise in a text field).
+
+    Exact-integer core: with per-char counts n_c and length L,
+    H = ln(L) - (1/L) * sum_c n_c * ln(n_c); counts are exact, each
+    ln sees an integer argument (the lm_surprise round-6-stability
+    precedent), and the one cross-char double sum folds in CHAR order
+    (aggregate over sort_array — the ordered-sum convention), so H is
+    bit-deterministic. Scale shape: explode to (doc, char) — bounded
+    by corpus chars, same cost class as tokenization — then two
+    grouped aggregates keyed by doc; the per-doc collected list is
+    bounded by the alphabet (~100 entries), never by text length.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.length("ch") == 1)
+    per = chars.groupBy("id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    term = F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+    agg = per.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("ch"), term.alias("t")))),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("__fold"),
+    )
+    ld = F.col("n_chars").cast("double")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        (F.log(ld) - F.col("__fold") / ld).alias("entropy_nats"),
+    )

@@ -183,6 +183,7 @@ EXTRA_QUERIES = [
     "gini_part_revenue",
     "attribution_last_touch",
     "stream_enrich_join",
+    "char_entropy_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

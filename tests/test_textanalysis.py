@@ -284,3 +284,17 @@ def test_ngram_novelty_duplicate_doc_scores_zero(spark):
     assert got[1].novelty == 1.0
     assert got[2].novelty == 0.0 and got[2].n_grams == 3
     assert got[3].novelty == 1.0
+
+
+def test_char_entropy_known_distributions(spark):
+    import math
+
+    from agnes_spark.operators.textanalysis import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1].n_chars == 4 and abs(out[1].entropy_nats) < 1e-15
+    assert abs(out[2].entropy_nats - math.log(2)) < 1e-12
+    assert abs(out[3].entropy_nats - math.log(4)) < 1e-12
