@@ -304,20 +304,27 @@ def main() -> None:
             file=sys.stderr,
         )
     # raw per-run samples go to a SIDE FILE (r3 verdict: embedding them
-    # in the metric line made it unparseable by the driver's tail-capture)
+    # in the metric line made it unparseable by the driver's tail-capture).
+    # AGNES_BENCH_ONLY diagnostic runs must NOT clobber the full-run
+    # record — skip the write unless a side path is given explicitly.
     samples_path = os.environ.get(
         "AGNES_BENCH_SAMPLES",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
+        None
+        if only
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+        ),
     )
-    try:
-        with open(samples_path, "w") as f:
-            json.dump(
-                {"sf": sf, "runs": runs, "canary": canary, "samples": all_samples},
-                f,
-                indent=1,
-            )
-    except OSError as e:
-        print(f"bench: could not write BENCH_SAMPLES.json: {e}", file=sys.stderr)
+    if samples_path:
+        try:
+            with open(samples_path, "w") as f:
+                json.dump(
+                    {"sf": sf, "runs": runs, "canary": canary, "samples": all_samples},
+                    f,
+                    indent=1,
+                )
+        except OSError as e:
+            print(f"bench: could not write BENCH_SAMPLES.json: {e}", file=sys.stderr)
     # the FINAL stdout line is the one compact metric JSON the driver parses
     print(
         json.dumps(
