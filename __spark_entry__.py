@@ -5892,6 +5892,73 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators: EXTEND, WHERE,
+    AGGREGATE ... GROUP BY, ORDER BY) — the linear query dialect
+    (GoogleSQL pipes, VLDB'24) the engine exposes alongside classic
+    SELECT. Semantically identical to the classic form the oracle
+    runs; exact cents."""
+    _register_tpch_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> EXTEND CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |> WHERE o_orderkey % 3 = 0
+        |> AGGREGATE count(*) AS n, sum(cents) AS total_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, CAST(total_cents AS BIGINT) AS total_cents
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's two most expensive orders — the SQL-standard spelling
+    of top-N-per-group. Catalyst DECORRELATES the lateral into a
+    ranked window (no per-row re-execution — the plan is the same
+    class as topk_per_group), so the spelling scales like the window
+    form; DuckDB executes the identical query text shape natively.
+    Exact cents; every cut totally ordered."""
+    _register_tpch_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY cents DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey
+        """
+    )
+
+
+def pandas_udf_digitsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Python UDF parity: a vectorized pandas_udf
+    computes each order key's digit sum (pure integer math — no
+    float divergence possible), aggregated to a digit-sum histogram.
+    Proves the Arrow transfer path (the engine's sanctioned Python
+    escape hatch — never row-at-a-time) emits exactly what the
+    engines compute natively; the oracle folds the same digits with
+    list lambdas."""
+    # no pd.Series annotations: the module-level `from __future__ import
+    # annotations` turns them into strings pandas_udf cannot resolve —
+    # the returnType argument alone carries the signature
+    @F.pandas_udf("long")
+    def digit_sum(s):
+        return s.astype(str).map(lambda x: sum(int(c) for c in x))
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(digit_sum("o_orderkey").alias("dsum"))
+        .groupBy("dsum")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("dsum")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6000,6 +6067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": attribution_last_touch,
         "stream_enrich_join": stream_enrich_join,
         "char_entropy_docs": char_entropy_docs,
+        "sql_pipe_query": sql_pipe_query,
+        "lateral_join_topn": lateral_join_topn,
+        "pandas_udf_digitsum": pandas_udf_digitsum,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6804,6 +6874,27 @@ def oracle_sql() -> dict[str, str]:
             "round(ln(CAST(n_chars AS DOUBLE)) "
             "- fold / CAST(n_chars AS DOUBLE), 6) AS entropy_nats "
             "FROM a ORDER BY doc_id"
+        ),
+        "sql_pipe_query": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM orders WHERE o_orderkey % 3 = 0 "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "lateral_join_topn": (
+            "SELECT c.c_custkey, t.o_orderkey, t.cents FROM customer c, "
+            "LATERAL (SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "ORDER BY cents DESC, o_orderkey LIMIT 2) t "
+            "ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"
+        ),
+        "pandas_udf_digitsum": (
+            "WITH d AS (SELECT list_sum(list_transform("
+            "string_split(CAST(o_orderkey AS VARCHAR), ''), "
+            "x -> CAST(x AS BIGINT))) AS dsum FROM orders) "
+            "SELECT CAST(dsum AS BIGINT) AS dsum, "
+            "CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dsum ORDER BY dsum"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

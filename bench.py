@@ -184,6 +184,9 @@ EXTRA_QUERIES = [
     "attribution_last_touch",
     "stream_enrich_join",
     "char_entropy_docs",
+    "sql_pipe_query",
+    "lateral_join_topn",
+    "pandas_udf_digitsum",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
