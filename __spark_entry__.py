@@ -6025,11 +6025,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: move the new-in-r7 keys below to the front
-        # of the window, then the 7 remaining r3-latest keys
-        # (serialize_roundtrip .. rolling_7d_revenue), then fill the
-        # rest with the oldest-graded keys; verify list(queries())[49]
-        # programmatically after.
+        # r8 ROTATION NOTE: 41 new-in-r7 keys are staged below
+        # (dedup_spans .. pandas_udf_digitsum). The r8 window should
+        # be: slots 1-41 = these 41 (none has a driver row), slots
+        # 42-48 = the 7 remaining r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue — all already adjacent
+        # below), slots 49-50 = the 2 oldest r4-graded keys
+        # (csv_roundtrip, sort_comparator). Verify
+        # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
         "check_span_recall": check_span_recall,
