@@ -38,6 +38,18 @@ SHOWCASE = [
         "triangle_copurchase",
         "degree-oriented wedge join; shipdate filter pushed to the scan",
     ),
+    (
+        "cdc_orders_apply",
+        "keep-last-per-key in ONE shuffle: WindowGroupLimit prunes rank>1 map-side",
+    ),
+    (
+        "lateral_join_topn",
+        "correlated LATERAL + LIMIT decorrelated into a ranked keyed window",
+    ),
+    (
+        "link_prediction_copurchase",
+        "kNN-sparsified graph first; every join equi on a node id — no cartesian",
+    ),
 ]
 
 
