@@ -5959,6 +5959,31 @@ def pandas_udf_digitsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scaled_features_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (encoding.standardize + robust_scale): per-row
+    z-score and robust (median/IQR) scale of quantity within its
+    returnflag group. z derives from exact decimal sums + an
+    IEEE-correctly-rounded sqrt; the robust quantiles interpolate at
+    dyadic fractions over integers (exactly representable), so BOTH
+    scores hash UNROUNDED. Stats computed over the FULL groups, output
+    thinned to orderkey%5==0 to keep the hash frame bounded."""
+    from agnes_spark.operators.encoding import robust_scale, standardize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    sc = standardize(li, "qty", ["l_returnflag"])
+    sc = robust_scale(sc, "qty", ["l_returnflag"])
+    return (
+        sc.filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "qty", "qty_z", "qty_rs")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6025,14 +6050,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 41 new-in-r7 keys are staged below
-        # (dedup_spans .. pandas_udf_digitsum). The r8 window should
-        # be: slots 1-41 = these 41 (none has a driver row), slots
-        # 42-48 = the 7 remaining r3-latest keys (serialize_roundtrip
+        # r8 ROTATION NOTE: 42 new-in-r7 keys are staged below
+        # (dedup_spans .. scaled_features_lineitem). The r8 window
+        # should be: slots 1-42 = these 42 (none has a driver row),
+        # slots 43-49 = the 7 r3-latest keys (serialize_roundtrip
         # decontaminate pack_chunks train_test_split normalize_text
         # tfidf_top_terms rolling_7d_revenue — all already adjacent
-        # below), slots 49-50 = the 2 oldest r4-graded keys
-        # (csv_roundtrip, sort_comparator). Verify
+        # below), slot 50 = the oldest r4-graded key (csv_roundtrip).
+        # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
@@ -6074,6 +6099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pipe_query": sql_pipe_query,
         "lateral_join_topn": lateral_join_topn,
         "pandas_udf_digitsum": pandas_udf_digitsum,
+        "scaled_features_lineitem": scaled_features_lineitem,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6899,6 +6925,26 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(x AS BIGINT))) AS dsum FROM orders) "
             "SELECT CAST(dsum AS BIGINT) AS dsum, "
             "CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dsum ORDER BY dsum"
+        ),
+        "scaled_features_lineitem": (
+            "WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem), "
+            "s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(qty AS HUGEINT)) AS DOUBLE) AS sm, "
+            "CAST(sum(CAST(qty AS HUGEINT) * qty) AS DOUBLE) AS ss, "
+            "quantile_cont(qty, 0.25) AS q1, quantile_cont(qty, 0.5) AS q2, "
+            "quantile_cont(qty, 0.75) AS q3 FROM li GROUP BY l_returnflag) "
+            "SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag, li.qty, "
+            "CASE WHEN n > 1 AND (ss - CAST(n AS DOUBLE) * (sm / CAST(n AS "
+            "DOUBLE)) * (sm / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0) "
+            "> 0 THEN (CAST(qty AS DOUBLE) - sm / CAST(n AS DOUBLE)) "
+            "/ sqrt((ss - CAST(n AS DOUBLE) * (sm / CAST(n AS DOUBLE)) "
+            "* (sm / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) END "
+            "AS qty_z, "
+            "CASE WHEN q3 - q1 > 0 THEN "
+            "(CAST(qty AS DOUBLE) - q2) / (q3 - q1) END AS qty_rs "
+            "FROM li JOIN s ON li.l_returnflag = s.l_returnflag "
+            "WHERE li.l_orderkey % 5 = 0 ORDER BY li.l_orderkey, li.l_linenumber"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

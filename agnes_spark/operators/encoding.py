@@ -94,3 +94,78 @@ def one_hot_encode(
             F.when(F.col(col) == cat, F.lit(1)).otherwise(F.lit(0)),
         )
     return out
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add `<value_col>_z`: the z-score (x - mean)/stddev_samp within
+    the row's group (or globally with group_cols=None) — the standard
+    feature scaling before distance-based models. Integral inputs sum
+    through decimal accumulators (welch discipline), so mean and
+    variance derive from exact sums; sqrt is IEEE-correctly-rounded,
+    making the score bit-deterministic cross-engine. Groups need
+    n >= 2 and nonzero variance; otherwise NULL. One grouped
+    aggregate broadcast back — no window, no second scan."""
+    out = out_col or f"{value_col}_z"
+    t = F.col(value_col)
+    integral = dict(df.dtypes)[value_col] in {
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    }
+    acc = t.cast("decimal(19,0)") if integral else t.cast("double")
+    keys = list(group_cols) if group_cols else []
+    gb = df.filter(t.isNotNull())
+    stats = (gb.groupBy(*keys) if keys else gb.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(acc).cast("double").alias("__s"),
+        F.sum(acc * acc).cast("double").alias("__ss"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), keys, "left") if keys else df.crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s") / nd
+    var = (F.col("__ss") - nd * mean * mean) / (nd - F.lit(1.0))
+    z = (t.cast("double") - mean) / F.sqrt(var)
+    return joined.withColumn(
+        out, F.when(t.isNotNull() & (F.col("__n") > 1) & (var > 0), z)
+    ).drop("__n", "__s", "__ss")
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add `<value_col>_rs`: (x - median) / IQR within the row's group
+    — the outlier-immune scaler (sklearn RobustScaler semantics).
+    Exact percentiles with linear interpolation (Spark percentile ==
+    DuckDB quantile_cont); over integer inputs the quantile fractions
+    are dyadic (0/.25/.5/.75), so q1/q2/q3 are exactly representable
+    doubles and the scale is bit-deterministic. NULL when IQR == 0.
+    Same one-aggregate-broadcast shape as standardize."""
+    out = out_col or f"{value_col}_rs"
+    t = F.col(value_col)
+    keys = list(group_cols) if group_cols else []
+    gb = df.filter(t.isNotNull())
+    pcts = F.percentile(t, F.lit([0.25, 0.5, 0.75]))
+    stats = (gb.groupBy(*keys) if keys else gb.groupBy()).agg(
+        pcts.getItem(0).alias("__q1"),
+        pcts.getItem(1).alias("__q2"),
+        pcts.getItem(2).alias("__q3"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), keys, "left") if keys else df.crossJoin(F.broadcast(stats))
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    rs = (t.cast("double") - F.col("__q2")) / iqr
+    return joined.withColumn(
+        out, F.when(t.isNotNull() & (iqr > 0), rs)
+    ).drop("__q1", "__q2", "__q3")

@@ -187,6 +187,7 @@ EXTRA_QUERIES = [
     "sql_pipe_query",
     "lateral_join_topn",
     "pandas_udf_digitsum",
+    "scaled_features_lineitem",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -35,3 +35,32 @@ def test_one_hot_encode_fixed_categories(spark):
     out = one_hot_encode(df, "s", ["O", "F"]).collect()
     got = {r.s: (r.s_is_o, r.s_is_f) for r in out}
     assert got == {"O": (1, 0), "F": (0, 1), "X": (0, 0)}
+
+
+def test_standardize_matches_direct(spark):
+    import statistics
+
+    from agnes_spark.operators.encoding import standardize
+
+    vals = [10, 12, 14, 30, 5]
+    df = spark.createDataFrame([("g", v) for v in vals] + [("g", None)], "c string, y long")
+    out = standardize(df, "y", ["c"]).collect()
+    mean, sd = statistics.mean(vals), statistics.stdev(vals)
+    got = {r.y: r.y_z for r in out}
+    for v in vals:
+        assert abs(got[v] - (v - mean) / sd) < 1e-12
+    assert got[None] is None
+
+
+def test_robust_scale_matches_numpy_quantiles(spark):
+    import numpy as np
+
+    from agnes_spark.operators.encoding import robust_scale
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "y long")
+    out = robust_scale(df, "y").collect()
+    q1, q2, q3 = np.percentile(vals, [25, 50, 75])  # linear interpolation
+    got = {r.y: r.y_rs for r in out}
+    for v in vals:
+        assert abs(got[v] - (v - q2) / (q3 - q1)) < 1e-12
