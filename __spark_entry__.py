@@ -5984,6 +5984,30 @@ def scaled_features_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: hourly event counts
+    z-scored WITHIN their hour-of-day cohort (encoding.standardize
+    composed over the hourly aggregate), so a busy 9am is only
+    anomalous relative to other 9ams — the diurnal-aware screen
+    events_anomaly_zscore (global z) misses. Counts exact; z from
+    exact decimal sums + correctly-rounded sqrt, hashed UNROUNDED;
+    emits only |z| > 2.5 rows. The hourly frame is calendar-bounded, the
+    cohort aggregate is 24 rows broadcast back."""
+    from agnes_spark.operators.encoding import standardize
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hourly = hourly.withColumn("hod", F.hour("hour_ts").cast("int"))
+    z = standardize(hourly, "n", ["hod"], out_col="z")
+    return (
+        z.filter(F.abs(F.col("z")) > 2.5)
+        .select("hour_ts", "hod", "n", "z")
+        .orderBy("hour_ts")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6050,13 +6074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 42 new-in-r7 keys are staged below
-        # (dedup_spans .. scaled_features_lineitem). The r8 window
-        # should be: slots 1-42 = these 42 (none has a driver row),
-        # slots 43-49 = the 7 r3-latest keys (serialize_roundtrip
+        # r8 ROTATION NOTE: 43 new-in-r7 keys are staged below
+        # (dedup_spans .. seasonal_anomaly_hours). The r8 window
+        # should be: slots 1-43 = these 43 (none has a driver row),
+        # slots 44-50 = the 7 r3-latest keys (serialize_roundtrip
         # decontaminate pack_chunks train_test_split normalize_text
         # tfidf_top_terms rolling_7d_revenue — all already adjacent
-        # below), slot 50 = the oldest r4-graded key (csv_roundtrip).
+        # below). Next-oldest after that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6100,6 +6124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_join_topn": lateral_join_topn,
         "pandas_udf_digitsum": pandas_udf_digitsum,
         "scaled_features_lineitem": scaled_features_lineitem,
+        "seasonal_anomaly_hours": seasonal_anomaly_hours,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6945,6 +6970,27 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(qty AS DOUBLE) - q2) / (q3 - q1) END AS qty_rs "
             "FROM li JOIN s ON li.l_returnflag = s.l_returnflag "
             "WHERE li.l_orderkey % 5 = 0 ORDER BY li.l_orderkey, li.l_linenumber"
+        ),
+        "seasonal_anomaly_hours": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hour_ts, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "h2 AS (SELECT hour_ts, CAST(extract(hour FROM hour_ts) AS INT) "
+            "AS hod, n FROM h), "
+            "s AS (SELECT hod, CAST(count(*) AS BIGINT) AS cn, "
+            "CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS sm, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS ss "
+            "FROM h2 GROUP BY hod) "
+            "SELECT hour_ts, h2.hod, n, "
+            "(CAST(n AS DOUBLE) - sm / CAST(cn AS DOUBLE)) "
+            "/ sqrt((ss - CAST(cn AS DOUBLE) * (sm / CAST(cn AS DOUBLE)) "
+            "* (sm / CAST(cn AS DOUBLE))) / (CAST(cn AS DOUBLE) - 1.0)) AS z "
+            "FROM h2 JOIN s ON h2.hod = s.hod "
+            "WHERE cn > 1 AND (ss - CAST(cn AS DOUBLE) * (sm / CAST(cn AS "
+            "DOUBLE)) * (sm / CAST(cn AS DOUBLE))) / (CAST(cn AS DOUBLE) "
+            "- 1.0) > 0 AND abs((CAST(n AS DOUBLE) - sm / CAST(cn AS DOUBLE)) "
+            "/ sqrt((ss - CAST(cn AS DOUBLE) * (sm / CAST(cn AS DOUBLE)) "
+            "* (sm / CAST(cn AS DOUBLE))) / (CAST(cn AS DOUBLE) - 1.0))) > 2.5 "
+            "ORDER BY hour_ts"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -188,6 +188,7 @@ EXTRA_QUERIES = [
     "lateral_join_topn",
     "pandas_udf_digitsum",
     "scaled_features_lineitem",
+    "seasonal_anomaly_hours",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
