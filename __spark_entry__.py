@@ -6008,6 +6008,77 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline, ICDE'01) over the part catalog:
+    parts where no other part is both cheaper (price cents) and
+    larger (p_size) — the grid-prefix decomposition in
+    operators/skyline.py (bounded bucket agg + bounded prefix window
+    + keyed in-bucket windows; zero all-pairs work). Exact integer
+    dominance; the oracle reproduces the frontier with the
+    per-price-max + prefix-max formulation."""
+    from agnes_spark.operators.skyline import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return pareto_frontier_2d(
+        p, "price_cents", "p_size", bucket_width=1000
+    ).orderBy("price_cents", "p_partkey")
+
+
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius self-join (operators/spatial.py):
+    all customer pairs within Euclidean distance 1000 on a synthetic
+    integer plane derived arithmetically from c_custkey (LCG-style
+    mixing — engine-reproducible, no RNG). The half-plane cell join
+    shuffles 5x the points instead of comparing N^2; squared distance
+    stays integral so the radius test is exact. The oracle verifies
+    with a band join (DuckDB IEJoin) — same pairs, different
+    algorithm."""
+    from agnes_spark.operators.spatial import radius_pairs_grid
+
+    k = F.col("c_custkey")
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        # quadratic mixing: a pure-linear LCG puts points on a sparse
+        # lattice with no close pairs (verified: 0 pairs at sf0.01);
+        # the k^2 term scatters them uniformly (~350 pairs at sf0.01)
+        F.pmod(k * k + k * F.lit(48271), F.lit(100000)).alias("x"),
+        F.pmod(
+            k * k * F.lit(7) + k * F.lit(16807) + F.lit(12345), F.lit(100000)
+        ).alias("y"),
+    )
+    return radius_pairs_grid(pts, "id", "x", "y", 1000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split of orders (sampling.assign_folds:
+    pure integer LCG mix of the key — any engine reproduces it,
+    unlike rand(seed)) with per-fold row counts, exact cents revenue,
+    and distinct-customer counts — the cross-validation / sharded-
+    eval splitter every training pipeline needs. One stateless
+    projection + one grouped agg."""
+    from agnes_spark.operators.sampling import assign_folds
+
+    o = _t(spark, sf_dir, "orders")
+    folded = assign_folds(o, "o_orderkey", k=5)
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("fold")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6074,13 +6145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 43 new-in-r7 keys are staged below
-        # (dedup_spans .. seasonal_anomaly_hours). The r8 window
-        # should be: slots 1-43 = these 43 (none has a driver row),
-        # slots 44-50 = the 7 r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split normalize_text
-        # tfidf_top_terms rolling_7d_revenue — all already adjacent
-        # below). Next-oldest after that: csv_roundtrip (r4).
+        # r8 ROTATION NOTE: 46 new-in-r7 keys are staged below
+        # (dedup_spans .. kfold_orders). The r8 window should be:
+        # slots 1-46 = these 46 (none has a driver row), slots 47-50
+        # = the 4 oldest r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split — all already
+        # adjacent below); the remaining r3-latest keys
+        # (normalize_text tfidf_top_terms rolling_7d_revenue) head
+        # the r9 note. Next-oldest after that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6125,6 +6197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_udf_digitsum": pandas_udf_digitsum,
         "scaled_features_lineitem": scaled_features_lineitem,
         "seasonal_anomaly_hours": seasonal_anomaly_hours,
+        "pareto_frontier_parts": pareto_frontier_parts,
+        "spatial_radius_pairs": spatial_radius_pairs,
+        "kfold_orders": kfold_orders,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6991,6 +7066,42 @@ def oracle_sql() -> dict[str, str]:
             "/ sqrt((ss - CAST(cn AS DOUBLE) * (sm / CAST(cn AS DOUBLE)) "
             "* (sm / CAST(cn AS DOUBLE))) / (CAST(cn AS DOUBLE) - 1.0))) > 2.5 "
             "ORDER BY hour_ts"
+        ),
+        "pareto_frontier_parts": (
+            "WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100) "
+            "AS BIGINT) AS price_cents, p_size FROM part), "
+            "m AS (SELECT price_cents, max(p_size) AS meq FROM p "
+            "GROUP BY price_cents), "
+            "r AS (SELECT price_cents, meq, max(meq) OVER (ORDER BY "
+            "price_cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS mlt FROM m) "
+            "SELECT a.p_partkey, a.price_cents, a.p_size FROM p a "
+            "JOIN r ON a.price_cents = r.price_cents "
+            "WHERE (r.mlt IS NULL OR r.mlt < a.p_size) AND a.p_size = r.meq "
+            "ORDER BY a.price_cents, a.p_partkey"
+        ),
+        "spatial_radius_pairs": (
+            "WITH pts AS (SELECT c_custkey AS id, "
+            "(c_custkey * c_custkey + c_custkey * 48271) % 100000 AS x, "
+            "(c_custkey * c_custkey * 7 + c_custkey * 16807 + 12345) "
+            "% 100000 AS y FROM customer) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "AS BIGINT) AS dist2 "
+            "FROM pts a JOIN pts b ON a.id < b.id "
+            "AND b.x BETWEEN a.x - 1000 AND a.x + 1000 "
+            "AND b.y BETWEEN a.y - 1000 AND a.y + 1000 "
+            "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "<= 1000000 ORDER BY id_a, id_b"
+        ),
+        "kfold_orders": (
+            "WITH f AS (SELECT CAST(((o_orderkey % 2147483648) * 40503 + 7) "
+            "% 5 AS INT) AS fold, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT fold, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(cents) AS BIGINT) AS revenue_cents, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers "
+            "FROM f GROUP BY fold ORDER BY fold"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

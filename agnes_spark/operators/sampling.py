@@ -263,3 +263,24 @@ def domain_mixture_weights(
             (F.col("__pt") / F.col("__z")).alias("weight"),
         )
     )
+
+
+def assign_folds(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    mult: int = 40503,
+    inc: int = 7,
+) -> DataFrame:
+    """Add `fold`: a deterministic k-fold assignment from pure integer
+    arithmetic on `key_col` — the cross-validation / sharded-eval
+    splitter. pmod-before-multiply keeps the product inside int64 for
+    any key magnitude (the weighted_sample_aes overflow lesson), and
+    the LCG-style mix decorrelates fold from key order so folds are
+    size-balanced without any shuffle: one stateless projection,
+    reproducible by ANY engine that can multiply integers (unlike
+    rand(seed), whose stream is engine-private).
+    """
+    key = F.pmod(F.col(key_col).cast("long"), F.lit(_M31))
+    fold = F.pmod(key * F.lit(mult) + F.lit(inc), F.lit(int(k)))
+    return df.withColumn("fold", fold.cast("int"))

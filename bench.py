@@ -189,6 +189,9 @@ EXTRA_QUERIES = [
     "pandas_udf_digitsum",
     "scaled_features_lineitem",
     "seasonal_anomaly_hours",
+    "pareto_frontier_parts",
+    "spatial_radius_pairs",
+    "kfold_orders",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

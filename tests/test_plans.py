@@ -245,6 +245,7 @@ AUDIT_SP_ALLOWED = {
     "rolling_median_revenue",  # rolling frame median over the bounded daily frame
     "abc_parts_classification",  # Pareto cumsum over the part-catalog frame (dimension-bounded)
     "gini_part_revenue",  # bucket-totals prefix sum (n_buckets=64 rows)
+    "pareto_frontier_parts",  # skyline prefix-max over the bounded bucket frame (value_range/width rows)
 }
 
 
