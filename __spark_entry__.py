@@ -6079,6 +6079,58 @@ def kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd, k=4, 3 fixed rounds) over the embeddings table
+    via operators/clustering.py — bit-deterministic by construction:
+    integer-quantized vectors (exact order-free sums), centroids as
+    one exact division each, distances folded in dimension order,
+    ties by cluster index, k-smallest-id init (no RNG). Output per
+    cluster: size, the exact integer grand total of quantized
+    components, and the within-cluster sum of squares (per-dim
+    ssq - s^2/n from exact integers, folded in dimension order).
+    The oracle replays the identical 3 rounds as unrolled
+    MATERIALIZED CTEs (the pagerank fixed-round pattern)."""
+    from agnes_spark.operators.clustering import kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(e, "vec_id", "embedding", k=4, rounds=3, scale=1000)
+    dimstats = (
+        asg.select("cluster", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ssq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    term = F.col("ssq").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n").cast("double")
+    inert = (
+        dimstats.withColumn("term", term)
+        .groupBy("cluster")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda st: st.getField("term"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("inertia")
+        )
+    )
+    sizes = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.aggregate("q", F.lit(0).cast("long"), lambda a, b: a + b)
+        )
+        .cast("long")
+        .alias("sum_q"),
+    )
+    return sizes.join(inert, "cluster").orderBy("cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6145,13 +6197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 46 new-in-r7 keys are staged below
-        # (dedup_spans .. kfold_orders). The r8 window should be:
-        # slots 1-46 = these 46 (none has a driver row), slots 47-50
-        # = the 4 oldest r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split — all already
-        # adjacent below); the remaining r3-latest keys
-        # (normalize_text tfidf_top_terms rolling_7d_revenue) head
+        # r8 ROTATION NOTE: 47 new-in-r7 keys are staged below
+        # (dedup_spans .. kmeans_embeddings). The r8 window should
+        # be: slots 1-47 = these 47 (none has a driver row), slots
+        # 48-50 = the 3 oldest r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks — all already adjacent below);
+        # the remaining r3-latest keys (train_test_split
+        # normalize_text tfidf_top_terms rolling_7d_revenue) head
         # the r9 note. Next-oldest after that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
@@ -6200,6 +6252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier_parts": pareto_frontier_parts,
         "spatial_radius_pairs": spatial_radius_pairs,
         "kfold_orders": kfold_orders,
+        "kmeans_embeddings": kmeans_embeddings,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7102,6 +7155,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(cents) AS BIGINT) AS revenue_cents, "
             "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers "
             "FROM f GROUP BY fold ORDER BY fold"
+        ),
+        # fixed-round Lloyd unrolled as MATERIALIZED CTEs (the
+        # pagerank pattern): a_r assigns against c_{r-1}, c_r is the
+        # exact-integer mean. Every FP op mirrors the Spark side
+        # token-for-token (dimension-order folds, one division per
+        # centroid coordinate), so the run is bit-identical.
+        "kmeans_embeddings": (
+            "WITH e AS MATERIALIZED (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+            "* 1000) AS BIGINT)) AS q FROM embeddings), "
+            "pos AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i), "
+            "c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY id) "
+            "- 1 AS INT) AS c, list_transform(q, v -> CAST(v AS DOUBLE)) AS cv "
+            "FROM (SELECT id, q FROM e ORDER BY id LIMIT 4)), "
+            "a1 AS MATERIALIZED (SELECT id, q, "
+            "struct_extract(min(struct_pack(d := dist, c := c)), 'c') AS cluster "
+            "FROM (SELECT e.id, e.q, c0.c, list_reduce(list_transform("
+            "range(1, 65), i -> (CAST(q[i] AS DOUBLE) - cv[i]) * "
+            "(CAST(q[i] AS DOUBLE) - cv[i])), (acc, x) -> acc + x) AS dist "
+            "FROM e CROSS JOIN c0) GROUP BY id, q), "
+            "c1 AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM "
+            "(SELECT cluster AS c, i, CAST(sum(q[i]) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS m FROM a1 CROSS JOIN pos "
+            "GROUP BY cluster, i) GROUP BY c), "
+            "a2 AS MATERIALIZED (SELECT id, q, "
+            "struct_extract(min(struct_pack(d := dist, c := c)), 'c') AS cluster "
+            "FROM (SELECT e.id, e.q, c1.c, list_reduce(list_transform("
+            "range(1, 65), i -> (CAST(q[i] AS DOUBLE) - cv[i]) * "
+            "(CAST(q[i] AS DOUBLE) - cv[i])), (acc, x) -> acc + x) AS dist "
+            "FROM e CROSS JOIN c1) GROUP BY id, q), "
+            "c2 AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM "
+            "(SELECT cluster AS c, i, CAST(sum(q[i]) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS m FROM a2 CROSS JOIN pos "
+            "GROUP BY cluster, i) GROUP BY c), "
+            "a3 AS MATERIALIZED (SELECT id, q, "
+            "struct_extract(min(struct_pack(d := dist, c := c)), 'c') AS cluster "
+            "FROM (SELECT e.id, e.q, c2.c, list_reduce(list_transform("
+            "range(1, 65), i -> (CAST(q[i] AS DOUBLE) - cv[i]) * "
+            "(CAST(q[i] AS DOUBLE) - cv[i])), (acc, x) -> acc + x) AS dist "
+            "FROM e CROSS JOIN c2) GROUP BY id, q), "
+            "dim AS MATERIALIZED (SELECT cluster, i, "
+            "CAST(sum(q[i] * q[i]) AS DOUBLE) AS ssq, "
+            "CAST(sum(q[i]) AS DOUBLE) AS s, CAST(count(*) AS DOUBLE) AS n "
+            "FROM a3 CROSS JOIN pos GROUP BY cluster, i), "
+            "inert AS (SELECT cluster, list_reduce(list(ssq - s * s / n "
+            "ORDER BY i), (a, b) -> a + b) AS inertia FROM dim "
+            "GROUP BY cluster), "
+            "sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(list_reduce(q, (a, b) -> a + b)) AS BIGINT) AS sum_q "
+            "FROM a3 GROUP BY cluster) "
+            "SELECT CAST(sz.cluster AS INT) AS cluster, sz.n, sz.sum_q, "
+            "inert.inertia FROM sz JOIN inert ON sz.cluster = inert.cluster "
+            "ORDER BY cluster"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -192,6 +192,7 @@ EXTRA_QUERIES = [
     "pareto_frontier_parts",
     "spatial_radius_pairs",
     "kfold_orders",
+    "kmeans_embeddings",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
