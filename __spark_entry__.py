@@ -6131,6 +6131,77 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(inert, "cluster").orderBy("cluster")
 
 
+def itemitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering (Sarwar WWW'01) over order
+    baskets: each part's top-3 most co-purchased neighbors by binary
+    cosine c/sqrt(d_a*d_b), >= 2 shared orders (operators/recsys.py).
+    Pair generation is the one-shuffle within_group_pairs expansion
+    (bounded by basket size squared, never catalog squared); the
+    score is one division + one sqrt over exact integers, ties break
+    by neighbor id — deterministic, hashed unrounded."""
+    from agnes_spark.operators.recsys import itemitem_cosine
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return itemitem_cosine(
+        li, "l_orderkey", "l_partkey", min_common=2, topk=3
+    ).orderBy("p", "q")
+
+
+def ols_multi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS (stats.ols_two_features): extendedprice
+    cents ~ quantity + discount-pct, the multiple-regression upgrade
+    of ols_slope. Normal equations accumulate as exact integers in
+    one map-combined pass; Cramer's determinants are fixed double
+    expression trees mirrored token-for-token in the oracle —
+    bit-deterministic, hashed unrounded."""
+    from agnes_spark.operators.stats import ols_two_features
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ycents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return ols_two_features(li, "ycents", "qty", "disc")
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (stats.kaplan_meier) for
+    time-to-first-purchase: duration = whole hours from a user's
+    first event to their first 'purchase'; users who never purchase
+    are right-censored at their last event. Survival analysis is the
+    principled form of conversion curves — censored users stay in
+    the at-risk set instead of being dropped. Durations use epoch-
+    second arithmetic (floored seconds, floored hour quotient) so
+    both engines bucket identically; risk/event counts are exact
+    integers and the product-limit factors fold in duration order
+    (bit-deterministic, hashed unrounded); every window/broadcast
+    rides the bounded distinct-duration frame."""
+    from agnes_spark.operators.stats import kaplan_meier
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("mn"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("fp"),
+            F.max("ts").alias("mx"),
+        )
+    )
+    end = F.coalesce(F.col("fp"), F.col("mx"))
+    hours = F.floor(
+        (F.unix_timestamp(end) - F.unix_timestamp(F.col("mn"))) / F.lit(3600)
+    )
+    labeled = per.select(
+        hours.alias("dur"),
+        F.when(F.col("fp").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("event"),
+    )
+    return kaplan_meier(labeled, "dur", "event")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6197,14 +6268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 47 new-in-r7 keys are staged below
-        # (dedup_spans .. kmeans_embeddings). The r8 window should
-        # be: slots 1-47 = these 47 (none has a driver row), slots
-        # 48-50 = the 3 oldest r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks — all already adjacent below);
-        # the remaining r3-latest keys (train_test_split
-        # normalize_text tfidf_top_terms rolling_7d_revenue) head
-        # the r9 note. Next-oldest after that: csv_roundtrip (r4).
+        # r8 ROTATION NOTE: 49 new-in-r7 keys are staged below
+        # (dedup_spans .. kaplan_meier_churn), none with a driver
+        # row. The r8 window = these 49 in slots 1-49 + the oldest
+        # r3-latest key (serialize_roundtrip, already adjacent) in
+        # slot 50. The remaining r3-latest keys (decontaminate
+        # pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue) head the r9 note;
+        # next-oldest after that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6253,6 +6324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_radius_pairs": spatial_radius_pairs,
         "kfold_orders": kfold_orders,
         "kmeans_embeddings": kmeans_embeddings,
+        "itemitem_parts": itemitem_parts,
+        "ols_multi_lineitem": ols_multi_lineitem,
+        "kaplan_meier_churn": kaplan_meier_churn,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7208,6 +7282,79 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sz.cluster AS INT) AS cluster, sz.n, sz.sum_q, "
             "inert.inertia FROM sz JOIN inert ON sz.cluster = inert.cluster "
             "ORDER BY cluster"
+        ),
+        "itemitem_parts": (
+            "WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM bp "
+            "GROUP BY p), "
+            "pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) "
+            "AS c FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY a.p, b.p HAVING count(*) >= 2), "
+            "sym AS (SELECT pa AS p, pb AS q, c FROM pr "
+            "UNION ALL SELECT pb AS p, pa AS q, c FROM pr), "
+            "sc AS (SELECT s.p, s.q, s.c, CAST(s.c AS DOUBLE) / "
+            "sqrt(CAST(d1.d * d2.d AS DOUBLE)) AS sim FROM sym s "
+            "JOIN deg d1 ON s.p = d1.p JOIN deg d2 ON s.q = d2.p), "
+            "r AS (SELECT p, q, c, sim, row_number() OVER (PARTITION BY p "
+            "ORDER BY sim DESC, q) AS rn FROM sc) "
+            "SELECT p, q, c AS common, sim FROM r WHERE rn <= 3 "
+            "ORDER BY p, q"
+        ),
+        # Cramer determinants mirror stats.ols_two_features
+        # token-for-token (same literal expression trees over the
+        # same exact-integer sums) -> bit-identical coefficients.
+        "ols_multi_lineitem": (
+            "WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "AS y, CAST(round(l_quantity) AS BIGINT) AS x1, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS x2 FROM lineitem), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS sx1, "
+            "CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS sx2, "
+            "CAST(sum(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS sx11, "
+            "CAST(sum(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS sx12, "
+            "CAST(sum(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS sx22, "
+            "CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, "
+            "CAST(sum(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS sx1y, "
+            "CAST(sum(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS sx2y "
+            "FROM b WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS "
+            "NOT NULL) "
+            "SELECT n, "
+            "(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 "
+            "* sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)) / (CAST(n AS "
+            "DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - "
+            "sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b0, "
+            "(CAST(n AS DOUBLE) * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 "
+            "* sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)) / "
+            "(CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 "
+            "* sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b1, "
+            "(CAST(n AS DOUBLE) * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 "
+            "* sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)) / "
+            "(CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 "
+            "* sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b2 "
+            "FROM s"
+        ),
+        # factors at censor-only durations are exactly 1.0 (bit-exact
+        # no-op), so both engines fold the SAME full factor list.
+        "kaplan_meier_churn": (
+            "WITH per AS (SELECT user_id, min(ts) AS mn, "
+            "min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp, "
+            "max(ts) AS mx FROM events GROUP BY user_id), "
+            "lab AS (SELECT CAST(floor((floor(epoch(coalesce(fp, mx))) - "
+            "floor(epoch(mn))) / 3600) AS BIGINT) AS t, "
+            "CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS e FROM per), "
+            "g AS (SELECT CAST(t AS BIGINT) AS t, CAST(sum(e) AS BIGINT) "
+            "AS d, CAST(count(*) AS BIGINT) AS tot FROM lab GROUP BY t), "
+            "r AS (SELECT t, d, tot, CAST(sum(tot) OVER (ORDER BY t DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS n FROM g), "
+            "f AS (SELECT t, d, n, CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) AS f, row_number() OVER (ORDER BY t) AS rn "
+            "FROM r), "
+            "l AS (SELECT list(f ORDER BY t) AS fl FROM f) "
+            "SELECT t, n AS n_risk, d AS n_events, "
+            "list_reduce(fl[1:rn], (a, b) -> a * b) AS survival "
+            "FROM f CROSS JOIN l WHERE d > 0 ORDER BY t"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -650,3 +650,126 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         ssw.alias("ss_within"),
         ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
     )
+
+
+def ols_two_features(
+    df: DataFrame, y_col: str, x1_col: str, x2_col: str
+) -> DataFrame:
+    """Two-predictor ordinary least squares y ~ b0 + b1*x1 + b2*x2,
+    solved in closed form: the 3x3 normal equations accumulate as
+    EXACT integers (decimal(38,0) sums of integral inputs — the welch
+    discipline), then Cramer's rule evaluates four determinants as
+    FIXED double expression trees mirrored token-for-token by the
+    oracle, so the coefficients are bit-deterministic cross-engine.
+    Inputs must be integral columns (quantize upstream). One
+    map-combined aggregate to a single row; no joins, no windows.
+    Returns (n, b0, b1, b2)."""
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    dec = "decimal(38,0)"
+    s = df.filter(
+        y.isNotNull() & x1.isNotNull() & x2.isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1.cast(dec)).cast("double").alias("sx1"),
+        F.sum(x2.cast(dec)).cast("double").alias("sx2"),
+        F.sum((x1 * x1).cast(dec)).cast("double").alias("sx11"),
+        F.sum((x1 * x2).cast(dec)).cast("double").alias("sx12"),
+        F.sum((x2 * x2).cast(dec)).cast("double").alias("sx22"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x1 * y).cast(dec)).cast("double").alias("sx1y"),
+        F.sum((x2 * y).cast(dec)).cast("double").alias("sx2y"),
+    )
+    n = F.col("n").cast("double")
+    sx1, sx2 = F.col("sx1"), F.col("sx2")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    d0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    d1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    d2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    return s.select(
+        "n",
+        (d0 / det).alias("b0"),
+        (d1 / det).alias("b1"),
+        (d2 / det).alias("b2"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, event) pairs
+    (event=1: observed failure; event=0: right-censored). Returns one
+    row per distinct duration with at least one observed failure:
+    (t, n_risk, n_events, survival) where survival is the product-
+    limit estimate S(t) = prod_{u<=t} (1 - d_u / n_u).
+
+    Determinism: d_u and the at-risk suffix counts n_u are exact
+    integers; each factor is one double division; the running product
+    folds left over the duration-ordered factor list (factors at
+    censor-only times are exactly 1.0, a bit-exact no-op, so both
+    engines can fold the SAME full list). The duration frame is
+    bounded by the distinct-duration count (calendar-scale), so the
+    ordered window and the 1-row factor-list broadcast are bounded-
+    frame operations, never data-sized."""
+    t = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per = df.filter(t.isNotNull()).groupBy(t.alias("t")).agg(
+        F.sum(e).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    w_at_risk = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.withColumn("n", F.sum("tot").over(w_at_risk))
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast(
+        "double"
+    )
+    w_rn = Window.orderBy("t")
+    rows = risk.withColumn("f", factor).withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    fl = rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "f"))),
+            lambda st: st.getField("f"),
+        ).alias("fl")
+    )
+    return (
+        rows.crossJoin(F.broadcast(fl))
+        .withColumn(
+            "survival",
+            F.aggregate(
+                F.slice("fl", 1, F.col("rn")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+        .orderBy("t")
+    )

@@ -193,6 +193,9 @@ EXTRA_QUERIES = [
     "spatial_radius_pairs",
     "kfold_orders",
     "kmeans_embeddings",
+    "itemitem_parts",
+    "ols_multi_lineitem",
+    "kaplan_meier_churn",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

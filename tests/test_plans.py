@@ -204,6 +204,7 @@ AUDIT_BNLJ_ALLOWED = {
     "feature_encode_orders",  # bounded category-stats broadcast (null-safe equality -> BNLJ form)
     "abc_parts_classification",  # 1-row revenue-total broadcast onto the part frame
     "gini_part_revenue",  # 1-row bounds broadcast onto the value grid
+    "kaplan_meier_churn",  # 1-row factor-list broadcast onto the bounded duration frame
 }
 
 
@@ -246,6 +247,7 @@ AUDIT_SP_ALLOWED = {
     "abc_parts_classification",  # Pareto cumsum over the part-catalog frame (dimension-bounded)
     "gini_part_revenue",  # bucket-totals prefix sum (n_buckets=64 rows)
     "pareto_frontier_parts",  # skyline prefix-max over the bounded bucket frame (value_range/width rows)
+    "kaplan_meier_churn",  # at-risk suffix sum + rank over the bounded distinct-duration frame
 }
 
 
