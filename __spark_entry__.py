@@ -6202,6 +6202,49 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(labeled, "dur", "event")
 
 
+def decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART induction step (trees.decision_stump): the single best
+    "totalprice-cents <= v" split separating URGENT orders from the
+    rest by weighted Gini impurity, candidates at every distinct
+    value priced via the two-level bucketed prefix sum (no global
+    window over the data-sized value frame). Impurity terms are
+    divisions of exact integer counts; argmin ties break by split
+    value — bit-deterministic, hashed unrounded."""
+    from agnes_spark.operators.trees import decision_stump
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("int")
+        .alias("urgent"),
+    )
+    return decision_stump(o, "cents", "urgent")
+
+
+def holt_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (timeseries.holt_smoothing,
+    alpha=0.3 beta=0.2) over the daily revenue series: per day the
+    running level and linear trend — the trend-aware upgrade of
+    ewma_daily_revenue. The recursion folds left over the
+    day-ordered list with the first point as initial state (level =
+    y1, trend = 0), each step a fixed double expression mirrored
+    token-for-token in the oracle — bit-deterministic, hashed
+    unrounded; the O(days^2) prefix folds and the 1-row list
+    broadcast ride the calendar-bounded daily frame."""
+    from agnes_spark.operators.timeseries import holt_smoothing
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return holt_smoothing(daily, "day", "cents", alpha=0.3, beta=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6268,14 +6311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 49 new-in-r7 keys are staged below
-        # (dedup_spans .. kaplan_meier_churn), none with a driver
-        # row. The r8 window = these 49 in slots 1-49 + the oldest
-        # r3-latest key (serialize_roundtrip, already adjacent) in
-        # slot 50. The remaining r3-latest keys (decontaminate
-        # pack_chunks train_test_split normalize_text
-        # tfidf_top_terms rolling_7d_revenue) head the r9 note;
-        # next-oldest after that: csv_roundtrip (r4).
+        # r8 ROTATION NOTE: 51 new-in-r7 keys are staged below
+        # (dedup_spans .. holt_trend_revenue), none with a driver
+        # row. The r8 window = the FIRST 50 of these 51;
+        # holt_trend_revenue (slot 51) heads the r9 note together
+        # with the 7 r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue); next-oldest after
+        # that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6327,6 +6370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemitem_parts": itemitem_parts,
         "ols_multi_lineitem": ols_multi_lineitem,
         "kaplan_meier_churn": kaplan_meier_churn,
+        "decision_stump_orders": decision_stump_orders,
+        "holt_trend_revenue": holt_trend_revenue,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7355,6 +7400,64 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t, n AS n_risk, d AS n_events, "
             "list_reduce(fl[1:rn], (a, b) -> a * b) AS survival "
             "FROM f CROSS JOIN l WHERE d > 0 ORDER BY t"
+        ),
+        # gini terms and the (g, v, ...) argmin struct mirror
+        # trees.decision_stump token-for-token.
+        "decision_stump_orders": (
+            "WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS v, CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 "
+            "END AS y FROM orders), "
+            "pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t, "
+            "CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY v), "
+            "tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn, "
+            "CAST(sum(p) AS BIGINT) AS pp FROM pv), "
+            "c AS (SELECT v, CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl, "
+            "CAST(sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS pl FROM pv), "
+            "g AS (SELECT v, nl, pl, nn, pp, "
+            "(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(1.0 AS "
+            "DOUBLE) - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) * "
+            "(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) - ((CAST(nl AS "
+            "DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS DOUBLE)) * "
+            "((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS "
+            "DOUBLE))) + (CAST(nn - nl AS DOUBLE) / CAST(nn AS DOUBLE)) * "
+            "(CAST(1.0 AS DOUBLE) - (CAST(pp - pl AS DOUBLE) / CAST(nn - "
+            "nl AS DOUBLE)) * (CAST(pp - pl AS DOUBLE) / CAST(nn - nl AS "
+            "DOUBLE)) - ((CAST(nn - nl AS DOUBLE) - CAST(pp - pl AS "
+            "DOUBLE)) / CAST(nn - nl AS DOUBLE)) * ((CAST(nn - nl AS "
+            "DOUBLE) - CAST(pp - pl AS DOUBLE)) / CAST(nn - nl AS "
+            "DOUBLE))) AS gini "
+            "FROM c CROSS JOIN tot WHERE nl < nn), "
+            "m AS (SELECT min(struct_pack(g := gini, v := v, nl := nl, "
+            "pl := pl, nr := nn - nl, pr := pp - pl)) AS s FROM g) "
+            "SELECT struct_extract(s, 'v') AS split_value, "
+            "struct_extract(s, 'g') AS gini, "
+            "struct_extract(s, 'nl') AS n_left, "
+            "struct_extract(s, 'pl') AS pos_left, "
+            "struct_extract(s, 'nr') AS n_right, "
+            "struct_extract(s, 'pr') AS pos_right FROM m"
+        ),
+        # day-by-day WITH RECURSIVE replay (the pagerank fixed-round
+        # precedent; NOT list_reduce — DuckDB 1.0 struct-lambda folds
+        # bind later struct fields to already-updated accumulator
+        # fields, probed 2026-08-15). l' is written out twice in the
+        # trend term, mirroring the Spark fold token-for-token.
+        "holt_trend_revenue": (
+            "WITH RECURSIVE d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS "
+            "BIGINT) AS cents FROM orders GROUP BY 1), "
+            "r AS (SELECT day, cents, row_number() OVER (ORDER BY day) "
+            "AS rn FROM d), "
+            "rec AS (SELECT rn, day, cents, CAST(cents AS DOUBLE) AS "
+            "level, CAST(0.0 AS DOUBLE) AS trend FROM r WHERE rn = 1 "
+            "UNION ALL SELECT r.rn, r.day, r.cents, "
+            "0.3 * CAST(r.cents AS DOUBLE) + 0.7 * (rec.level + "
+            "rec.trend) AS level, "
+            "0.2 * (0.3 * CAST(r.cents AS DOUBLE) + 0.7 * (rec.level + "
+            "rec.trend) - rec.level) + 0.8 * rec.trend AS trend "
+            "FROM rec JOIN r ON r.rn = rec.rn + 1) "
+            "SELECT day, cents, level, trend FROM rec ORDER BY day"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

@@ -99,3 +99,81 @@ def cusum_profile(
         .withColumn("is_peak", F.abs(F.col("s_num")) == F.col("__pk"))
         .drop("__pk")
     )
+
+
+def holt_smoothing(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) over
+    an already-aggregated, calendar-bounded series: one output row
+    per input row with the running `level` and `trend` after
+    consuming that observation. Init convention: the first point
+    seeds level = y_1, trend = 0.
+
+    Determinism: the recursion folds left over the time-ordered
+    observation list with the FIRST ELEMENT AS the initial
+    accumulator (mirroring engines whose list_reduce has no init
+    slot), every step a fixed double expression over the same
+    literals — bit-identical anywhere. The per-row prefix fold is
+    O(n^2) in the series length, which is bounded (calendar days),
+    never data-sized; the 1-row observation-list broadcast rides the
+    same bounded frame. Inputs should be integral (quantize
+    upstream) so observations are exact."""
+    a, b1 = float(alpha), float(beta)
+    obs = F.struct(
+        F.col(value_col).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    w_rn = Window.orderBy(time_col)
+    rows = series.withColumn("__obs", obs).withColumn(
+        "__rn", F.row_number().over(w_rn)
+    )
+    fl = rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(time_col), F.col("__obs")))),
+            lambda st: st.getField("__obs"),
+        ).alias("__fl")
+    )
+    # step: l' = a*y + (1-a)*(l + b); b' = beta*(l' - l) + (1-beta)*b.
+    # l' is written out twice (no let-binding in either lambda
+    # dialect) — identical subexpressions, identical bits.
+    def _step(acc, x):
+        lp = (
+            F.lit(a) * x.getField("y")
+            + F.lit(1.0 - a) * (acc.getField("l") + acc.getField("b"))
+        )
+        return F.struct(
+            lp.alias("l"),
+            (
+                F.lit(b1)
+                * (
+                    F.lit(a) * x.getField("y")
+                    + F.lit(1.0 - a) * (acc.getField("l") + acc.getField("b"))
+                    - acc.getField("l")
+                )
+                + F.lit(1.0 - b1) * acc.getField("b")
+            ).alias("b"),
+            x.getField("y").alias("y"),
+        )
+
+    state = F.aggregate(
+        F.slice("__fl", 2, F.col("__rn") - 1),
+        F.element_at("__fl", 1),
+        _step,
+    )
+    return (
+        rows.crossJoin(F.broadcast(fl))
+        .withColumn("__st", state)
+        .select(
+            F.col(time_col),
+            F.col(value_col),
+            F.col("__st.l").alias("level"),
+            F.col("__st.b").alias("trend"),
+        )
+        .orderBy(time_col)
+    )

@@ -196,6 +196,8 @@ EXTRA_QUERIES = [
     "itemitem_parts",
     "ols_multi_lineitem",
     "kaplan_meier_churn",
+    "decision_stump_orders",
+    "holt_trend_revenue",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

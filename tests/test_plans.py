@@ -205,6 +205,8 @@ AUDIT_BNLJ_ALLOWED = {
     "abc_parts_classification",  # 1-row revenue-total broadcast onto the part frame
     "gini_part_revenue",  # 1-row bounds broadcast onto the value grid
     "kaplan_meier_churn",  # 1-row factor-list broadcast onto the bounded duration frame
+    "decision_stump_orders",  # 1-row bounds/totals broadcasts onto the value frame
+    "holt_trend_revenue",  # 1-row observation-list broadcast onto the bounded daily frame
 }
 
 
@@ -248,6 +250,8 @@ AUDIT_SP_ALLOWED = {
     "gini_part_revenue",  # bucket-totals prefix sum (n_buckets=64 rows)
     "pareto_frontier_parts",  # skyline prefix-max over the bounded bucket frame (value_range/width rows)
     "kaplan_meier_churn",  # at-risk suffix sum + rank over the bounded distinct-duration frame
+    "decision_stump_orders",  # bucket-offset prefix sum over the constant-size bucket frame
+    "holt_trend_revenue",  # rank + list fold over the calendar-bounded daily frame
 }
 
 
