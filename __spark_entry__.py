@@ -6245,6 +6245,46 @@ def holt_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_smoothing(daily, "day", "cents", alpha=0.3, beta=0.2)
 
 
+def nb_top_tokens_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes trainer (classify.naive_bayes_top_
+    tokens): each language's 5 most discriminative tokens by
+    Laplace-smoothed lift P(t|c)/P(t). Exact-integer counts, single
+    divisions, ZERO logs (no libm divergence surface) — the whole
+    model is bit-deterministic; one explode + three grouped aggs."""
+    from agnes_spark.operators.classify import naive_bayes_top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return naive_bayes_top_tokens(docs, "lang", "text", top=5, min_count=3)
+
+
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 5% trimmed mean of extendedprice cents
+    (stats.trimmed_mean) — the robust location estimate between mean
+    and median. Kept-counts are integer interval arithmetic over the
+    two-level bucketed prefix frame; the kept sum is exact; ONE
+    final division — bit-deterministic, hashed unrounded."""
+    from agnes_spark.operators.stats import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return trimmed_mean(li, "cents", trim_pct=5)
+
+
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a -> b over order baskets (recsys.
+    association_rules, VLDB'94 semantics at pair length): global
+    top-20 by lift with support and confidence, >= 2 shared orders.
+    Same one-shuffle pair expansion as itemitem_parts; scores are
+    fixed expressions over exact integers — deterministic."""
+    from agnes_spark.operators.recsys import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_common=2, top=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6311,12 +6351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 51 new-in-r7 keys are staged below
-        # (dedup_spans .. holt_trend_revenue), none with a driver
-        # row. The r8 window = the FIRST 50 of these 51;
-        # holt_trend_revenue (slot 51) heads the r9 note together
-        # with the 7 r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split normalize_text
+        # r8 ROTATION NOTE: 54 new-in-r7 keys are staged below
+        # (dedup_spans .. assoc_rules_parts), none with a driver
+        # row. The r8 window = the FIRST 50 of these 54; the last 4
+        # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
+        # assoc_rules_parts) head the r9 note together with the 7
+        # r3-latest keys (serialize_roundtrip decontaminate
+        # pack_chunks train_test_split normalize_text
         # tfidf_top_terms rolling_7d_revenue); next-oldest after
         # that: csv_roundtrip (r4).
         # Verify
@@ -6372,6 +6413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_churn": kaplan_meier_churn,
         "decision_stump_orders": decision_stump_orders,
         "holt_trend_revenue": holt_trend_revenue,
+        "nb_top_tokens_lang": nb_top_tokens_lang,
+        "trimmed_mean_price": trimmed_mean_price,
+        "assoc_rules_parts": assoc_rules_parts,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7458,6 +7502,68 @@ def oracle_sql() -> dict[str, str]:
             "rec.trend) - rec.level) + 0.8 * rec.trend AS trend "
             "FROM rec JOIN r ON r.rn = rec.rn + 1) "
             "SELECT day, cents, level, trend FROM rec ORDER BY day"
+        ),
+        "nb_top_tokens_lang": (
+            "WITH tok AS (SELECT cls, token FROM (SELECT lang AS cls, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS token "
+            "FROM documents) WHERE token <> ''), "
+            "ctc AS (SELECT cls, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY cls, token), "
+            "nc AS (SELECT cls, CAST(count(*) AS BIGINT) AS nc FROM tok "
+            "GROUP BY cls), "
+            "ct AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM tok "
+            "GROUP BY token), "
+            "tt AS (SELECT CAST(count(*) AS BIGINT) AS nn, "
+            "CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok), "
+            "sc AS (SELECT c.cls, c.token, c.n, "
+            "(CAST(c.n + 1 AS DOUBLE) / CAST(nc.nc + tt.v AS DOUBLE)) / "
+            "(CAST(ct.ct + 1 AS DOUBLE) / CAST(tt.nn + tt.v AS DOUBLE)) "
+            "AS lift FROM ctc c JOIN nc USING (cls) JOIN ct USING (token) "
+            "CROSS JOIN tt WHERE c.n >= 3), "
+            "r AS (SELECT cls, token, n, lift, row_number() OVER "
+            "(PARTITION BY cls ORDER BY lift DESC, token) AS rn FROM sc) "
+            "SELECT cls, token, n, lift FROM r WHERE rn <= 5 "
+            "ORDER BY cls, lift DESC, token"
+        ),
+        "trimmed_mean_price": (
+            "WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS "
+            "BIGINT) AS v FROM lineitem), "
+            "pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM b "
+            "GROUP BY v), "
+            "c AS (SELECT v, t, CAST(coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "
+            "BIGINT) AS cum FROM pv), "
+            "tt AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM pv), "
+            "k AS (SELECT v, t, cum, nn, (nn * 5) // 100 AS lo, "
+            "nn - (nn * 5) // 100 AS hi FROM c CROSS JOIN tt), "
+            "s AS (SELECT max(nn) AS n_total, CAST(sum(greatest(CAST(0 "
+            "AS BIGINT), least(cum + t, hi) - greatest(cum, lo))) AS "
+            "BIGINT) AS n_kept, CAST(sum(CAST(greatest(CAST(0 AS BIGINT), "
+            "least(cum + t, hi) - greatest(cum, lo)) * v AS HUGEINT)) AS "
+            "DOUBLE) AS sm FROM k) "
+            "SELECT n_total, n_kept, sm / CAST(n_kept AS DOUBLE) AS mean "
+            "FROM s"
+        ),
+        "assoc_rules_parts": (
+            "WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM "
+            "bp), "
+            "deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM bp "
+            "GROUP BY p), "
+            "pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) "
+            "AS c FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY a.p, b.p HAVING count(*) >= 2), "
+            "sym AS (SELECT pa AS ante, pb AS cons, c FROM pr "
+            "UNION ALL SELECT pb AS ante, pa AS cons, c FROM pr), "
+            "sc AS (SELECT s.ante, s.cons, s.c AS common, "
+            "CAST(s.c AS DOUBLE) / CAST(nb.nb AS DOUBLE) AS support, "
+            "CAST(s.c AS DOUBLE) / CAST(d1.d AS DOUBLE) AS confidence, "
+            "CAST(s.c * nb.nb AS DOUBLE) / CAST(d1.d * d2.d AS DOUBLE) "
+            "AS lift FROM sym s JOIN deg d1 ON s.ante = d1.p "
+            "JOIN deg d2 ON s.cons = d2.p CROSS JOIN nb) "
+            "SELECT ante, cons, common, support, confidence, lift FROM sc "
+            "ORDER BY lift DESC, ante, cons LIMIT 20"
         ),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "

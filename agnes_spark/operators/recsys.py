@@ -66,3 +66,65 @@ def itemitem_cosine(
         .filter(F.col("__rn") <= topk)
         .select("p", "q", F.col("c").alias("common"), "sim")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_common: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Directed association rules a -> b from co-occurrence baskets
+    (Agrawal & Srikant, VLDB'94 semantics at pair length): support
+    c/N, confidence c/d_a, lift c*N/(d_a*d_b), keeping the global
+    top-`top` rules by (lift desc, antecedent, consequent). Same
+    one-shuffle pair generation as itemitem_cosine; every score is a
+    fixed expression over exact integers — bit-deterministic."""
+    bp = df.select(
+        F.col(basket_col).alias("o"), F.col(item_col).cast("long").alias("p")
+    ).distinct()
+    n_baskets = bp.agg(
+        F.countDistinct("o").cast("long").alias("nb")
+    )
+    deg = bp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    common = (
+        within_group_pairs(bp, "o", "p")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= min_common)
+    )
+    directed = common.select(
+        F.col("a").alias("ante"), F.col("b").alias("cons"), "c"
+    ).unionByName(
+        common.select(F.col("b").alias("ante"), F.col("a").alias("cons"), "c")
+    )
+    scored = (
+        directed.join(
+            deg.select(F.col("p").alias("ante"), F.col("d").alias("da")),
+            "ante",
+        )
+        .join(
+            deg.select(F.col("p").alias("cons"), F.col("d").alias("db")),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "ante",
+            "cons",
+            F.col("c").alias("common"),
+            (F.col("c").cast("double") / F.col("nb").cast("double")).alias(
+                "support"
+            ),
+            (F.col("c").cast("double") / F.col("da").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c") * F.col("nb")).cast("double")
+                / (F.col("da") * F.col("db")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("ante"), F.asc("cons")
+    ).limit(top)

@@ -773,3 +773,44 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def trimmed_mean(
+    df: DataFrame, value_col: str, trim_pct: int = 5, n_buckets: int = 64
+) -> DataFrame:
+    """Symmetric trimmed mean of an integral column: drop the lowest
+    and highest `trim_pct` percent of OBSERVATIONS (by count, ties
+    split by position within the sorted multiset) and average the
+    rest — the robust location estimate between mean and median.
+
+    Exact throughout: the per-value kept-count is integer interval
+    arithmetic over the _value_counts_cum prefix frame (two-level
+    bucketed prefix sum — no global window over the data-sized value
+    frame), the kept sum is an exact integer, and the mean is ONE
+    final division. Returns (n_total, n_kept, mean)."""
+    vc = _value_counts_cum(df, value_col, n_buckets)
+    totals = vc.agg(F.sum("t").cast("long").alias("nn"))
+    lo_cut = (
+        (F.col("nn") * trim_pct - F.pmod(F.col("nn") * trim_pct, F.lit(100)))
+        / 100
+    ).cast("long")
+    joined = vc.crossJoin(F.broadcast(totals)).withColumn(
+        "__lo", lo_cut
+    ).withColumn("__hi", F.col("nn") - F.col("__lo"))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum") + F.col("t"), F.col("__hi"))
+        - F.greatest(F.col("cum"), F.col("__lo")),
+    )
+    agg = joined.withColumn("__k", kept).agg(
+        F.max("nn").alias("n_total"),
+        F.sum("__k").cast("long").alias("n_kept"),
+        F.sum((F.col("__k") * F.col("v")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__s"),
+    )
+    return agg.select(
+        "n_total",
+        "n_kept",
+        (F.col("__s") / F.col("n_kept").cast("double")).alias("mean"),
+    )

@@ -198,6 +198,9 @@ EXTRA_QUERIES = [
     "kaplan_meier_churn",
     "decision_stump_orders",
     "holt_trend_revenue",
+    "nb_top_tokens_lang",
+    "trimmed_mean_price",
+    "assoc_rules_parts",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -207,6 +207,9 @@ AUDIT_BNLJ_ALLOWED = {
     "kaplan_meier_churn",  # 1-row factor-list broadcast onto the bounded duration frame
     "decision_stump_orders",  # 1-row bounds/totals broadcasts onto the value frame
     "holt_trend_revenue",  # 1-row observation-list broadcast onto the bounded daily frame
+    "nb_top_tokens_lang",  # 1-row corpus-totals broadcast onto the (class, token) frame
+    "trimmed_mean_price",  # 1-row bounds/totals broadcasts onto the value frame
+    "assoc_rules_parts",  # 1-row basket-count broadcast onto the rule frame
 }
 
 
@@ -252,6 +255,7 @@ AUDIT_SP_ALLOWED = {
     "kaplan_meier_churn",  # at-risk suffix sum + rank over the bounded distinct-duration frame
     "decision_stump_orders",  # bucket-offset prefix sum over the constant-size bucket frame
     "holt_trend_revenue",  # rank + list fold over the calendar-bounded daily frame
+    "trimmed_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
 }
 
 
