@@ -6285,6 +6285,23 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pca_top_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration (operators/pca.py, 6 fixed rounds, all-ones init):
+    Rayleigh eigenvalue + the first 4 coordinates of C v / lambda.
+    The data pass is ONE Arrow-batched exact-integer Gram
+    (embeddings.gram_matrix_int); iteration runs on the bounded
+    64x64 covariance frame with dimension-ordered folds and exact
+    covariance cells — bit-deterministic, hashed unrounded. Oracle:
+    the identical 6 rounds unrolled over list folds."""
+    from agnes_spark.operators.pca import pca_power_top
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_power_top(
+        e, "embedding", rounds=6, scale=1000, n_components_out=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6351,13 +6368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 54 new-in-r7 keys are staged below
-        # (dedup_spans .. assoc_rules_parts), none with a driver
-        # row. The r8 window = the FIRST 50 of these 54; the last 4
+        # r8 ROTATION NOTE: 55 new-in-r7 keys are staged below
+        # (dedup_spans .. pca_top_embeddings), none with a driver
+        # row. The r8 window = the FIRST 50 of these 55; the last 5
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
-        # assoc_rules_parts) head the r9 note together with the 7
-        # r3-latest keys (serialize_roundtrip decontaminate
-        # pack_chunks train_test_split normalize_text
+        # assoc_rules_parts pca_top_embeddings) head the r9 note
+        # together with the 7 r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split normalize_text
         # tfidf_top_terms rolling_7d_revenue); next-oldest after
         # that: csv_roundtrip (r4).
         # Verify
@@ -6416,6 +6433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_top_tokens_lang": nb_top_tokens_lang,
         "trimmed_mean_price": trimmed_mean_price,
         "assoc_rules_parts": assoc_rules_parts,
+        "pca_top_embeddings": pca_top_embeddings,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6578,6 +6596,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "corr_stats": corr_stats,
     }
+
+
+def _pca_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled power-iteration oracle for pca_top_embeddings: the
+    identical fixed rounds as operators/pca.py, generated
+    programmatically so every round's fold is token-identical."""
+    matvec = (
+        "list_reduce(list_transform(range(1, 65), k -> carr[k] * v[k]), "
+        "(a, b) -> a + b)"
+    )
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q "
+        "FROM embeddings)",
+        "nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)",
+        "pos AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i)",
+        "g AS MATERIALIZED (SELECT a.i AS gi, b.i AS gj, "
+        "CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g "
+        "FROM e CROSS JOIN pos a CROSS JOIN pos b GROUP BY a.i, b.i)",
+        "s AS MATERIALIZED (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s "
+        "FROM e CROSS JOIN pos GROUP BY i)",
+        "cr AS MATERIALIZED (SELECT gi AS i, list((CAST(g AS DOUBLE) - "
+        "CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / "
+        "CAST(nrow.n AS DOUBLE)) / (CAST(nrow.n AS DOUBLE) - 1.0) "
+        "ORDER BY gj) AS carr FROM g JOIN s si ON g.gi = si.i "
+        "JOIN s sj ON g.gj = sj.i CROSS JOIN nrow GROUP BY gi)",
+        "v0 AS (SELECT list_transform(range(1, 65), "
+        "x -> CAST(1.0 AS DOUBLE)) AS v)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"w{r} AS (SELECT i, {matvec} AS w "
+            f"FROM cr CROSS JOIN v{r - 1})"
+        )
+        parts.append(
+            f"v{r} AS (SELECT list_transform(l, x -> x / nrm) AS v FROM "
+            f"(SELECT list(w ORDER BY i) AS l, sqrt(list_reduce("
+            f"list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm FROM w{r}))"
+        )
+    parts.append(
+        f"wf AS (SELECT i, {matvec} AS w FROM cr CROSS JOIN v{rounds})"
+    )
+    parts.append("fin AS (SELECT list(w ORDER BY i) AS warr FROM wf)")
+    parts.append(
+        f"lamt AS (SELECT list_reduce(list_transform(range(1, 65), "
+        f"j -> warr[j] * v[j]), (a, b) -> a + b) AS lam, warr "
+        f"FROM fin CROSS JOIN v{rounds})"
+    )
+    body = ", ".join(parts)
+    return (
+        body + " SELECT lam AS eigenvalue, warr[1] / lam AS c0, "
+        "warr[2] / lam AS c1, warr[3] / lam AS c2, warr[4] / lam AS c3 "
+        "FROM lamt"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7565,6 +7637,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ante, cons, common, support, confidence, lift FROM sc "
             "ORDER BY lift DESC, ante, cons LIMIT 20"
         ),
+        "pca_top_embeddings": _pca_oracle_sql(),
         "gram_matrix_embeddings": (
             "WITH q AS (SELECT CASE WHEN amax > 0 THEN "
             "list_transform(v, x -> CAST(floor(x * CAST(127.0 AS DOUBLE) / amax) "

@@ -201,6 +201,7 @@ EXTRA_QUERIES = [
     "nb_top_tokens_lang",
     "trimmed_mean_price",
     "assoc_rules_parts",
+    "pca_top_embeddings",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
