@@ -202,6 +202,8 @@ EXTRA_QUERIES = [
     "trimmed_mean_price",
     "assoc_rules_parts",
     "pca_top_embeddings",
+    "stump_eval_orders",
+    "hard_negatives_embeddings",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -210,6 +210,8 @@ AUDIT_BNLJ_ALLOWED = {
     "nb_top_tokens_lang",  # 1-row corpus-totals broadcast onto the (class, token) frame
     "trimmed_mean_price",  # 1-row bounds/totals broadcasts onto the value frame
     "assoc_rules_parts",  # 1-row basket-count broadcast onto the rule frame
+    "stump_eval_orders",  # 1-row learned-split broadcast onto the fact scan (+ stump bounds/totals)
+    "hard_negatives_embeddings",  # 16-row anchor broadcast (ann exact-baseline pattern)
 }
 
 
@@ -256,6 +258,7 @@ AUDIT_SP_ALLOWED = {
     "decision_stump_orders",  # bucket-offset prefix sum over the constant-size bucket frame
     "holt_trend_revenue",  # rank + list fold over the calendar-bounded daily frame
     "trimmed_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
+    "stump_eval_orders",  # bucket-offset prefix sum over the constant-size bucket frame
 }
 
 
