@@ -117,7 +117,7 @@ def pca_power_top(
                     F.struct(
                         F.col("i").alias("i"),
                         F.col("w").alias("w"),
-                        vlit.getItem(F.col("i")).alias("vi"),
+                        vlit[F.col("i")].alias("vi"),
                     )
                 )
             ),
