@@ -6409,6 +6409,21 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id")
 
 
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/bpe.py, Sennrich ACL'16):
+    the first 5 merge rounds over the English word vocabulary —
+    the artifact a tokenizer loads (token_count APPLIES one; this
+    trains one). Each round is a bounded-vocab bigram count + 1-row
+    argmax; the merge applies as one literal replace whose
+    left-to-right non-overlap semantics are BPE's greedy scan.
+    Exact integers, (count desc, left, right) ties — deterministic;
+    the oracle replays the 5 rounds as generated CTEs."""
+    from agnes_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return bpe_train(docs, "text", merges=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6475,12 +6490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 57 new-in-r7 keys are staged below
-        # (dedup_spans .. hard_negatives_embeddings), none with a
-        # driver row. The r8 window = the FIRST 50 of these 57; the
-        # last 7 (holt_trend_revenue nb_top_tokens_lang
-        # trimmed_mean_price assoc_rules_parts pca_top_embeddings
-        # stump_eval_orders hard_negatives_embeddings) head the r9
+        # r8 ROTATION NOTE: 58 new-in-r7 keys are staged below
+        # (dedup_spans .. bpe_merges_docs), none with a driver row.
+        # The r8 window = the FIRST 50 of these 58; the last 8
+        # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
+        # assoc_rules_parts pca_top_embeddings stump_eval_orders
+        # hard_negatives_embeddings bpe_merges_docs) head the r9
         # note together with the 7 r3-latest keys
         # (serialize_roundtrip decontaminate pack_chunks
         # train_test_split normalize_text tfidf_top_terms
@@ -6545,6 +6560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_embeddings": pca_top_embeddings,
         "stump_eval_orders": stump_eval_orders,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        "bpe_merges_docs": bpe_merges_docs,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -6707,6 +6723,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": embedding_norms,
         "corr_stats": corr_stats,
     }
+
+
+def _bpe_oracle_sql(rounds: int = 5) -> str:
+    """Generated BPE-merge oracle: round r counts adjacent symbol
+    pairs over the space-joined vocab v{r-1}, argmaxes with the
+    (count desc, left, right) tie rule, and applies the merge as
+    the same literal replace the Spark side uses."""
+    parts = [
+        "WITH w AS (SELECT token AS w, CAST(count(*) AS BIGINT) AS wc "
+        "FROM (SELECT unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS token FROM documents WHERE lang = 'en') "
+        "WHERE token <> '' AND regexp_matches(token, '^[a-z]+$') "
+        "GROUP BY token)",
+        # two-space token gaps, single-space ends: each merge match
+        # consumes only its own gap, so runs replay BPE's canonical
+        # greedy scan (see operators/bpe.py)
+        "v0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), '  ') || ' ' AS seq, wc "
+        "FROM w)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT toks[i] AS a, toks[i + 1] AS b, "
+            f"CAST(sum(wc) AS BIGINT) AS cnt FROM (SELECT "
+            f"string_split(trim(seq), '  ') AS toks, wc FROM v{r - 1}), "
+            f"unnest(range(1, len(toks))) AS u(i) GROUP BY a, b)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT struct_extract(s, 'a') AS a, "
+            f"struct_extract(s, 'b') AS b, -struct_extract(s, 'nc') AS "
+            f"cnt FROM (SELECT min(struct_pack(nc := -cnt, a := a, "
+            f"b := b)) AS s FROM p{r}))"
+        )
+        parts.append(
+            f"v{r} AS (SELECT replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') AS seq, wc FROM v{r - 1} "
+            f"CROSS JOIN m{r})"
+        )
+    final = " UNION ALL ".join(
+        f'SELECT {r} AS round, a AS "left", b AS "right", cnt AS '
+        f"pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ", ".join(parts) + " " + final + " ORDER BY round"
 
 
 def _pca_oracle_sql(rounds: int = 6) -> str:
@@ -7749,6 +7809,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY lift DESC, ante, cons LIMIT 20"
         ),
         "pca_top_embeddings": _pca_oracle_sql(),
+        "bpe_merges_docs": _bpe_oracle_sql(),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the
         # learned 1-row split scores the full table.

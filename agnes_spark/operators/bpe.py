@@ -1,0 +1,98 @@
+"""Byte-pair-encoding tokenizer training (Sennrich et al., ACL'16).
+
+The missing half of the token pipeline: token_count APPLIES a
+tokenizer; this module TRAINS one — the iterative most-frequent-
+adjacent-pair merge that defines BPE/WordPiece-family vocabularies.
+
+Classic BPE trains on the WORD VOCABULARY with counts, not the raw
+corpus, so every round runs on a bounded frame (distinct words of a
+language): one grouped bigram count + a 1-row argmax per merge.
+Symbol sequences are strings with single-space ends and TWO-space
+token gaps; applying a merge is ONE literal replace of
+' a  b ' -> ' ab '. The double gap matters: each match consumes
+only ITS OWN gap, so on symbol runs the left-to-right scan merges
+'a a a a' into (aa)(aa) — BPE's canonical greedy pass — where a
+single-space encoding would eat the neighbor's boundary and leave
+(aa)(a)(a). Everything is exact integer counting; merge ties break
+by (pair count desc, left asc, right asc) — fully deterministic,
+full-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agnes_spark.functions import ws_tokens
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(seq, wc): space-joined character sequences of lowercase
+    ASCII-alpha words with their corpus counts — the bounded BPE
+    training frame."""
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    seq = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    return words.select(seq.alias("seq"), "wc")
+
+
+def _best_pair(vocab: DataFrame):
+    """(left, right, count) of the most frequent adjacent symbol
+    pair, ties by (left asc, right asc)."""
+    toks = F.split(F.trim(F.col("seq")), "  ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    pc = (
+        vocab.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"), "wc")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+    )
+    row = pc.agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("a").alias("a"),
+                F.col("b").alias("b"),
+            )
+        ).alias("s")
+    ).first()["s"]
+    return row["a"], row["b"], -row["nc"]
+
+
+def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
+    """Run `merges` BPE merge rounds over the word vocabulary of
+    `text_col` and return the merge table: one row per round
+    (round, left, right, pair_count) — the artifact a tokenizer
+    loads. Each round is a bounded-frame bigram count + a 1-row
+    argmax; the merge applies as one literal replace."""
+    spark = df.sparkSession
+    vocab = _word_vocab(df, text_col).localCheckpoint(eager=True)
+    out = []
+    for r in range(1, merges + 1):
+        a, b, cnt = _best_pair(vocab)
+        out.append((r, a, b, int(cnt)))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} "),
+            ).alias("seq"),
+            "wc",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round int, left string, right string, pair_count long"
+    )

@@ -204,6 +204,7 @@ EXTRA_QUERIES = [
     "pca_top_embeddings",
     "stump_eval_orders",
     "hard_negatives_embeddings",
+    "bpe_merges_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

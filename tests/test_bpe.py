@@ -1,0 +1,46 @@
+"""BPE merge training (operators/bpe.py) against the classic
+Sennrich et al. worked example vocabulary."""
+
+from agnes_spark.operators.bpe import bpe_train
+
+
+def test_bpe_sennrich_example(spark):
+    # vocab: low:5, lower:2, newest:6, widest:3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r.round, r.left, r.right, r.pair_count)
+        for r in bpe_train(df, "text", merges=5).orderBy("round").collect()
+    ]
+    # hand-derived with the (count desc, left, right) tie rule:
+    # r1: (e,s)=9 ties (s,t)=9 -> lexicographic left wins
+    # r3: (l,o)=7 ties (o,w)=7 -> l < o
+    # r5: (e,w)=6 ties (n,e),(w,est) -> e smallest
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+    ]
+
+
+def test_bpe_greedy_left_scan_on_repeats(spark):
+    # 'aaaa' -> pairs (a,a)x3; after merging (a,a) the greedy left
+    # scan leaves 'aa aa' (not 'a aa a'), so round 2 merges (aa,aa)
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = [
+        (r.round, r.left, r.right)
+        for r in bpe_train(df, "text", merges=2).orderBy("round").collect()
+    ]
+    assert got == [(1, "a", "a"), (2, "aa", "aa")]
+
+
+def test_bpe_ignores_non_alpha_tokens(spark):
+    df = spark.createDataFrame(
+        [("ab ab 123 ab7 AB! ab",)], "text string"
+    )
+    got = bpe_train(df, "text", merges=1).collect()
+    # only the pure-alpha lowercase 'ab' tokens count (AB! and ab7
+    # are filtered, so the pair count is 3)
+    assert (got[0].left, got[0].right, got[0].pair_count) == ("a", "b", 3)
