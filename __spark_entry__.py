@@ -6424,6 +6424,49 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", merges=5)
 
 
+def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (BFS frontier expansion) on the
+    co-purchase part graph: for the 8 smallest part ids, how many
+    NEW parts become reachable at hops 1..3 — the neighborhood-
+    growth profile behind graph feature engineering and influence
+    estimates. Three fixed rounds of frontier-join / anti-join, all
+    equi on node ids (never a cartesian); frontiers localCheckpoint
+    between rounds so no round re-runs its predecessors. Exact
+    integer counts; seeds with an empty hop emit no row (mirrored).
+    Edges reuse the cached co-purchase frame (_copurchase_pagerank).
+    Oracle: the identical 3 rounds unrolled with EXCEPT."""
+    _, edges = _copurchase_pagerank(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(8)
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    outs = []
+    for hop in (1, 2, 3):
+        nbr = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbr.join(visited, ["seed", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        outs.append(
+            new.groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+            .withColumn("hop", F.lit(hop).cast("int"))
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("seed", "hop", "n_new").orderBy("seed", "hop")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6490,17 +6533,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 58 new-in-r7 keys are staged below
-        # (dedup_spans .. bpe_merges_docs), none with a driver row.
-        # The r8 window = the FIRST 50 of these 58; the last 8
+        # r8 ROTATION NOTE: 59 new-in-r7 keys are staged below
+        # (dedup_spans .. khop_reach_copurchase), none with a driver
+        # row. The r8 window = the FIRST 50 of these 59; the last 9
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
         # assoc_rules_parts pca_top_embeddings stump_eval_orders
-        # hard_negatives_embeddings bpe_merges_docs) head the r9
-        # note together with the 7 r3-latest keys
-        # (serialize_roundtrip decontaminate pack_chunks
-        # train_test_split normalize_text tfidf_top_terms
-        # rolling_7d_revenue); next-oldest after that:
-        # csv_roundtrip (r4).
+        # hard_negatives_embeddings bpe_merges_docs
+        # khop_reach_copurchase) head the r9 note together with the
+        # 7 r3-latest keys (serialize_roundtrip decontaminate
+        # pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue); next-oldest after
+        # that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6561,6 +6604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_eval_orders": stump_eval_orders,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "bpe_merges_docs": bpe_merges_docs,
+        "khop_reach_copurchase": khop_reach_copurchase,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7810,6 +7854,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pca_top_embeddings": _pca_oracle_sql(),
         "bpe_merges_docs": _bpe_oracle_sql(),
+        "khop_reach_copurchase": (
+            "WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM bp a "
+            "JOIN bp b ON a.o = b.o AND a.p < b.p), "
+            "e AS (SELECT a AS src, b AS dst FROM und "
+            "UNION ALL SELECT b AS src, a AS dst FROM und), "
+            "seeds AS (SELECT DISTINCT src AS seed FROM e "
+            "ORDER BY seed LIMIT 8), "
+            "v0 AS (SELECT seed, seed AS node FROM seeds), "
+            "n1 AS (SELECT DISTINCT v0.seed, e.dst AS node FROM v0 "
+            "JOIN e ON v0.node = e.src), "
+            "new1 AS (SELECT seed, node FROM n1 EXCEPT "
+            "SELECT seed, node FROM v0), "
+            "v1 AS (SELECT seed, node FROM v0 UNION "
+            "SELECT seed, node FROM new1), "
+            "n2 AS (SELECT DISTINCT new1.seed, e.dst AS node FROM new1 "
+            "JOIN e ON new1.node = e.src), "
+            "new2 AS (SELECT seed, node FROM n2 EXCEPT "
+            "SELECT seed, node FROM v1), "
+            "v2 AS (SELECT seed, node FROM v1 UNION "
+            "SELECT seed, node FROM new2), "
+            "n3 AS (SELECT DISTINCT new2.seed, e.dst AS node FROM new2 "
+            "JOIN e ON new2.node = e.src), "
+            "new3 AS (SELECT seed, node FROM n3 EXCEPT "
+            "SELECT seed, node FROM v2) "
+            "SELECT seed, hop, n_new FROM ("
+            "SELECT seed, 1 AS hop, CAST(count(*) AS BIGINT) AS n_new "
+            "FROM new1 GROUP BY seed "
+            "UNION ALL SELECT seed, 2 AS hop, CAST(count(*) AS BIGINT) "
+            "AS n_new FROM new2 GROUP BY seed "
+            "UNION ALL SELECT seed, 3 AS hop, CAST(count(*) AS BIGINT) "
+            "AS n_new FROM new3 GROUP BY seed) "
+            "ORDER BY seed, hop"
+        ),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the
         # learned 1-row split scores the full table.

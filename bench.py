@@ -205,6 +205,7 @@ EXTRA_QUERIES = [
     "stump_eval_orders",
     "hard_negatives_embeddings",
     "bpe_merges_docs",
+    "khop_reach_copurchase",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

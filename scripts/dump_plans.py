@@ -50,6 +50,22 @@ SHOWCASE = [
         "link_prediction_copurchase",
         "kNN-sparsified graph first; every join equi on a node id — no cartesian",
     ),
+    (
+        "spatial_radius_pairs",
+        "half-plane grid join: 5x cell-key shuffle instead of N^2 comparisons",
+    ),
+    (
+        "pareto_frontier_parts",
+        "skyline via bounded bucket agg + prefix window; zero all-pairs work",
+    ),
+    (
+        "kmeans_embeddings",
+        "assignment is map-only against literal centroids; one k*d-row agg per round",
+    ),
+    (
+        "itemitem_parts",
+        "basket pairs expand map-side in ONE shuffle; per-item window cuts top-k",
+    ),
 ]
 
 
