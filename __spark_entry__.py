@@ -6467,6 +6467,45 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seed", "hop", "n_new").orderBy("seed", "hop")
 
 
+def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (spatial.dbscan_grid, KDD'96) on
+    the synthetic customer plane (same quadratic-mix coordinates as
+    spatial_radius_pairs; minPts=3): per-cluster core and border
+    counts. eps is DENSITY-ADAPTIVE — floor(0.8 * sqrt(area/n)) —
+    pinning the expected neighbor degree (~2, subcritical for 2D
+    percolation) at EVERY scale factor: a fixed eps at 10x density
+    grows one giant component whose min-label closure is quadratic
+    (measured: the fixed-2000 variant timed out at sf0.1). The
+    pipeline is scale-safe compositions — grid radius join (never
+    N^2), core census, connected components on the core-core graph,
+    min-label border attachment — exact integers end to end.
+    Oracle: band-join pairs + a WITH RECURSIVE min-label fixpoint
+    (the dedup_clusters pattern), same adaptive eps expression."""
+    import math
+
+    from agnes_spark.operators.spatial import dbscan_grid
+
+    k = F.col("c_custkey")
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        F.pmod(k * k + k * F.lit(48271), F.lit(100000)).alias("x"),
+        F.pmod(
+            k * k * F.lit(7) + k * F.lit(16807) + F.lit(12345), F.lit(100000)
+        ).alias("y"),
+    )
+    n = pts.count()
+    eps = int(math.floor(0.8 * math.sqrt(1e10 / n)))
+    lab = dbscan_grid(pts, "id", "x", "y", radius=eps, min_pts=3)
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.sum("is_core").cast("long").alias("n_core"),
+            F.sum(F.lit(1) - F.col("is_core")).cast("long").alias("n_border"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6533,15 +6572,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 59 new-in-r7 keys are staged below
-        # (dedup_spans .. khop_reach_copurchase), none with a driver
-        # row. The r8 window = the FIRST 50 of these 59; the last 9
+        # r8 ROTATION NOTE: 60 new-in-r7 keys are staged below
+        # (dedup_spans .. dbscan_customers), none with a driver
+        # row. The r8 window = the FIRST 50 of these 60; the last 10
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
         # assoc_rules_parts pca_top_embeddings stump_eval_orders
         # hard_negatives_embeddings bpe_merges_docs
-        # khop_reach_copurchase) head the r9 note together with the
-        # 7 r3-latest keys (serialize_roundtrip decontaminate
-        # pack_chunks train_test_split normalize_text
+        # khop_reach_copurchase dbscan_customers) head the r9 note
+        # together with the 7 r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split normalize_text
         # tfidf_top_terms rolling_7d_revenue); next-oldest after
         # that: csv_roundtrip (r4).
         # Verify
@@ -6605,6 +6644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "bpe_merges_docs": bpe_merges_docs,
         "khop_reach_copurchase": khop_reach_copurchase,
+        "dbscan_customers": dbscan_customers,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7888,6 +7928,43 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT seed, 3 AS hop, CAST(count(*) AS BIGINT) "
             "AS n_new FROM new3 GROUP BY seed) "
             "ORDER BY seed, hop"
+        ),
+        "dbscan_customers": (
+            "WITH RECURSIVE pts AS (SELECT c_custkey AS id, "
+            "(c_custkey * c_custkey + c_custkey * 48271) % 100000 AS x, "
+            "(c_custkey * c_custkey * 7 + c_custkey * 16807 + 12345) "
+            "% 100000 AS y FROM customer), "
+            "rr AS (SELECT CAST(floor(0.8 * sqrt(1e10 / "
+            "CAST(count(*) AS DOUBLE))) AS BIGINT) AS r FROM pts), "
+            "pr AS (SELECT a.id AS ia, b.id AS ib FROM pts a "
+            "CROSS JOIN rr JOIN pts b "
+            "ON a.id < b.id AND b.x BETWEEN a.x - rr.r AND a.x + rr.r "
+            "AND b.y BETWEEN a.y - rr.r AND a.y + rr.r "
+            "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "<= rr.r * rr.r), "
+            "sym AS (SELECT ia AS id, ib AS nbr FROM pr "
+            "UNION ALL SELECT ib AS id, ia AS nbr FROM pr), "
+            "deg AS (SELECT id, count(*) AS c FROM sym GROUP BY id), "
+            "core AS (SELECT id FROM deg WHERE c >= 3), "
+            "ce AS (SELECT pr.ia, pr.ib FROM pr "
+            "JOIN core ca ON pr.ia = ca.id JOIN core cb ON pr.ib = cb.id), "
+            "edges AS (SELECT ia AS u, ib AS v FROM ce "
+            "UNION ALL SELECT ib AS u, ia AS v FROM ce), "
+            "reach(id, lbl) AS (SELECT DISTINCT u, u FROM edges "
+            "UNION SELECT e.u, r.lbl FROM edges e JOIN reach r "
+            "ON e.v = r.id), "
+            "cc AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id), "
+            "core_lab AS (SELECT c.id, coalesce(cc.cl, c.id) AS cl "
+            "FROM core c LEFT JOIN cc ON c.id = cc.id), "
+            "border AS (SELECT s.id, min(k.cl) AS cl FROM sym s "
+            "JOIN core_lab k ON s.nbr = k.id "
+            "LEFT JOIN core c ON s.id = c.id WHERE c.id IS NULL "
+            "GROUP BY s.id), "
+            "u AS (SELECT id, cl, 1 AS is_core FROM core_lab "
+            "UNION ALL SELECT id, cl, 0 AS is_core FROM border) "
+            "SELECT cl AS cluster_id, CAST(sum(is_core) AS BIGINT) AS "
+            "n_core, CAST(sum(1 - is_core) AS BIGINT) AS n_border "
+            "FROM u GROUP BY cl ORDER BY cl"
         ),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the

@@ -105,3 +105,61 @@ def radius_pairs_grid(
         F.greatest("id_a", "id_b").alias("id_b"),
         "dist2",
     )
+
+
+def dbscan_grid(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD'96) composed from scale-safe parts:
+    the grid radius join generates neighbor pairs (never N^2), core
+    points are those with >= `min_pts` neighbors within `radius`,
+    clusters are connected components over the core-core graph
+    (min-reachable-id labels), and border points attach to the
+    SMALLEST cluster label among their core neighbors (a pinned,
+    deterministic version of DBSCAN's arbitrary assignment). Noise
+    points are omitted.
+
+    Returns (id, is_core, cluster_id) — exact integers throughout,
+    so the whole clustering is engine-reproducible.
+    """
+    from agnes_spark.operators.graph import connected_components
+
+    pairs = radius_pairs_grid(df, id_col, x_col, y_col, radius).select(
+        "id_a", "id_b"
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_nbr"))
+    core = deg.filter(F.col("n_nbr") >= min_pts).select("id")
+    core_edges = (
+        pairs.join(core.select(F.col("id").alias("id_a")), "id_a")
+        .join(core.select(F.col("id").alias("id_b")), "id_b")
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(core_edges, "id_a", "id_b")
+    core_lab = (
+        core.join(cc, "id", "left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )
+    border = (
+        sym.join(core, "id", "left_anti")
+        .join(
+            core_lab.select(
+                F.col("id").alias("nbr"), F.col("cluster_id").alias("ncl")
+            ),
+            "nbr",
+        )
+        .groupBy("id")
+        .agg(F.min("ncl").alias("cluster_id"))
+    )
+    return core_lab.select(
+        "id", F.lit(1).cast("int").alias("is_core"), "cluster_id"
+    ).unionByName(
+        border.select("id", F.lit(0).cast("int").alias("is_core"), "cluster_id")
+    )

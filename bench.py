@@ -206,6 +206,7 @@ EXTRA_QUERIES = [
     "hard_negatives_embeddings",
     "bpe_merges_docs",
     "khop_reach_copurchase",
+    "dbscan_customers",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

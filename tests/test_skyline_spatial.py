@@ -95,3 +95,47 @@ def test_assign_folds_deterministic_and_balanced(spark):
     rows = {r.k: r.fold for r in out.collect()}
     for k in (0, 1, 7, 999):
         assert rows[k] == ((k % 2147483648) * 40503 + 7) % 5
+
+
+def _brute_dbscan(pts, r, min_pts):
+    import itertools as it
+
+    nbrs = {i: set() for i, _, _ in pts}
+    for (ia, xa, ya), (ib, xb, yb) in it.combinations(pts, 2):
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r:
+            nbrs[ia].add(ib)
+            nbrs[ib].add(ia)
+    core = {i for i, ns in nbrs.items() if len(ns) >= min_pts}
+    # min-label connected components over core-core edges
+    lab = {c: c for c in core}
+    changed = True
+    while changed:
+        changed = False
+        for c in core:
+            for n in nbrs[c]:
+                if n in core and lab[n] < lab[c]:
+                    lab[c] = lab[n]
+                    changed = True
+    out = {c: (1, lab[c]) for c in core}
+    for i, ns in nbrs.items():
+        if i not in core:
+            cs = [lab[n] for n in ns if n in core]
+            if cs:
+                out[i] = (0, min(cs))
+    return out
+
+
+def test_dbscan_grid_matches_bruteforce(spark):
+    from agnes_spark.operators.spatial import dbscan_grid
+
+    pts = [(i, (i * i * 3 + 17 * i) % 60, (i * i * 5 + 7 * i + 3) % 55) for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r.id: (r.is_core, r.cluster_id)
+        for r in dbscan_grid(df, "id", "x", "y", radius=8, min_pts=3).collect()
+    }
+    want = _brute_dbscan(pts, 8, 3)
+    assert got == want
+    assert any(v[0] == 1 for v in got.values())  # some cores
+    assert any(v[0] == 0 for v in got.values())  # some borders
+    assert len(got) < len(pts)  # some noise omitted
