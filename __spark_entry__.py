@@ -4246,11 +4246,26 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> tuple:
     as long as this dict holds the Python reference."""
     from agnes_spark.operators.graph import pagerank
 
-    from agnes_spark.operators.graph import within_group_pairs
-
     ck = (spark.sparkContext.applicationId, sf_dir)
     out = _PAGERANK_CACHE.get(ck)
     if out is None:
+        edges = _copurchase_edges(spark, sf_dir)
+        ranks = pagerank(edges, max_iter=12, tol=0.0).localCheckpoint(eager=True)
+        out = (ranks, edges)
+        _PAGERANK_CACHE[ck] = out
+    return out
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized co-purchase edge frame alone, cached
+    separately from the pagerank ranks so edge-only consumers (khop
+    reach, kcore first touch) don't pay for 12 power-iteration
+    rounds they never read."""
+    from agnes_spark.operators.graph import within_group_pairs
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    edges = _COPURCHASE_EDGE_CACHE.get(ck)
+    if edges is None:
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         und = within_group_pairs(li, "l_orderkey", "l_partkey").distinct()
         edges = (
@@ -4258,10 +4273,11 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> tuple:
             .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
             .localCheckpoint(eager=True)
         )
-        ranks = pagerank(edges, max_iter=12, tol=0.0).localCheckpoint(eager=True)
-        out = (ranks, edges)
-        _PAGERANK_CACHE[ck] = out
-    return out
+        _COPURCHASE_EDGE_CACHE[ck] = edges
+    return edges
+
+
+_COPURCHASE_EDGE_CACHE: dict = {}
 
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4782,7 +4798,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponentially)."""
     from agnes_spark.operators.graph import kcore
 
-    _, edges = _copurchase_pagerank(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     en = edges.agg(
         F.count(F.lit(1)).alias("e"), F.countDistinct("src").alias("n")
     ).collect()[0]
@@ -5368,7 +5384,7 @@ def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over them — bit-deterministic cross-engine."""
     from agnes_spark.operators.graph import degree_assortativity
 
-    _, edges = _copurchase_pagerank(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     a = degree_assortativity(edges)
     return a.select(
         "m",
@@ -5669,7 +5685,7 @@ def labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from agnes_spark.operators.graph import label_propagation
 
-    _, edges = _copurchase_pagerank(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     lp = label_propagation(edges, max_iter=4)
     wsz = Window.partitionBy("community")
     return lp.select(
@@ -6433,9 +6449,10 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi on node ids (never a cartesian); frontiers localCheckpoint
     between rounds so no round re-runs its predecessors. Exact
     integer counts; seeds with an empty hop emit no row (mirrored).
-    Edges reuse the cached co-purchase frame (_copurchase_pagerank).
+    Edges reuse the edge-only cache (_copurchase_edges — the
+    pagerank rounds are NOT built for edge-only consumers).
     Oracle: the identical 3 rounds unrolled with EXCEPT."""
-    _, edges = _copurchase_pagerank(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     seeds = (
         edges.select(F.col("src").alias("seed"))
         .distinct()

@@ -129,8 +129,13 @@ def dbscan_grid(
     """
     from agnes_spark.operators.graph import connected_components
 
-    pairs = radius_pairs_grid(df, id_col, x_col, y_col, radius).select(
-        "id_a", "id_b"
+    # the pair frame feeds degree census, core-core edges AND border
+    # attachment — materialize once or the grid join runs three times
+    # (localCheckpoint, not persist: survives bench cache clears)
+    pairs = (
+        radius_pairs_grid(df, id_col, x_col, y_col, radius)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     sym = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
