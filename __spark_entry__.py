@@ -6523,6 +6523,52 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccf_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (CCF) between two hourly series from
+    the events stream — activity (event count) vs monetary flow
+    (value cents) — at lags -3..+3 hours: does money lead or lag
+    activity? Series align by hour rank; each lag's Pearson r is ONE
+    fixed double expression over six exact integer sums (the ols/
+    welch discipline), so every point on the correlogram is
+    bit-deterministic. The rank window and the 7-way lag join ride
+    the calendar-bounded hourly frame."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("h")
+    r = hourly.withColumn("rn", F.row_number().over(w))
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = r.select(F.col("rn").alias("ra"), F.col("x"))
+    b = r.select(F.col("rn").alias("rb"), F.col("y"))
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ra") + F.col("lag") == F.col("rb"))
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("lag", "n", corr.alias("ccf")).orderBy("lag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6589,17 +6635,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 60 new-in-r7 keys are staged below
-        # (dedup_spans .. dbscan_customers), none with a driver
-        # row. The r8 window = the FIRST 50 of these 60; the last 10
+        # r8 ROTATION NOTE: 61 new-in-r7 keys are staged below
+        # (dedup_spans .. ccf_events_hourly), none with a driver
+        # row. The r8 window = the FIRST 50 of these 61; the last 11
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
         # assoc_rules_parts pca_top_embeddings stump_eval_orders
         # hard_negatives_embeddings bpe_merges_docs
-        # khop_reach_copurchase dbscan_customers) head the r9 note
-        # together with the 7 r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split normalize_text
-        # tfidf_top_terms rolling_7d_revenue); next-oldest after
-        # that: csv_roundtrip (r4).
+        # khop_reach_copurchase dbscan_customers ccf_events_hourly)
+        # head the r9 note together with the 7 r3-latest keys
+        # (serialize_roundtrip decontaminate pack_chunks
+        # train_test_split normalize_text tfidf_top_terms
+        # rolling_7d_revenue); next-oldest after that:
+        # csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6662,6 +6709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": bpe_merges_docs,
         "khop_reach_copurchase": khop_reach_copurchase,
         "dbscan_customers": dbscan_customers,
+        "ccf_events_hourly": ccf_events_hourly,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -7982,6 +8030,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cl AS cluster_id, CAST(sum(is_core) AS BIGINT) AS "
             "n_core, CAST(sum(1 - is_core) AS BIGINT) AS n_border "
             "FROM u GROUP BY cl ORDER BY cl"
+        ),
+        "ccf_events_hourly": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS h, "
+            "CAST(count(*) AS BIGINT) AS x, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y "
+            "FROM events GROUP BY 1), "
+            "r AS (SELECT x, y, row_number() OVER (ORDER BY h) AS rn "
+            "FROM h), "
+            "lags AS (SELECT unnest(range(-3, 4)) AS lag), "
+            "j AS (SELECT CAST(lags.lag AS INT) AS lag, a.x, b.y "
+            "FROM r a CROSS JOIN lags JOIN r b ON a.rn + lags.lag = b.rn), "
+            "s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, "
+            "CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, "
+            "CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx, "
+            "CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy, "
+            "CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy "
+            "FROM j GROUP BY lag) "
+            "SELECT lag, n, (CAST(n AS DOUBLE) * sxy - sx * sy) / "
+            "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * "
+            "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS ccf "
+            "FROM s ORDER BY lag"
         ),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the

@@ -207,6 +207,7 @@ EXTRA_QUERIES = [
     "bpe_merges_docs",
     "khop_reach_copurchase",
     "dbscan_customers",
+    "ccf_events_hourly",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

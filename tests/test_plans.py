@@ -212,6 +212,7 @@ AUDIT_BNLJ_ALLOWED = {
     "assoc_rules_parts",  # 1-row basket-count broadcast onto the rule frame
     "stump_eval_orders",  # 1-row learned-split broadcast onto the fact scan (+ stump bounds/totals)
     "hard_negatives_embeddings",  # 16-row anchor broadcast (ann exact-baseline pattern)
+    "ccf_events_hourly",  # 7-row lag-list broadcast onto the bounded hourly frame
 }
 
 
@@ -259,6 +260,7 @@ AUDIT_SP_ALLOWED = {
     "holt_trend_revenue",  # rank + list fold over the calendar-bounded daily frame
     "trimmed_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
     "stump_eval_orders",  # bucket-offset prefix sum over the constant-size bucket frame
+    "ccf_events_hourly",  # hour rank over the calendar-bounded hourly frame
 }
 
 
