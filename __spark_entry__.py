@@ -6569,6 +6569,75 @@ def ccf_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("lag", "n", corr.alias("ccf")).orderBy("lag")
 
 
+def _ppr_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of ppr_copurchase: the SAME fixed rounds unrolled
+    as chained CTEs, mirroring graph.personalized_pagerank's
+    expression shape — 0.15 * restart + 0.85 * sum(rank/deg) — over
+    the symmetric co-purchase graph (no dangling nodes). Round-6
+    output absorbs float-association noise (the pagerank grid
+    argument: measured divergence orders below the boundary)."""
+    parts = [
+        "und AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, "
+        "greatest(x.l_partkey, y.l_partkey) AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey <> y.l_partkey)",
+        "edges AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b AS src, a AS dst FROM und)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "seeds AS (SELECT src AS id FROM deg ORDER BY src LIMIT 4)",
+        # each round references its predecessor exactly ONCE (via the
+        # in-mass subquery); restart re-derives from the static
+        # deg/seeds frames — a twice-referenced round CTE would be
+        # re-INLINED per reference and blow up 2^rounds (the kcore
+        # MATERIALIZED lesson)
+        "r0 AS (SELECT d.src AS id, d.deg, CASE WHEN s.id IS NOT NULL "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank "
+        "FROM deg d LEFT JOIN seeds s ON d.src = s.id)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"r{i + 1} AS (SELECT d.src AS id, d.deg, "
+            "0.15 * (CASE WHEN se.id IS NOT NULL THEN CAST(1.0 AS "
+            "DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) "
+            "+ 0.85 * coalesce(s.in_mass, 0.0) AS rank "
+            "FROM deg d LEFT JOIN seeds se ON d.src = se.id "
+            f"LEFT JOIN (SELECT e.dst, sum(rr.rank / rr.deg) AS in_mass "
+            f"FROM edges e JOIN r{i} rr ON e.src = rr.id GROUP BY e.dst) "
+            "s ON d.src = s.dst)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id AS part_id, round(rank, 6) AS rank FROM r{rounds} "
+        "ORDER BY round(rank, 6) DESC, id ASC LIMIT 30"
+    )
+
+
+def ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank): random
+    walk with restart to the 4 smallest part ids over the
+    co-purchase graph — the "related items" relevance score (plain
+    pagerank ranks global centrality; PPR ranks closeness to the
+    seeds). 8 fixed rounds, restart mass 1 per seed, no dangling on
+    the symmetric graph; top-30 by round-6 rank (the pagerank grid
+    discipline). Oracle: identical rounds unrolled as CTEs."""
+    from agnes_spark.operators.graph import personalized_pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    ranks = personalized_pagerank(edges, seeds, rounds=8)
+    return (
+        ranks.select(
+            F.col("id").alias("part_id"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("part_id"))
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6635,18 +6704,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 61 new-in-r7 keys are staged below
-        # (dedup_spans .. ccf_events_hourly), none with a driver
-        # row. The r8 window = the FIRST 50 of these 61; the last 11
+        # r8 ROTATION NOTE: 62 new-in-r7 keys are staged below
+        # (dedup_spans .. ppr_copurchase), none with a driver row.
+        # The r8 window = the FIRST 50 of these 62; the last 12
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
         # assoc_rules_parts pca_top_embeddings stump_eval_orders
         # hard_negatives_embeddings bpe_merges_docs
-        # khop_reach_copurchase dbscan_customers ccf_events_hourly)
-        # head the r9 note together with the 7 r3-latest keys
-        # (serialize_roundtrip decontaminate pack_chunks
-        # train_test_split normalize_text tfidf_top_terms
-        # rolling_7d_revenue); next-oldest after that:
-        # csv_roundtrip (r4).
+        # khop_reach_copurchase dbscan_customers ccf_events_hourly
+        # ppr_copurchase) head the r9 note together with the 7
+        # r3-latest keys (serialize_roundtrip decontaminate
+        # pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue); next-oldest after
+        # that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6710,6 +6779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach_copurchase": khop_reach_copurchase,
         "dbscan_customers": dbscan_customers,
         "ccf_events_hourly": ccf_events_hourly,
+        "ppr_copurchase": ppr_copurchase,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -8053,6 +8123,7 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS ccf "
             "FROM s ORDER BY lag"
         ),
+        "ppr_copurchase": _ppr_oracle_sql(8),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the
         # learned 1-row split scores the full table.

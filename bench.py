@@ -208,6 +208,7 @@ EXTRA_QUERIES = [
     "khop_reach_copurchase",
     "dbscan_customers",
     "ccf_events_hourly",
+    "ppr_copurchase",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

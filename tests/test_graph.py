@@ -343,3 +343,26 @@ def test_label_propagation_deterministic_tiebreak(spark):
     )
     out = {r.id: r.community for r in label_propagation(df, max_iter=1).collect()}
     assert out[2] == 1  # tie between 1 and 3 -> smallest
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    from agnes_spark.operators.graph import personalized_pagerank
+
+    # two disjoint triangles; seeds in the first one only
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    und = tri1 + tri2
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, [1], rounds=8).collect()
+    }
+    # the seed's component holds ALL the mass; the other is exactly 0
+    assert got[10] == got[11] == got[12] == 0.0
+    assert got[1] > got[2] > 0 and abs(got[2] - got[3]) < 1e-15
+    # restart mass is conserved on a dangling-free graph
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # seed stays the top-ranked node
+    assert got[1] == max(got.values())
