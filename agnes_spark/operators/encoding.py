@@ -169,3 +169,64 @@ def robust_scale(
     return joined.withColumn(
         out, F.when(t.isNotNull() & (iqr > 0), rs)
     ).drop("__q1", "__q2", "__q3")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003): replace each
+    row's value with the GLOBAL value at the same within-group rank
+    quantile, so every group ends up with the same distribution —
+    the cross-source calibration step before mixing heterogeneous
+    feeds. Deterministic exact form: within-group ordinal rank r of
+    n_g maps to global ordinal position ceil(r * N / n_g) (pure
+    integer arithmetic), and the value at a global position resolves
+    through the distinct-value interval frame (cum+1 .. cum+t) — a
+    range join against a frame bounded by the DISTINCT VALUE count,
+    never by rows. Ties order by (value, id) everywhere. Adds
+    `<value_col>_qn`.
+
+    Scale shape: one partitioned rank window (by group), one grouped
+    count, one distinct-value prefix frame broadcast into a bounded
+    range join. No data-sized global window."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"), v.alias("__v"), F.col(id_col).alias("__id")
+    )
+    w_g = Window.partitionBy("__g").orderBy("__v", "__id")
+    ranked = rows.withColumn("__r", F.row_number().over(w_g))
+    ng = rows.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__ng"))
+    totals = rows.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+    # distinct-value interval frame: global position p falls in value
+    # v iff cum(v) < p <= cum(v) + t(v)
+    per_v = rows.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    w_v = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    iv = per_v.withColumn(
+        "__cum", F.coalesce(F.sum("__t").over(w_v), F.lit(0)).cast("long")
+    ).select(
+        F.col("__v").alias("__gv"),
+        (F.col("__cum") + F.lit(1)).alias("__lo"),
+        (F.col("__cum") + F.col("__t")).alias("__hi"),
+    )
+    num = F.col("__r") * F.col("__nn") + F.col("__ng") - F.lit(1)
+    pos = ((num - F.pmod(num, F.col("__ng"))) / F.col("__ng")).cast("long")
+    placed = (
+        ranked.join(ng, "__g")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__p", pos)
+        .join(
+            F.broadcast(iv),
+            (F.col("__p") >= F.col("__lo")) & (F.col("__p") <= F.col("__hi")),
+        )
+    )
+    return placed.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__v").alias(value_col),
+        F.col("__gv").alias(f"{value_col}_qn"),
+    )

@@ -209,6 +209,7 @@ EXTRA_QUERIES = [
     "dbscan_customers",
     "ccf_events_hourly",
     "ppr_copurchase",
+    "quantile_norm_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

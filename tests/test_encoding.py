@@ -64,3 +64,35 @@ def test_robust_scale_matches_numpy_quantiles(spark):
     got = {r.y: r.y_rs for r in out}
     for v in vals:
         assert abs(got[v] - (v - q2) / (q3 - q1)) < 1e-12
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    from agnes_spark.operators.encoding import quantile_normalize
+
+    # two same-size groups with shifted distributions
+    a = [(f"a", 10 * i, i) for i in range(1, 9)]
+    b = [(f"b", 1000 + 3 * i, 100 + i) for i in range(1, 9)]
+    df = spark.createDataFrame(a + b, "g string, v long, id long")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.v_qn)
+    # after normalization both groups carry the SAME distribution
+    assert sorted(by_g["a"]) == sorted(by_g["b"])
+    # equal group sizes -> rank r maps to global position 2r (even
+    # positions of the 16-value global order)
+    global_sorted = sorted([v for _, v, _ in a + b])
+    want = [global_sorted[2 * r - 1] for r in range(1, 9)]
+    assert sorted(by_g["a"]) == sorted(want)
+
+
+def test_quantile_normalize_preserves_rank_order(spark):
+    from agnes_spark.operators.encoding import quantile_normalize
+
+    rows = [("g1", 5, 1), ("g1", 1, 2), ("g1", 9, 3), ("g2", 7, 4)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {(r.g, r.id): r.v_qn for r in quantile_normalize(df, "g", "v", "id").collect()}
+    # within a group, normalization is monotone in the original value
+    assert got[("g1", 2)] <= got[("g1", 1)] <= got[("g1", 3)]
+    # a singleton group maps to the global maximum (position N)
+    assert got[("g2", 4)] == 9

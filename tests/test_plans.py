@@ -213,6 +213,7 @@ AUDIT_BNLJ_ALLOWED = {
     "stump_eval_orders",  # 1-row learned-split broadcast onto the fact scan (+ stump bounds/totals)
     "hard_negatives_embeddings",  # 16-row anchor broadcast (ann exact-baseline pattern)
     "ccf_events_hourly",  # 7-row lag-list broadcast onto the bounded hourly frame
+    "quantile_norm_docs",  # bounded distinct-value interval frame broadcast (range join)
 }
 
 
@@ -261,6 +262,7 @@ AUDIT_SP_ALLOWED = {
     "trimmed_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
     "stump_eval_orders",  # bucket-offset prefix sum over the constant-size bucket frame
     "ccf_events_hourly",  # hour rank over the calendar-bounded hourly frame
+    "quantile_norm_docs",  # interval prefix over the bounded distinct-value frame
 }
 
 
