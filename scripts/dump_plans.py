@@ -66,6 +66,10 @@ SHOWCASE = [
         "itemitem_parts",
         "basket pairs expand map-side in ONE shuffle; per-item window cuts top-k",
     ),
+    (
+        "quantile_norm_docs",
+        "rank-to-position arithmetic + bounded interval-frame range join",
+    ),
 ]
 
 
