@@ -6665,6 +6665,23 @@ def quantile_norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_matrix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KS drift matrix (stats.ks_distance_matrix): the
+    two-sample Kolmogorov-Smirnov distance between every pair of the
+    20 document sources on n_chars — the multi-feed drift monitor
+    (ks_test_cents checks ONE suspect pair; this ranks all 190).
+    The max ECDF gap keeps an EXACT integer numerator
+    (cross-multiplied cumulative counts), so comparisons and the
+    argmax are integer-exact; ks is one final division. ECDFs live
+    on the bounded groups x distinct-values grid."""
+    from agnes_spark.operators.stats import ks_distance_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_distance_matrix(d, "source", "n_chars").orderBy(
+        "group_a", "group_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6731,18 +6748,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 63 new-in-r7 keys are staged below
-        # (dedup_spans .. quantile_norm_docs), none with a driver
-        # row. The r8 window = the FIRST 50 of these 63; the last 13
+        # r8 ROTATION NOTE: 64 new-in-r7 keys are staged below
+        # (dedup_spans .. ks_matrix_sources), none with a driver
+        # row. The r8 window = the FIRST 50 of these 64; the last 14
         # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
         # assoc_rules_parts pca_top_embeddings stump_eval_orders
         # hard_negatives_embeddings bpe_merges_docs
         # khop_reach_copurchase dbscan_customers ccf_events_hourly
-        # ppr_copurchase quantile_norm_docs) head the r9 note
-        # together with the 7 r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split normalize_text
-        # tfidf_top_terms rolling_7d_revenue); next-oldest after
-        # that: csv_roundtrip (r4).
+        # ppr_copurchase quantile_norm_docs ks_matrix_sources) head
+        # the r9 note together with the 7 r3-latest keys
+        # (serialize_roundtrip decontaminate pack_chunks
+        # train_test_split normalize_text tfidf_top_terms
+        # rolling_7d_revenue); next-oldest after that:
+        # csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6808,6 +6826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_events_hourly": ccf_events_hourly,
         "ppr_copurchase": ppr_copurchase,
         "quantile_norm_docs": quantile_norm_docs,
+        "ks_matrix_sources": ks_matrix_sources,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -8175,6 +8194,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(gv AS HUGEINT)) AS DOUBLE) / "
             "CAST(count(*) AS DOUBLE) AS mean_qn "
             "FROM q GROUP BY source ORDER BY source"
+        ),
+        "ks_matrix_sources": (
+            "WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, "
+            "CAST(count(*) AS BIGINT) AS t FROM documents "
+            "WHERE source IS NOT NULL AND n_chars IS NOT NULL "
+            "GROUP BY source, n_chars), "
+            "grid AS (SELECT gg.g, vv.v, coalesce(c.t, 0) AS t FROM "
+            "(SELECT DISTINCT g FROM c) gg CROSS JOIN "
+            "(SELECT DISTINCT v FROM c) vv "
+            "LEFT JOIN c ON c.g = gg.g AND c.v = vv.v), "
+            "e AS (SELECT g, v, CAST(sum(t) OVER (PARTITION BY g ORDER "
+            "BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "
+            "BIGINT) AS cum FROM grid), "
+            "tot AS (SELECT g, CAST(sum(t) AS BIGINT) AS n FROM c "
+            "GROUP BY g), "
+            "ee AS (SELECT e.g, e.v, e.cum, tot.n FROM e JOIN tot "
+            "ON e.g = tot.g), "
+            "p AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, "
+            "b.n AS n_b, abs(a.cum * b.n - b.cum * a.n) AS num "
+            "FROM ee a JOIN ee b ON a.v = b.v AND a.g < b.g) "
+            "SELECT group_a, group_b, max(n_a) AS n_a, max(n_b) AS n_b, "
+            "CAST(max(num) AS BIGINT) AS ks_num, "
+            "CAST(max(num) AS DOUBLE) / CAST(max(n_a) * max(n_b) AS "
+            "DOUBLE) AS ks FROM p GROUP BY group_a, group_b "
+            "ORDER BY group_a, group_b"
         ),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the

@@ -814,3 +814,72 @@ def trimmed_mean(
         "n_kept",
         (F.col("__s") / F.col("n_kept").cast("double")).alias("mean"),
     )
+
+
+def ks_distance_matrix(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov distances between ALL
+    groups — the drift matrix a multi-feed ingest monitors (which
+    sources' distributions disagree, not just one suspect pair).
+    Returns (group_a, group_b, n_a, n_b, ks_num, ks) per unordered
+    pair, where ks = max_v |ECDF_a(v) - ECDF_b(v)| and ks_num is the
+    EXACT integer max_v |cum_a(v)*n_b - cum_b(v)*n_a| (so the
+    argmax and all comparisons are integer-exact; ks itself is one
+    final division).
+
+    Scale shape: ECDFs evaluate on the groups x distinct-values
+    grid (bounded by group count times value cardinality, never by
+    rows): one grouped count, a per-group running-sum window
+    (partitioned — no global window), then a value-aligned self-join
+    and one grouped max."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    counts = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    )
+    groups = counts.select("__g").distinct()
+    values = counts.select("__v").distinct()
+    grid = groups.crossJoin(values).join(counts, ["__g", "__v"], "left")
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = grid.withColumn(
+        "__cum", F.sum(F.coalesce("__t", F.lit(0))).over(w).cast("long")
+    )
+    totals = counts.groupBy("__g").agg(F.sum("__t").cast("long").alias("__n"))
+    e = ecdf.join(totals, "__g").select("__g", "__v", "__cum", "__n")
+    a = e.select(
+        F.col("__g").alias("group_a"),
+        F.col("__v").alias("__v"),
+        F.col("__cum").alias("ca"),
+        F.col("__n").alias("n_a"),
+    )
+    b = e.select(
+        F.col("__g").alias("group_b"),
+        F.col("__v").alias("__v"),
+        F.col("__cum").alias("cb"),
+        F.col("__n").alias("n_b"),
+    )
+    pairs = a.join(b, "__v").filter(F.col("group_a") < F.col("group_b"))
+    num = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    agg = pairs.groupBy("group_a", "group_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(num).cast("long").alias("ks_num"),
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "ks_num",
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks"),
+    )

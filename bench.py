@@ -210,6 +210,7 @@ EXTRA_QUERIES = [
     "ccf_events_hourly",
     "ppr_copurchase",
     "quantile_norm_docs",
+    "ks_matrix_sources",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -214,6 +214,7 @@ AUDIT_BNLJ_ALLOWED = {
     "hard_negatives_embeddings",  # 16-row anchor broadcast (ann exact-baseline pattern)
     "ccf_events_hourly",  # 7-row lag-list broadcast onto the bounded hourly frame
     "quantile_norm_docs",  # bounded distinct-value interval frame broadcast (range join)
+    "ks_matrix_sources",  # groups x distinct-values ECDF grid (both sides cardinality-bounded)
 }
 
 

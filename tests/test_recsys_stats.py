@@ -79,3 +79,35 @@ def test_kaplan_meier_textbook(spark):
     assert abs(got[10][2] - (18 / 21) * (16 / 17) * (14 / 15)) < 1e-12
     # censor-only times never appear as output rows
     assert 9 not in got and 11 not in got
+
+
+def test_ks_distance_matrix_bruteforce(spark):
+    from agnes_spark.operators.stats import ks_distance_matrix
+
+    rows = (
+        [("a", v) for v in [1, 2, 2, 3, 7]]
+        + [("b", v) for v in [2, 3, 3, 9]]
+        + [("c", v) for v in [1, 1, 1]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.ks_num, r.ks)
+        for r in ks_distance_matrix(df, "g", "v").collect()
+    }
+
+    def brute(xs, ys):
+        vals = sorted(set(xs) | set(ys))
+        best = 0
+        for t in vals:
+            ca = sum(1 for x in xs if x <= t)
+            cb = sum(1 for y in ys if y <= t)
+            best = max(best, abs(ca * len(ys) - cb * len(xs)))
+        return best
+
+    data = {"a": [1, 2, 2, 3, 7], "b": [2, 3, 3, 9], "c": [1, 1, 1]}
+    for ga, gb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        num = brute(data[ga], data[gb])
+        n_a, n_b = len(data[ga]), len(data[gb])
+        assert got[(ga, gb)] == (n_a, n_b, num, num / (n_a * n_b))
+    # identical distributions would give 0; disjoint ones give 1
+    assert got[("b", "c")][3] == 1.0  # c entirely below b's support
