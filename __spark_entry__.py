@@ -6682,6 +6682,66 @@ def ks_matrix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized 5% mean of extendedprice cents
+    (stats.winsorized_mean) — clamp the tails to the cut values
+    instead of dropping them (trimmed_mean_price drops; winsorizing
+    saturates, preserving sample size). Cut values, clamped counts,
+    and the winsorized sum are all integer interval arithmetic over
+    the bucketed prefix frame; ONE final division."""
+    from agnes_spark.operators.stats import winsorized_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return winsorized_mean(li, "cents", pct=5)
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-evaluate for the Markov next-event model: learn
+    per-user event-type transition counts, predict each step's next
+    type as the argmax transition from the current type (ties by
+    type name), and score in-sample top-1 accuracy — the eval metric
+    behind transition_matrix's raw counts. Exact integers + a
+    deterministic argmax; the 5x5 transition model broadcasts back
+    onto the step stream. Output: one row per current type with its
+    predicted next type, step count, hits, and accuracy."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    trans = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pred = trans.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"), F.col("next_type").alias("nt")
+            )
+        ).alias("b")
+    ).select("event_type", F.col("b.nt").alias("pred_next"))
+    scored = steps.join(F.broadcast(pred), "event_type")
+    return (
+        scored.groupBy("event_type", "pred_next")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum(
+                (F.col("next_type") == F.col("pred_next")).cast("long")
+            )
+            .cast("long")
+            .alias("hits"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("hits").cast("double") / F.col("n_steps").cast("double"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-7 window (counted to exactly 50):
@@ -6748,19 +6808,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_values": collect_values,
         # ---------------- end of the 50-key window ----------------
         # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 64 new-in-r7 keys are staged below
-        # (dedup_spans .. ks_matrix_sources), none with a driver
-        # row. The r8 window = the FIRST 50 of these 64; the last 14
-        # (holt_trend_revenue nb_top_tokens_lang trimmed_mean_price
-        # assoc_rules_parts pca_top_embeddings stump_eval_orders
-        # hard_negatives_embeddings bpe_merges_docs
-        # khop_reach_copurchase dbscan_customers ccf_events_hourly
-        # ppr_copurchase quantile_norm_docs ks_matrix_sources) head
-        # the r9 note together with the 7 r3-latest keys
-        # (serialize_roundtrip decontaminate pack_chunks
-        # train_test_split normalize_text tfidf_top_terms
-        # rolling_7d_revenue); next-oldest after that:
-        # csv_roundtrip (r4).
+        # r8 ROTATION NOTE: 66 new-in-r7 keys are staged below
+        # (dedup_spans .. markov_next_event_accuracy), none with a
+        # driver row. The r8 window = the FIRST 50 of these 66; the
+        # last 16 (holt_trend_revenue nb_top_tokens_lang
+        # trimmed_mean_price assoc_rules_parts pca_top_embeddings
+        # stump_eval_orders hard_negatives_embeddings
+        # bpe_merges_docs khop_reach_copurchase dbscan_customers
+        # ccf_events_hourly ppr_copurchase quantile_norm_docs
+        # ks_matrix_sources winsorized_mean_price
+        # markov_next_event_accuracy) head the r9 note together
+        # with the 7 r3-latest keys (serialize_roundtrip
+        # decontaminate pack_chunks train_test_split normalize_text
+        # tfidf_top_terms rolling_7d_revenue); next-oldest after
+        # that: csv_roundtrip (r4).
         # Verify
         # list(queries())[49] programmatically after rotating.
         "dedup_spans": dedup_spans,
@@ -6827,6 +6888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase": ppr_copurchase,
         "quantile_norm_docs": quantile_norm_docs,
         "ks_matrix_sources": ks_matrix_sources,
+        "winsorized_mean_price": winsorized_mean_price,
+        "markov_next_event_accuracy": markov_next_event_accuracy,
         "serialize_roundtrip": serialize_roundtrip,
         "decontaminate": decontaminate,
         "pack_chunks": pack_chunks,
@@ -8219,6 +8282,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(num) AS DOUBLE) / CAST(max(n_a) * max(n_b) AS "
             "DOUBLE) AS ks FROM p GROUP BY group_a, group_b "
             "ORDER BY group_a, group_b"
+        ),
+        "winsorized_mean_price": (
+            "WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS "
+            "BIGINT) AS v FROM lineitem), "
+            "pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM b "
+            "GROUP BY v), "
+            "c AS (SELECT v, t, CAST(coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "
+            "BIGINT) AS cum FROM pv), "
+            "tt AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM pv), "
+            "k AS (SELECT v, t, cum, nn, (nn * 5) // 100 AS lo, "
+            "nn - (nn * 5) // 100 AS hi FROM c CROSS JOIN tt), "
+            "cuts AS (SELECT max(CASE WHEN cum < lo + 1 AND cum + t >= "
+            "lo + 1 THEN v END) AS lo_cut, max(CASE WHEN cum < hi AND "
+            "cum + t >= hi THEN v END) AS hi_cut, max(nn) AS n_total "
+            "FROM k), "
+            "s AS (SELECT CAST(sum(CAST(greatest(CAST(0 AS BIGINT), "
+            "least(cum + t, hi) - greatest(cum, lo)) * v "
+            "+ greatest(CAST(0 AS BIGINT), least(cum + t, lo) - cum) "
+            "* cuts.lo_cut "
+            "+ greatest(CAST(0 AS BIGINT), cum + t - greatest(cum, hi)) "
+            "* cuts.hi_cut AS HUGEINT)) AS DOUBLE) AS sm "
+            "FROM k CROSS JOIN cuts) "
+            "SELECT n_total, lo_cut, hi_cut, "
+            "sm / CAST(n_total AS DOUBLE) AS mean FROM cuts CROSS JOIN s"
+        ),
+        "markov_next_event_accuracy": (
+            "WITH st AS (SELECT event_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type "
+            "FROM events), "
+            "steps AS (SELECT event_type, next_type FROM st "
+            "WHERE next_type IS NOT NULL), "
+            "tr AS (SELECT event_type, next_type, CAST(count(*) AS "
+            "BIGINT) AS c FROM steps GROUP BY event_type, next_type), "
+            "pd AS (SELECT event_type, struct_extract(min(struct_pack("
+            "nc := -c, nt := next_type)), 'nt') AS pred_next FROM tr "
+            "GROUP BY event_type) "
+            "SELECT s.event_type, pd.pred_next, CAST(count(*) AS BIGINT) "
+            "AS n_steps, CAST(sum(CASE WHEN s.next_type = pd.pred_next "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS hits, "
+            "CAST(sum(CASE WHEN s.next_type = pd.pred_next THEN 1 ELSE 0 "
+            "END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy "
+            "FROM steps s JOIN pd ON s.event_type = pd.event_type "
+            "GROUP BY s.event_type, pd.pred_next ORDER BY s.event_type"
         ),
         # same two-level shape as decision_stump_orders, feature =
         # epoch days of o_orderdate, target = status 'F'; then the

@@ -883,3 +883,70 @@ def ks_distance_matrix(
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("ks"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame, value_col: str, pct: int = 5, n_buckets: int = 64
+) -> DataFrame:
+    """Winsorized mean: CLAMP the lowest/highest `pct` percent of
+    observations to the cut values instead of dropping them (the
+    finance-style robust mean; trimmed_mean drops, winsorizing
+    saturates — sample size is preserved). Cut values are the
+    observations at positions lo+1 and n-lo of the sorted multiset;
+    every kept/clamped count is integer interval arithmetic over the
+    _value_counts_cum prefix frame, the winsorized sum is exact, and
+    the mean is ONE division. Returns (n_total, lo_cut, hi_cut,
+    mean)."""
+    vc = _value_counts_cum(df, value_col, n_buckets)
+    totals = vc.agg(F.sum("t").cast("long").alias("nn"))
+    j = vc.crossJoin(F.broadcast(totals))
+    lo = (
+        (F.col("nn") * pct - F.pmod(F.col("nn") * pct, F.lit(100))) / 100
+    ).cast("long")
+    j = j.withColumn("__lo", lo).withColumn("__hi", F.col("nn") - F.col("__lo"))
+    # cut values: the observations at sorted positions lo+1 and hi
+    in_lo = (F.col("cum") < F.col("__lo") + 1) & (
+        F.col("cum") + F.col("t") >= F.col("__lo") + 1
+    )
+    in_hi = (F.col("cum") < F.col("__hi")) & (
+        F.col("cum") + F.col("t") >= F.col("__hi")
+    )
+    cuts = j.agg(
+        F.max(F.when(in_lo, F.col("v"))).alias("lo_cut"),
+        F.max(F.when(in_hi, F.col("v"))).alias("hi_cut"),
+        F.max("nn").alias("n_total"),
+    )
+    body = j.crossJoin(F.broadcast(cuts.select("lo_cut", "hi_cut")))
+    mid = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum") + F.col("t"), F.col("__hi"))
+        - F.greatest(F.col("cum"), F.col("__lo")),
+    )
+    below = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum") + F.col("t"), F.col("__lo")) - F.col("cum"),
+    )
+    above = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("cum") + F.col("t") - F.greatest(F.col("cum"), F.col("__hi")),
+    )
+    s = body.agg(
+        F.sum(
+            (
+                mid * F.col("v")
+                + below * F.col("lo_cut")
+                + above * F.col("hi_cut")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("__s")
+    )
+    return (
+        cuts.crossJoin(F.broadcast(s))
+        .select(
+            "n_total",
+            "lo_cut",
+            "hi_cut",
+            (F.col("__s") / F.col("n_total").cast("double")).alias("mean"),
+        )
+    )

@@ -211,6 +211,8 @@ EXTRA_QUERIES = [
     "ppr_copurchase",
     "quantile_norm_docs",
     "ks_matrix_sources",
+    "winsorized_mean_price",
+    "markov_next_event_accuracy",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -215,6 +215,7 @@ AUDIT_BNLJ_ALLOWED = {
     "ccf_events_hourly",  # 7-row lag-list broadcast onto the bounded hourly frame
     "quantile_norm_docs",  # bounded distinct-value interval frame broadcast (range join)
     "ks_matrix_sources",  # groups x distinct-values ECDF grid (both sides cardinality-bounded)
+    "winsorized_mean_price",  # 1-row totals/cuts broadcasts onto the value frame
 }
 
 
@@ -264,6 +265,7 @@ AUDIT_SP_ALLOWED = {
     "stump_eval_orders",  # bucket-offset prefix sum over the constant-size bucket frame
     "ccf_events_hourly",  # hour rank over the calendar-bounded hourly frame
     "quantile_norm_docs",  # interval prefix over the bounded distinct-value frame
+    "winsorized_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
 }
 
 

@@ -111,3 +111,28 @@ def test_ks_distance_matrix_bruteforce(spark):
         assert got[(ga, gb)] == (n_a, n_b, num, num / (n_a * n_b))
     # identical distributions would give 0; disjoint ones give 1
     assert got[("b", "c")][3] == 1.0  # c entirely below b's support
+
+
+def test_winsorized_mean_reference(spark):
+    from agnes_spark.operators.stats import winsorized_mean
+
+    vals = list(range(1, 101)) + [10_000, -10_000]  # n=102, lo=5
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = winsorized_mean(df, "v", pct=5).collect()[0]
+    srt = sorted(vals)
+    lo = 102 * 5 // 100
+    lo_cut, hi_cut = srt[lo], srt[102 - lo - 1]
+    wins = [min(max(v, lo_cut), hi_cut) for v in vals]
+    assert (row.n_total, row.lo_cut, row.hi_cut) == (102, lo_cut, hi_cut)
+    assert abs(row.mean - sum(wins) / 102) < 1e-9
+    # clamping (not dropping): sample size preserved, outliers tamed
+    assert 40 < row.mean < 60
+
+
+def test_winsorized_no_clamp_when_pct_zero_bucket(spark):
+    from agnes_spark.operators.stats import winsorized_mean
+
+    vals = [3, 1, 2]  # n=3, lo = 0 -> plain mean
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = winsorized_mean(df, "v", pct=5).collect()[0]
+    assert row.mean == 2.0 and row.lo_cut == 1 and row.hi_cut == 3
