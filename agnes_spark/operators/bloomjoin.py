@@ -108,8 +108,22 @@ def bloom_might_contain(
     key: Column, words: list[int], num_bits: int, num_hashes: int
 ) -> Column:
     """Membership probe as a pure JVM expression (no UDF, no shuffle):
-    all k bits must be set in the embedded word array."""
-    mask = F.lit(words)  # array<long> literal, shipped with the task binary
+    all k bits must be set in the embedded word array.
+
+    The word array is shipped as ONE string literal and split/cast to
+    array<bigint> — split and cast over a literal are foldable, so
+    Catalyst's ConstantFolding collapses each reference to a single
+    array Literal before codegen and the per-row probe is direct array
+    indexing. The naive alternative, F.lit(list_of_longs), expands to
+    one CreateArray with a Literal child PER WORD (one py4j call each):
+    for a ~500-word filter referenced by k=5 hash tests that was a
+    ~2,800-node predicate built from ~540 py4j round-trips PER
+    INVOCATION — measured at 46-61s/run inside a long-lived session
+    with 150+ accumulated queries (BENCH_r07) vs 0.9s in a fresh one,
+    because both the gateway latency and the analyzer/optimizer passes
+    over the giant tree degrade with session state. The folded form is
+    ~80 nodes and ~10 py4j calls regardless of filter size."""
+    mask = F.split(F.lit(",".join(map(str, words))), ",").cast("array<bigint>")
     tests = []
     for p in _positions(key, num_bits, num_hashes):
         word = F.get(mask, F.shiftright(p, 6).cast("int"))
