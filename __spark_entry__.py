@@ -6744,86 +6744,27 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-7 window (counted to exactly 50):
-    #   1-35:  the 35 keys staged in r6 — never driver-graded; all 35
-    #          judge-verified green at sf0.01 in the r6 verdict
-    #   36-50: the 15 oldest-graded keys (split_sentences, last driver
-    #          row r2, plus 14 r3-latest keys — incl. quality_score and
-    #          curation_pipeline whose implementations changed in r6, so
-    #          their fresh driver rows matter most)
-    #   51+:   the r6-graded window (all green in CORRECTNESS_r06), then
-    #          r5/r4/r3-graded keys
+    # Round-8 window (counted to exactly 50):
+    #   1-50: the first 50 of the 66 keys staged in r7 — never
+    #         driver-graded; all 66 judge-verified green at sf0.01 in
+    #         the r7 verdict (dedup_spans .. decision_stump_orders).
+    #   51+:  the 16 remaining never-graded r7 keys, the 7 r3-latest
+    #         keys, the r7-graded window, then r6/r5/r4-graded keys.
+    # r9 ROTATION NOTE: the r9 window = the 16 remaining never-graded
+    # r7 keys (holt_trend_revenue nb_top_tokens_lang
+    # trimmed_mean_price assoc_rules_parts pca_top_embeddings
+    # stump_eval_orders hard_negatives_embeddings bpe_merges_docs
+    # khop_reach_copurchase dbscan_customers ccf_events_hourly
+    # ppr_copurchase quantile_norm_docs ks_matrix_sources
+    # winsorized_mean_price markov_next_event_accuracy) + the 7
+    # r3-latest keys (serialize_roundtrip decontaminate pack_chunks
+    # train_test_split normalize_text tfidf_top_terms
+    # rolling_7d_revenue) + any keys staged in r8, topped up to 50
+    # with the next-oldest graded keys (csv_roundtrip and the r4
+    # window). Verify list(queries())[49] programmatically after
+    # rotating.
     return {
-        # --- staged in r6, never driver-graded (judge-verified r6) ---
-        "compaction_roundtrip": compaction_roundtrip,
-        "schema_evolution_read": schema_evolution_read,
-        "stream_band_join": stream_band_join,
-        "feature_asof_count": feature_asof_count,
-        "decayed_engagement": decayed_engagement,
-        "scd2_pit_join": scd2_pit_join,
-        "column_entropy": column_entropy,
-        "chi2_independence": chi2_independence,
-        "corr_matrix": corr_matrix,
-        "weighted_sample_docs": weighted_sample_docs,
-        "interpolate_gaps": interpolate_gaps,
-        "weighted_median_price": weighted_median_price,
-        "bloom_pruned_join": bloom_pruned_join,
-        "partitioned_write_prune": partitioned_write_prune,
-        "dynamic_partition_prune": dynamic_partition_prune,
-        "transition_matrix": transition_matrix,
-        "vocab_coverage": vocab_coverage,
-        "mad_outliers": mad_outliers,
-        "pagerank_copurchase": pagerank_copurchase,
-        "check_pagerank_parity": check_pagerank_parity,
-        "twap_user": twap_user,
-        "ohlc_hourly": ohlc_hourly,
-        "order_streaks": order_streaks,
-        "frequent_itempairs": frequent_itempairs,
-        "recursive_cte_chain": recursive_cte_chain,
-        "session_variable_query": session_variable_query,
-        "sql_scripting_block": sql_scripting_block,
-        "udtf_chunk_docs": udtf_chunk_docs,
-        "rolling_corr_daily": rolling_corr_daily,
-        "fuzzy_match_names": fuzzy_match_names,
-        "cumulative_reach": cumulative_reach,
-        "triangle_copurchase": triangle_copurchase,
-        "ab_welch_ttest": ab_welch_ttest,
-        "benford_totalprice": benford_totalprice,
-        "drift_js_divergence": drift_js_divergence,
-        # --- 15 oldest driver rows (r2/r3), rotated back in ---
-        "split_sentences": split_sentences,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_embedding": dedup_embedding,
-        "ann_cosine_topk": ann_cosine_topk,
-        "lang_id": lang_id,
-        "quality_score": quality_score,
-        "token_count": token_count,
-        "geo_mean": geo_mean,
-        "ols_slope": ols_slope,
-        "minmax_by": minmax_by,
-        "curation_pipeline": curation_pipeline,
-        "multimodal_decode": multimodal_decode,
-        "word_count": word_count,
-        "collect_values": collect_values,
-        # ---------------- end of the 50-key window ----------------
-        # staged for the r8 window (new this round, never graded).
-        # r8 ROTATION NOTE: 66 new-in-r7 keys are staged below
-        # (dedup_spans .. markov_next_event_accuracy), none with a
-        # driver row. The r8 window = the FIRST 50 of these 66; the
-        # last 16 (holt_trend_revenue nb_top_tokens_lang
-        # trimmed_mean_price assoc_rules_parts pca_top_embeddings
-        # stump_eval_orders hard_negatives_embeddings
-        # bpe_merges_docs khop_reach_copurchase dbscan_customers
-        # ccf_events_hourly ppr_copurchase quantile_norm_docs
-        # ks_matrix_sources winsorized_mean_price
-        # markov_next_event_accuracy) head the r9 note together
-        # with the 7 r3-latest keys (serialize_roundtrip
-        # decontaminate pack_chunks train_test_split normalize_text
-        # tfidf_top_terms rolling_7d_revenue); next-oldest after
-        # that: csv_roundtrip (r4).
-        # Verify
-        # list(queries())[49] programmatically after rotating.
+        # --- r8 window: staged in r7, never driver-graded ---
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
         "check_span_recall": check_span_recall,
@@ -6897,6 +6838,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": normalize_text,
         "tfidf_top_terms": tfidf_top_terms,
         "rolling_7d_revenue": rolling_7d_revenue,
+        # r7-graded window (all green in CORRECTNESS_r07)
+        "compaction_roundtrip": compaction_roundtrip,
+        "schema_evolution_read": schema_evolution_read,
+        "stream_band_join": stream_band_join,
+        "feature_asof_count": feature_asof_count,
+        "decayed_engagement": decayed_engagement,
+        "scd2_pit_join": scd2_pit_join,
+        "column_entropy": column_entropy,
+        "chi2_independence": chi2_independence,
+        "corr_matrix": corr_matrix,
+        "weighted_sample_docs": weighted_sample_docs,
+        "interpolate_gaps": interpolate_gaps,
+        "weighted_median_price": weighted_median_price,
+        "bloom_pruned_join": bloom_pruned_join,
+        "partitioned_write_prune": partitioned_write_prune,
+        "dynamic_partition_prune": dynamic_partition_prune,
+        "transition_matrix": transition_matrix,
+        "vocab_coverage": vocab_coverage,
+        "mad_outliers": mad_outliers,
+        "pagerank_copurchase": pagerank_copurchase,
+        "check_pagerank_parity": check_pagerank_parity,
+        "twap_user": twap_user,
+        "ohlc_hourly": ohlc_hourly,
+        "order_streaks": order_streaks,
+        "frequent_itempairs": frequent_itempairs,
+        "recursive_cte_chain": recursive_cte_chain,
+        "session_variable_query": session_variable_query,
+        "sql_scripting_block": sql_scripting_block,
+        "udtf_chunk_docs": udtf_chunk_docs,
+        "rolling_corr_daily": rolling_corr_daily,
+        "fuzzy_match_names": fuzzy_match_names,
+        "cumulative_reach": cumulative_reach,
+        "triangle_copurchase": triangle_copurchase,
+        "ab_welch_ttest": ab_welch_ttest,
+        "benford_totalprice": benford_totalprice,
+        "drift_js_divergence": drift_js_divergence,
+        "split_sentences": split_sentences,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "geo_mean": geo_mean,
+        "ols_slope": ols_slope,
+        "minmax_by": minmax_by,
+        "curation_pipeline": curation_pipeline,
+        "multimodal_decode": multimodal_decode,
+        "word_count": word_count,
+        "collect_values": collect_values,
         # r6-graded window (all green in CORRECTNESS_r06)
         "grouping_sets_agg": grouping_sets_agg,
         "retention_cohorts": retention_cohorts,
