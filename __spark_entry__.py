@@ -6553,13 +6553,19 @@ def ccf_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("ra") + F.col("lag") == F.col("rb"))
     )
+    # products widen to decimal BEFORE summing (the welch/ols
+    # discipline): sum(y*y) is ~3.5e14 at sf0.1 and grows ~sf^2 —
+    # int64 accumulation would silently wrap around sf10-100 while
+    # the DuckDB oracle's HUGEINT kept going
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     agg = joined.groupBy("lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
     )
     nd = F.col("n").cast("double")
     corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -7902,20 +7908,24 @@ def oracle_sql() -> dict[str, str]:
             "range(1, 65), i -> (CAST(q[i] AS DOUBLE) - cv[i]) * "
             "(CAST(q[i] AS DOUBLE) - cv[i])), (acc, x) -> acc + x) AS dist "
             "FROM e CROSS JOIN c0) GROUP BY id, q), "
-            "c1 AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM "
+            # emptied clusters keep their previous centroid (operator
+            # parity): LEFT JOIN the update onto the prior frame
+            "c1 AS MATERIALIZED (SELECT c0.c, coalesce(u.cv, c0.cv) AS cv "
+            "FROM c0 LEFT JOIN (SELECT c, list(m ORDER BY i) AS cv FROM "
             "(SELECT cluster AS c, i, CAST(sum(q[i]) AS DOUBLE) / "
             "CAST(count(*) AS DOUBLE) AS m FROM a1 CROSS JOIN pos "
-            "GROUP BY cluster, i) GROUP BY c), "
+            "GROUP BY cluster, i) GROUP BY c) u ON c0.c = u.c), "
             "a2 AS MATERIALIZED (SELECT id, q, "
             "struct_extract(min(struct_pack(d := dist, c := c)), 'c') AS cluster "
             "FROM (SELECT e.id, e.q, c1.c, list_reduce(list_transform("
             "range(1, 65), i -> (CAST(q[i] AS DOUBLE) - cv[i]) * "
             "(CAST(q[i] AS DOUBLE) - cv[i])), (acc, x) -> acc + x) AS dist "
             "FROM e CROSS JOIN c1) GROUP BY id, q), "
-            "c2 AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM "
+            "c2 AS MATERIALIZED (SELECT c1.c, coalesce(u.cv, c1.cv) AS cv "
+            "FROM c1 LEFT JOIN (SELECT c, list(m ORDER BY i) AS cv FROM "
             "(SELECT cluster AS c, i, CAST(sum(q[i]) AS DOUBLE) / "
             "CAST(count(*) AS DOUBLE) AS m FROM a2 CROSS JOIN pos "
-            "GROUP BY cluster, i) GROUP BY c), "
+            "GROUP BY cluster, i) GROUP BY c) u ON c1.c = u.c), "
             "a3 AS MATERIALIZED (SELECT id, q, "
             "struct_extract(min(struct_pack(d := dist, c := c)), 'c') AS cluster "
             "FROM (SELECT e.id, e.q, c2.c, list_reduce(list_transform("

@@ -70,6 +70,11 @@ def _best_pair(vocab: DataFrame):
             )
         ).alias("s")
     ).first()["s"]
+    if row is None:
+        # no adjacent pairs left (merges exhausted the vocabulary, or
+        # a corpus of single-symbol words): min() over zero rows is
+        # NULL — signal the caller to stop instead of crashing
+        return None
     return row["a"], row["b"], -row["nc"]
 
 
@@ -83,7 +88,10 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
     vocab = _word_vocab(df, text_col).localCheckpoint(eager=True)
     out = []
     for r in range(1, merges + 1):
-        a, b, cnt = _best_pair(vocab)
+        best = _best_pair(vocab)
+        if best is None:  # vocabulary fully merged — stop early
+            break
+        a, b, cnt = best
         out.append((r, a, b, int(cnt)))
         vocab = vocab.select(
             F.replace(

@@ -64,6 +64,12 @@ def kmeans_assign(
     answer on any engine, any partitioning, any run. A cluster that
     empties keeps its previous centroid.
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    if k < 2:
+        # k=1 is a constant assignment (and F.least needs >= 2 choice
+        # structs) — reject rather than return a degenerate frame
+        raise ValueError(f"k must be >= 2 (got {k})")
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )

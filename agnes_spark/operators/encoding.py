@@ -194,6 +194,16 @@ def quantile_normalize(
     range join. No data-sized global window."""
     from pyspark.sql import Window
 
+    dt = dict(df.dtypes).get(value_col)
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        # the exact rank/interval arithmetic is integer-only; a silent
+        # cast would truncate float inputs and re-emit the truncated
+        # value under the original column name
+        raise ValueError(
+            f"quantile_normalize requires an integral value column "
+            f"(got {value_col}: {dt}); quantize upstream, e.g. "
+            f"round(x * scale).cast('long')"
+        )
     v = F.col(value_col).cast("long")
     rows = df.select(
         F.col(group_col).alias("__g"), v.alias("__v"), F.col(id_col).alias("__id")

@@ -44,3 +44,17 @@ def test_bpe_ignores_non_alpha_tokens(spark):
     # only the pure-alpha lowercase 'ab' tokens count (AB! and ab7
     # are filtered, so the pair count is 3)
     assert (got[0].left, got[0].right, got[0].pair_count) == ("a", "b", 3)
+
+
+def test_bpe_stops_early_when_no_pairs_remain(spark):
+    # single-letter words have no adjacent pairs: zero merge rows,
+    # not a crash (min() over an empty pair frame is NULL)
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_train(df, "text", merges=3).count() == 0
+
+
+def test_bpe_early_stop_after_exhausting_vocab(spark):
+    # 'ab' supports exactly one merge; asking for 3 returns 1 row
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    got = bpe_train(df, "text", merges=3).collect()
+    assert [(r.round, r.left, r.right) for r in got] == [(1, "a", "b")]

@@ -66,3 +66,13 @@ def test_kmeans_tie_breaks_to_lower_cluster_index(spark):
         for r in kmeans_assign(df, "vid", "v", k=2, rounds=1).collect()
     }
     assert got[2] == 0
+
+
+def test_kmeans_rejects_degenerate_parameters(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.0]), (1, [1.0])], "vid long, v array<double>")
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        kmeans_assign(df, "vid", "v", k=2, rounds=0)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmeans_assign(df, "vid", "v", k=1, rounds=1)

@@ -96,3 +96,15 @@ def test_quantile_normalize_preserves_rank_order(spark):
     assert got[("g1", 2)] <= got[("g1", 1)] <= got[("g1", 3)]
     # a singleton group maps to the global maximum (position N)
     assert got[("g2", 4)] == 9
+
+
+def test_quantile_normalize_rejects_non_integral_values(spark):
+    import pytest
+
+    from agnes_spark.operators.encoding import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("g", 1.5, 1)], "g string, v double, id long"
+    )
+    with pytest.raises(ValueError, match="integral value column"):
+        quantile_normalize(df, "g", "v", "id")
