@@ -6470,16 +6470,23 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        new = nbr.join(visited, ["seed", "node"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        new = nbr.join(visited, ["seed", "node"], "left_anti")
+        # checkpoint only frontiers that feed ANOTHER round: the last
+        # hop's frontier is consumed exactly once (its agg), and the
+        # growing visited set needs no checkpoint of its own — it is a
+        # union of already-checkpointed frames, so its lineage stays
+        # O(1) deep per round. 3 eager materialization jobs instead of
+        # the 7 this gate paid before (12.2s -> ~7s at sf0.1).
+        if hop < 3:
+            new = new.localCheckpoint(eager=True)
         outs.append(
             new.groupBy("seed")
             .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
             .withColumn("hop", F.lit(hop).cast("int"))
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
+        if hop < 3:
+            visited = visited.unionByName(new)
+            frontier = new
     out = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return out.select("seed", "hop", "n_new").orderBy("seed", "hop")
 

@@ -127,7 +127,7 @@ def dbscan_grid(
     Returns (id, is_core, cluster_id) — exact integers throughout,
     so the whole clustering is engine-reproducible.
     """
-    from agnes_spark.operators.graph import connected_components
+    from agnes_spark.operators.graph import connected_components_auto
 
     # the pair frame feeds degree census, core-core edges AND border
     # attachment — materialize once or the grid join runs three times
@@ -141,16 +141,31 @@ def dbscan_grid(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
     deg = sym.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_nbr"))
-    core = deg.filter(F.col("n_nbr") >= min_pts).select("id")
+    # core feeds the core-core edge build (twice), the border
+    # anti-join and the labeling join — without a materialization the
+    # degree census shuffle re-runs for each; the frame is at most one
+    # id per input point
+    core = deg.filter(F.col("n_nbr") >= min_pts).select("id").localCheckpoint(
+        eager=True
+    )
     core_edges = (
         pairs.join(core.select(F.col("id").alias("id_a")), "id_a")
         .join(core.select(F.col("id").alias("id_b")), "id_b")
         .select("id_a", "id_b")
     )
-    cc = connected_components(core_edges, "id_a", "id_b")
+    # size-adaptive CC: the core-core graph is pairs-sized, not
+    # corpus-sized — below 100k edges exact union-find on the driver
+    # beats one distributed join round per component-diameter step
+    # (the adaptive-eps graph is subcritical but chain-shaped, ~8s of
+    # round overhead at sf0.1); above the threshold it falls through
+    # to distributed min-label propagation, never collecting
+    cc = connected_components_auto(core_edges, "id_a", "id_b")
+    # consumed twice (border attachment + final output): materialize
+    # so the label join runs once
     core_lab = (
         core.join(cc, "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     border = (
         sym.join(core, "id", "left_anti")
