@@ -240,6 +240,49 @@ def _host_canary(n: int = 2_000_000) -> float:
     return round(best, 4)
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Total JVM GC time (ms) across all collectors — public JMX API.
+    A per-query delta makes session-state degradation visible in
+    BENCH_SAMPLES.json: the r7 driver run carried 2-3x uniform slowdown
+    plus three 10-50x outliers that a host-CPU canary cannot see."""
+    try:
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return -1
+
+
+def _cached_blocks(spark) -> tuple[int, int]:
+    """(persisted RDD count, cached MB) — the cross-query build-once
+    caches (IVF index, copurchase edges, minhash state) live here;
+    runaway growth is the other session-state axis."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return len(infos), int(
+            sum(infos[i].memUsed() for i in range(len(infos))) / (1024 * 1024)
+        )
+    except Exception:
+        return -1, -1
+
+
+def _prior_medians(path: str, sf: float) -> dict[str, float]:
+    """Per-key medians from the last committed BENCH_SAMPLES.json (read
+    BEFORE this run overwrites it) — the baseline for >3x flagging.
+    Empty when the prior record ran at a different scale factor."""
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        if prior.get("sf") != sf:
+            return {}
+        out = {}
+        for k, smp in prior.get("samples", {}).items():
+            if smp:
+                out[k] = sorted(smp)[len(smp) // 2]
+        return out
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -258,6 +301,23 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")
     width = spark.sparkContext.defaultParallelism
     spark.range(100 * width).repartition(width).select(_warm("id").alias("x")).count()
+    # warm the micro-batch streaming engine too (execution classes,
+    # codegen, state-store init): stream gates otherwise pay one-time
+    # engine spin-up inside their first timed run (stream_dedup was
+    # 5.8s in the r7 driver session vs 2.1s steady-state)
+    try:
+        sq = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(30)
+        sq.stop()
+    except Exception:
+        pass  # best-effort warm-up only
     runs = int(os.environ.get("AGNES_BENCH_RUNS", "3"))
     # test hook: AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum"
     # restricts the run so the output contract is pytest-checkable in
@@ -266,6 +326,12 @@ def main() -> None:
         q for q in os.environ.get("AGNES_BENCH_ONLY", "").split(",") if q
     }
     all_samples: dict[str, list[float]] = {}
+    gc_ms: dict[str, list[int]] = {}
+    blocks: dict[str, list[int]] = {}
+    samples_file_default = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+    )
+    prior = {} if only else _prior_medians(samples_file_default, sf)
     # one UNTIMED warmup execution per query before its measured runs:
     # the first run of a query in a cold JVM pays JIT + codegen-compile
     # + parquet footer reads at 2-3x steady state (r4 driver samples:
@@ -283,11 +349,13 @@ def main() -> None:
                 pass  # the measured loop reports the error
         samples: list[float] = []
         for _ in range(runs):  # median-of-N: robust to JVM/GC noise
+            gc0 = _jvm_gc_ms(spark)
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)
                 df.count()
                 samples.append(round(time.perf_counter() - t0, 3))
+                gc_ms.setdefault(name, []).append(_jvm_gc_ms(spark) - gc0)
             except Exception as e:  # noqa: BLE001
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 samples = []
@@ -295,6 +363,8 @@ def main() -> None:
             # drop per-query persisted frames so queries stay
             # independent (not part of the timed region)
             spark.catalog.clearCache()
+        n_rdd, mb = _cached_blocks(spark)
+        blocks[name] = [n_rdd, mb]
         all_samples[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
         # NOTE: do NOT System.gc() between queries — measured 32.7s vs
@@ -312,6 +382,48 @@ def main() -> None:
         sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
     )
     total_all = round(sum(t for t in timings.values() if t >= 0), 3)
+    # self-diagnosis: flag keys >3x their last committed median (and
+    # >0.5s absolute, so sub-100ms jitter never flags), then re-measure
+    # the worst 3 in FRESH subprocesses — a standalone reading tells a
+    # session-state pathology (re-measure fast) apart from a genuinely
+    # slower query (re-measure also slow). r7's 47s bloom anomaly would
+    # have been caught and classified automatically.
+    flagged = {}
+    for q, t in timings.items():
+        p = prior.get(q)
+        if p and p > 0 and t > max(3 * p, 0.5):
+            flagged[q] = {"median": t, "prior": p, "ratio": round(t / p, 2)}
+    remeasure: dict[str, float] = {}
+    if flagged and not only:
+        import subprocess
+
+        worst = sorted(flagged, key=lambda q: -flagged[q]["ratio"])[:3]
+        for q in worst:
+            env = dict(
+                os.environ,
+                AGNES_BENCH_ONLY=q,
+                AGNES_BENCH_RUNS="1",
+                AGNES_BENCH_WARMUP="1",
+            )
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                )
+                line = r.stdout.strip().splitlines()[-1]
+                remeasure[q] = json.loads(line)["queries"].get(q, -1.0)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: re-measure of {q} failed: {e}", file=sys.stderr)
+                remeasure[q] = -1.0
+        print(
+            f"bench: {len(flagged)} keys >3x prior median "
+            f"{ {q: flagged[q]['ratio'] for q in flagged} }; "
+            f"standalone re-measure: {remeasure}",
+            file=sys.stderr,
+        )
     canary_post = _host_canary()
     nominal = float(
         os.environ.get("AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S))
@@ -337,18 +449,22 @@ def main() -> None:
     # AGNES_BENCH_ONLY diagnostic runs must NOT clobber the full-run
     # record — skip the write unless a side path is given explicitly.
     samples_path = os.environ.get(
-        "AGNES_BENCH_SAMPLES",
-        None
-        if only
-        else os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
-        ),
+        "AGNES_BENCH_SAMPLES", None if only else samples_file_default
     )
     if samples_path:
         try:
             with open(samples_path, "w") as f:
                 json.dump(
-                    {"sf": sf, "runs": runs, "canary": canary, "samples": all_samples},
+                    {
+                        "sf": sf,
+                        "runs": runs,
+                        "canary": canary,
+                        "samples": all_samples,
+                        "gc_ms": gc_ms,
+                        "cached_rdds_mb_after": blocks,
+                        "flagged_3x": flagged,
+                        "remeasure_standalone": remeasure,
+                    },
                     f,
                     indent=1,
                 )
@@ -367,6 +483,8 @@ def main() -> None:
                 "agg": "median",
                 "total_all_queries": total_all,
                 "canary_degraded": canary["degraded"],
+                "flagged_3x": {q: v["ratio"] for q, v in flagged.items()},
+                "remeasure_standalone": remeasure,
             }
         )
     )
