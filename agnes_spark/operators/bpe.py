@@ -104,3 +104,41 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_counts(df: DataFrame, text_col: str, merges) -> DataFrame:
+    """APPLY a trained merge table — the other half of the tokenizer
+    pair (bpe_train trains, this encodes). Returns (w, wc, n_tokens):
+    the token count every distinct word encodes to after replaying the
+    merges in training order.
+
+    Encoding runs on the bounded word VOCABULARY (distinct words), not
+    the corpus: per-document token totals are then a plain equi-join of
+    exploded words against this frame — the scalable shape (the merge
+    chain is ~`merges` literal replaces fused into one projection over
+    the vocab, never per-corpus-row work).
+
+    `merges` is the bounded artifact bpe_train returns (its DataFrame,
+    or a list of (left, right) pairs in training order)."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("round").collect()
+        ]
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    col = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    for a, b in merges:
+        col = F.replace(col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return words.select(
+        "w",
+        "wc",
+        F.size(F.split(F.trim(col), "  ")).cast("long").alias("n_tokens"),
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agnes_spark.functions import ws_tokens
@@ -136,4 +136,51 @@ def bm25_search(
         )
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(int(k))
+    )
+
+
+def rrf_fuse(rankings, id_col: str = "id", score_col: str = "score", k_const: int = 60, topk: int = 15) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fused(d) = sum over input lists of 1 / (k_const + rank_list(d)) —
+    the standard score-free way to combine retrieval lists (query
+    variants, BM25 + dense, shards).
+
+    `rankings` are already-CUT candidate frames (a top-k per list, the
+    canonical RRF input): ranks are assigned by (score_col desc,
+    id_col asc) inside each list with a global row_number window that
+    is bounded by the list's constant k, never data-sized. The fused
+    sum folds contributions in list order (sorted struct fold), so the
+    double total is bit-deterministic cross-engine."""
+    parts = []
+    for qi, r in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            r.select(
+                F.col(id_col).alias("id"),
+                F.lit(qi).cast("int").alias("qid"),
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.lit(1.0) / (
+        F.lit(float(k_const)) + F.col("rank").cast("double")
+    )
+    fused = (
+        u.select("id", "qid", contrib.alias("c"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("qid"), F.col("c")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.round("rrf", 9).desc(), F.col("id").asc())
+        .limit(topk)
+        .select("id", "n_lists", F.round("rrf", 9).alias("rrf"))
     )

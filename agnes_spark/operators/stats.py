@@ -950,3 +950,70 @@ def winsorized_mean(
             (F.col("__s") / F.col("n_total").cast("double")).alias("mean"),
         )
     )
+
+
+def theil_sen(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil–Sen robust trend estimator (Theil 1950; Sen, JASA 1968):
+    the median of pairwise slopes (y_j - y_i) / (x_j - x_i) over all
+    pairs with x_i < x_j, plus the matching median-residual intercept
+    median(y_i - slope * x_i) — the 29%-breakdown alternative to OLS
+    that one outlier day cannot bend.
+
+    Deterministic across engines: integral inputs, ONE double division
+    per pair, ONE multiply+subtract per residual, and the LOWER median
+    selected by row_number over (value, x_i[, x_j]) — no percentile
+    interpolation, ties pinned.
+
+    Scale shape: callers must pre-aggregate to ONE ROW PER DISTINCT x
+    (e.g. a day index) — the pair frame is then bounded by the SQUARE
+    OF THE CALENDAR (2.4k days -> ~3M pairs), never by input rows, and
+    the global median windows ride that bounded frame.
+
+    Returns one row: (n_points, n_pairs, slope, intercept)."""
+    pts = df.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        "xa",
+        "xb",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+    )
+    w_s = Window.orderBy("slope", "xa", "xb")
+    w_all = Window.partitionBy()
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w_s).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("cnt"),
+    )
+    sl = ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + F.lit(1)) / F.lit(2)).cast("long")
+    ).select("slope", F.col("cnt").alias("n_pairs"))
+    res = pts.crossJoin(F.broadcast(sl)).select(
+        "n_pairs",
+        "slope",
+        "x",
+        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
+            "r"
+        ),
+    )
+    w_r = Window.orderBy("r", "x")
+    rr = res.select(
+        "n_pairs",
+        "slope",
+        "r",
+        F.row_number().over(w_r).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("np"),
+    )
+    return rr.filter(
+        F.col("rn") == F.floor((F.col("np") + F.lit(1)) / F.lit(2)).cast("long")
+    ).select(
+        F.col("np").alias("n_points"),
+        "n_pairs",
+        "slope",
+        F.col("r").alias("intercept"),
+    )

@@ -213,6 +213,10 @@ EXTRA_QUERIES = [
     "ks_matrix_sources",
     "winsorized_mean_price",
     "markov_next_event_accuracy",
+    # round-8 additions
+    "bpe_encode_docs",
+    "theil_sen_daily",
+    "rrf_fusion_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

@@ -57,9 +57,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -68,8 +71,9 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        spark_s = _time.perf_counter() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{spark_s:.2f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -94,7 +98,7 @@ def main() -> int:
             print(f"FAIL  {name}: values differ at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
             failures.append(name)
         else:
-            print(f"OK    {name}: {len(sm)} rows")
+            print(f"OK    {name}: {len(sm)} rows [spark {spark_s:.2f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -58,3 +58,24 @@ def test_bpe_early_stop_after_exhausting_vocab(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     got = bpe_train(df, "text", merges=3).collect()
     assert [(r.round, r.left, r.right) for r in got] == [(1, "a", "b")]
+
+
+def test_bpe_encode_counts_applies_merges(spark):
+    from agnes_spark.operators.bpe import bpe_encode_counts
+
+    # merges (a,b)->ab then (ab,c)->abc: 'abc' encodes to 1 token,
+    # 'abd' to 2 (ab + d), 'xyz' untouched to 3
+    df = spark.createDataFrame([("abc abd xyz",)], "text string")
+    got = {
+        r.w: r.n_tokens
+        for r in bpe_encode_counts(df, "text", [("a", "b"), ("ab", "c")]).collect()
+    }
+    assert got == {"abc": 1, "abd": 2, "xyz": 3}
+
+
+def test_bpe_encode_counts_no_merges_is_char_count(spark):
+    from agnes_spark.operators.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame([("hello a",)], "text string")
+    got = {r.w: r.n_tokens for r in bpe_encode_counts(df, "text", []).collect()}
+    assert got == {"hello": 5, "a": 1}

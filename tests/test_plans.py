@@ -216,6 +216,8 @@ AUDIT_BNLJ_ALLOWED = {
     "quantile_norm_docs",  # bounded distinct-value interval frame broadcast (range join)
     "ks_matrix_sources",  # groups x distinct-values ECDF grid (both sides cardinality-bounded)
     "winsorized_mean_price",  # 1-row totals/cuts broadcasts onto the value frame
+    "theil_sen_daily",  # all-pairs x<y over the calendar-bounded daily frame (days^2 by definition of Theil-Sen) + 1-row slope broadcast
+    "rrf_fusion_docs",  # 1-row corpus-stats broadcast onto matched postings (x2 query variants, the search_bm25_topk pattern)
 }
 
 
@@ -266,6 +268,8 @@ AUDIT_SP_ALLOWED = {
     "ccf_events_hourly",  # hour rank over the calendar-bounded hourly frame
     "quantile_norm_docs",  # interval prefix over the bounded distinct-value frame
     "winsorized_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
+    "theil_sen_daily",  # median-select row_number over the days^2-bounded pair frame (calendar^2, never rows)
+    "rrf_fusion_docs",  # rank windows over the constant-k (200-row) cut frames + final fused top-15 sort
 }
 
 

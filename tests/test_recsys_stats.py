@@ -136,3 +136,24 @@ def test_winsorized_no_clamp_when_pct_zero_bucket(spark):
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     row = winsorized_mean(df, "v", pct=5).collect()[0]
     assert row.mean == 2.0 and row.lo_cut == 1 and row.hi_cut == 3
+
+
+def test_theil_sen_exact_line_recovers_slope(spark):
+    from agnes_spark.operators.stats import theil_sen
+
+    # y = 3x + 7 exactly: every pairwise slope is 3, every residual 7
+    rows = [(x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = theil_sen(df, "x", "y").first()
+    assert (r.n_points, r.n_pairs) == (10, 45)
+    assert r.slope == 3.0 and r.intercept == 7.0
+
+
+def test_theil_sen_ignores_one_outlier(spark):
+    from agnes_spark.operators.stats import theil_sen
+
+    # one wild outlier cannot bend the median slope (OLS it would)
+    rows = [(x, 2 * x) for x in range(20)] + [(20, 100000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = theil_sen(df, "x", "y").first()
+    assert r.slope == 2.0

@@ -45,3 +45,20 @@ def test_bm25_search_duplicate_query_terms_collapse(spark):
     once = bm25_search(spark, prefix, ["spark"], k=10).collect()
     twice = bm25_search(spark, prefix, ["spark", "spark"], k=10).collect()
     assert [(r.id, r.score) for r in once] == [(r.id, r.score) for r in twice]
+
+
+def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
+    from agnes_spark.operators.searchindex import rrf_fuse
+
+    # list A ranks: d1, d2, d3; list B ranks: d2, d3
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "id long, score double"
+    )
+    b = spark.createDataFrame([(2, 8.0), (3, 2.0)], "id long, score double")
+    got = {r.id: (r.n_lists, r.rrf) for r in rrf_fuse([a, b], topk=10).collect()}
+    assert got[2] == (2, round(1 / 62 + 1 / 61, 9))  # rank 2 in A, 1 in B
+    assert got[1] == (1, round(1 / 61, 9))
+    assert got[3] == (2, round(1 / 63 + 1 / 62, 9))
+    # doc in both lists outranks the single-list leader
+    order = [r.id for r in rrf_fuse([a, b], topk=10).collect()]
+    assert order[0] == 2
