@@ -151,6 +151,8 @@ def rrf_fuse(rankings, id_col: str = "id", score_col: str = "score", k_const: in
     is bounded by the list's constant k, never data-sized. The fused
     sum folds contributions in list order (sorted struct fold), so the
     double total is bit-deterministic cross-engine."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
     parts = []
     for qi, r in enumerate(rankings):
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
