@@ -268,7 +268,7 @@ AUDIT_SP_ALLOWED = {
     "ccf_events_hourly",  # hour rank over the calendar-bounded hourly frame
     "quantile_norm_docs",  # interval prefix over the bounded distinct-value frame
     "winsorized_mean_price",  # bucket-offset prefix sum over the constant-size bucket frame
-    "theil_sen_daily",  # median-select row_number over the days^2-bounded pair frame (calendar^2, never rows)
+    "theil_sen_daily",  # bucket-prefix window (4096 rows) + median-select row_number over ONE slope bucket (~pairs/4096 rows; pairs are calendar^2-bounded)
     "rrf_fusion_docs",  # rank windows over the constant-k (200-row) cut frames + final fused top-15 sort
 }
 
