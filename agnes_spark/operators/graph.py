@@ -795,7 +795,6 @@ def personalized_pagerank(
         .persist()
     )
     ranks = base.withColumn("rank", F.col("restart"))
-    prev: DataFrame | None = None
     for i in range(rounds):
         contrib = (
             e.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
@@ -815,11 +814,15 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         )
-        nxt = nxt.localCheckpoint(eager=True) if i % 3 == 2 else nxt.persist()
-        nxt.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = nxt
+        # fixed rounds, no convergence check -> no reason to run one
+        # job PER ROUND: intermediate rounds stay lazy and pipeline
+        # into every 3rd round's eager checkpoint (plans grow ~3x per
+        # round, so 27x between truncations stays cheap to analyze —
+        # the pagerank cadence), cutting 8 scheduling barriers to 3.
+        # The LAST round always checkpoints so the returned frame
+        # survives the e/base unpersist below (truncated lineage).
+        if i % 3 == 2 or i == rounds - 1:
+            nxt = nxt.localCheckpoint(eager=True)
         ranks = nxt
     e.unpersist()
     base.unpersist()
