@@ -4492,7 +4492,16 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain step is an equi join per recursion round, rounds bounded by
     the deepest chain — the shape of BOM/graph-walk workloads. The
     oracle runs the IDENTICAL recursion on DuckDB; cents keep the
-    accumulation engine-exact."""
+    accumulation engine-exact.
+
+    The recursion emits exactly ONE row per order, so the right
+    runaway guard is orders-count-sized, not Spark's default
+    cteRecursionRowLimit of 1e6 — the sf1.0 sweep caught the gate
+    failing at 1.5M orders (RECURSION_ROW_LIMIT_EXCEEDED) while the
+    recursion DEPTH (deepest per-customer chain, what the level
+    limit guards) is scale-invariant under data growth that adds
+    customers rather than orders-per-customer."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     _register_tpch_views(spark, sf_dir, "orders")
     sql = """
     WITH RECURSIVE chain AS (
