@@ -19,14 +19,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _stat_aggs(c: str, prefix: str = "") -> list:
+def _stat_aggs(c: str, prefix: str = "", integral: bool = False) -> list:
     col = F.col(c)
+    if integral:
+        # int64 accumulation of sum/sum_sq overflows once |key| *
+        # sqrt(rows) passes ~3e9 — the sf1.0 sweep caught
+        # sum(p_partkey^2) at 1.6e21 erroring under ANSI while the
+        # DuckDB oracle's HUGEINT kept going. Widen to decimal(38,0)
+        # (exact to 1e38) and emit double like the float path.
+        d = col.cast("decimal(19,0)")
+        sum_expr = F.coalesce(F.sum(d).cast("double"), F.lit(0.0))
+        sum_sq_expr = F.coalesce(F.sum(d * d).cast("double"), F.lit(0.0))
+    else:
+        sum_expr = F.coalesce(F.sum(col), F.lit(0.0))
+        sum_sq_expr = F.coalesce(F.sum(col * col), F.lit(0.0))
     return [
         F.count(F.when(col.isNull(), F.lit(1))).alias(f"{prefix}num_na"),
         F.count(col).alias(f"{prefix}num_exists"),
-        F.coalesce(F.sum(col), F.lit(0.0)).alias(f"{prefix}sum"),
+        sum_expr.alias(f"{prefix}sum"),
         F.avg(col).alias(f"{prefix}mean"),
-        F.coalesce(F.sum(col * col), F.lit(0.0)).alias(f"{prefix}sum_sq"),
+        sum_sq_expr.alias(f"{prefix}sum_sq"),
         F.coalesce(F.var_samp(col), F.lit(0.0)).alias(f"{prefix}var"),
         F.coalesce(F.var_pop(col), F.lit(0.0)).alias(f"{prefix}varp"),
         F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias(f"{prefix}stdev"),
@@ -35,9 +47,13 @@ def _stat_aggs(c: str, prefix: str = "") -> list:
     ]
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def field_stats_df(df: DataFrame, label: str) -> DataFrame:
     """All agnes field stats for one column as a 1-row DataFrame."""
-    return df.agg(*_stat_aggs(label))
+    integral = dict(df.dtypes).get(label) in _INTEGRAL_TYPES
+    return df.agg(*_stat_aggs(label, integral=integral))
 
 
 def field_stats(df: DataFrame, label: str) -> dict:
@@ -54,9 +70,14 @@ def view_stats(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
     numeric = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
     if labels is None:
         labels = [c for c, t in df.dtypes if t in numeric or t.startswith("decimal")]
+    dtypes = dict(df.dtypes)
     aggs = []
     for c in labels:
-        aggs.extend(_stat_aggs(c, prefix=f"{c}::"))
+        aggs.extend(
+            _stat_aggs(
+                c, prefix=f"{c}::", integral=dtypes.get(c) in _INTEGRAL_TYPES
+            )
+        )
     row = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession
     out = [
