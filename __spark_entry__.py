@@ -6879,27 +6879,77 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-8 window (counted to exactly 50):
-    #   1-50: the first 50 of the 66 keys staged in r7 — never
-    #         driver-graded; all 66 judge-verified green at sf0.01 in
-    #         the r7 verdict (dedup_spans .. decision_stump_orders).
-    #   51+:  the 16 remaining never-graded r7 keys, the 7 r3-latest
-    #         keys, the r7-graded window, then r6/r5/r4-graded keys.
-    # r9 ROTATION NOTE: the r9 window = the 16 remaining never-graded
-    # r7 keys (holt_trend_revenue nb_top_tokens_lang
-    # trimmed_mean_price assoc_rules_parts pca_top_embeddings
-    # stump_eval_orders hard_negatives_embeddings bpe_merges_docs
-    # khop_reach_copurchase dbscan_customers ccf_events_hourly
-    # ppr_copurchase quantile_norm_docs ks_matrix_sources
-    # winsorized_mean_price markov_next_event_accuracy) + the 3 keys
-    # staged in r8 (bpe_encode_docs theil_sen_daily rrf_fusion_docs)
-    # + the 7 r3-latest keys (serialize_roundtrip decontaminate
-    # pack_chunks train_test_split normalize_text tfidf_top_terms
-    # rolling_7d_revenue) = 26, topped up to 50 with the next-oldest
-    # graded keys (csv_roundtrip and the r4 window). Verify
+    # Round-9 window (counted to exactly 50):
+    #   1-26: the 16 r7-staged keys never driver-graded before r9
+    #         (holt_trend_revenue .. markov_next_event_accuracy),
+    #         the 3 r8-staged keys (bpe_encode_docs theil_sen_daily
+    #         rrf_fusion_docs), and the 7 r3-latest keys
+    #         (serialize_roundtrip .. rolling_7d_revenue).
+    #   27-50: csv_roundtrip + the 23 oldest r4-latest keys in
+    #         registry order (label_centroids .. ann_ivf_topk).
+    #   51+:  keys staged in r9 (never graded), then the r8/r7/r6/
+    #         r5-graded windows and the remaining r4-graded keys.
+    # r10 ROTATION NOTE: after r9 every pre-r9 key has a driver row.
+    # The r10 window = any keys staged in r9 (immediately after
+    # position 50) + the next-oldest-graded keys: the remaining 27
+    # r4-latest keys (doc_fingerprint .. corr_stats block) topped up
+    # from the r5-graded window in registry order. Verify
     # list(queries())[49] programmatically after rotating.
     return {
-        # --- r8 window: staged in r7, never driver-graded ---
+        # --- r9 window (50): 16 never-graded r7 keys, 3 r8-staged
+        #     keys, 7 r3-latest keys, csv_roundtrip + 23 r4-latest
+        #     keys (label_centroids .. ann_ivf_topk) ---
+        "holt_trend_revenue": holt_trend_revenue,
+        "nb_top_tokens_lang": nb_top_tokens_lang,
+        "trimmed_mean_price": trimmed_mean_price,
+        "assoc_rules_parts": assoc_rules_parts,
+        "pca_top_embeddings": pca_top_embeddings,
+        "stump_eval_orders": stump_eval_orders,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "bpe_merges_docs": bpe_merges_docs,
+        "khop_reach_copurchase": khop_reach_copurchase,
+        "dbscan_customers": dbscan_customers,
+        "ccf_events_hourly": ccf_events_hourly,
+        "ppr_copurchase": ppr_copurchase,
+        "quantile_norm_docs": quantile_norm_docs,
+        "ks_matrix_sources": ks_matrix_sources,
+        "winsorized_mean_price": winsorized_mean_price,
+        "markov_next_event_accuracy": markov_next_event_accuracy,
+        "bpe_encode_docs": bpe_encode_docs,
+        "theil_sen_daily": theil_sen_daily,
+        "rrf_fusion_docs": rrf_fusion_docs,
+        "serialize_roundtrip": serialize_roundtrip,
+        "decontaminate": decontaminate,
+        "pack_chunks": pack_chunks,
+        "train_test_split": train_test_split,
+        "normalize_text": normalize_text,
+        "tfidf_top_terms": tfidf_top_terms,
+        "rolling_7d_revenue": rolling_7d_revenue,
+        "csv_roundtrip": csv_roundtrip,
+        "label_centroids": label_centroids,
+        "time_rollup": time_rollup,
+        "fill_missing_hours": fill_missing_hours,
+        "latest_event_per_user": latest_event_per_user,
+        "events_windowed": events_windowed,
+        "events_sliding": events_sliding,
+        "sessionize": sessionize,
+        "stream_windowed": stream_windowed,
+        "skew_profile": skew_profile,
+        "approx_heavy_hitters": approx_heavy_hitters,
+        "check_heavy_hitters_agree": check_heavy_hitters_agree,
+        "check_stream_sessionize_parity": check_stream_sessionize_parity,
+        "asof_join_events": asof_join_events,
+        "json_funcs": json_funcs,
+        "sort_comparator": sort_comparator,
+        "unique_indices": unique_indices,
+        "repetition_metrics": repetition_metrics,
+        "pii_scrub": pii_scrub,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_auto": dedup_embedding_auto,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
         "check_span_recall": check_span_recall,
@@ -6950,33 +7000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multi_lineitem": ols_multi_lineitem,
         "kaplan_meier_churn": kaplan_meier_churn,
         "decision_stump_orders": decision_stump_orders,
-        "holt_trend_revenue": holt_trend_revenue,
-        "nb_top_tokens_lang": nb_top_tokens_lang,
-        "trimmed_mean_price": trimmed_mean_price,
-        "assoc_rules_parts": assoc_rules_parts,
-        "pca_top_embeddings": pca_top_embeddings,
-        "stump_eval_orders": stump_eval_orders,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        "bpe_merges_docs": bpe_merges_docs,
-        "khop_reach_copurchase": khop_reach_copurchase,
-        "dbscan_customers": dbscan_customers,
-        "ccf_events_hourly": ccf_events_hourly,
-        "ppr_copurchase": ppr_copurchase,
-        "quantile_norm_docs": quantile_norm_docs,
-        "ks_matrix_sources": ks_matrix_sources,
-        "winsorized_mean_price": winsorized_mean_price,
-        "markov_next_event_accuracy": markov_next_event_accuracy,
-        # --- staged in r8, never graded (r9 window with the above) ---
-        "bpe_encode_docs": bpe_encode_docs,
-        "theil_sen_daily": theil_sen_daily,
-        "rrf_fusion_docs": rrf_fusion_docs,
-        "serialize_roundtrip": serialize_roundtrip,
-        "decontaminate": decontaminate,
-        "pack_chunks": pack_chunks,
-        "train_test_split": train_test_split,
-        "normalize_text": normalize_text,
-        "tfidf_top_terms": tfidf_top_terms,
-        "rolling_7d_revenue": rolling_7d_revenue,
         # r7-graded window (all green in CORRECTNESS_r07)
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
@@ -7132,29 +7155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_band": join_band,
         "merge_views": merge_views,
         # graded green in r4
-        "label_centroids": label_centroids,
-        "time_rollup": time_rollup,
-        "fill_missing_hours": fill_missing_hours,
-        "latest_event_per_user": latest_event_per_user,
-        "events_windowed": events_windowed,
-        "events_sliding": events_sliding,
-        "sessionize": sessionize,
-        "stream_windowed": stream_windowed,
-        "skew_profile": skew_profile,
-        "approx_heavy_hitters": approx_heavy_hitters,
-        "check_heavy_hitters_agree": check_heavy_hitters_agree,
-        "check_stream_sessionize_parity": check_stream_sessionize_parity,
-        "asof_join_events": asof_join_events,
-        "json_funcs": json_funcs,
-        "sort_comparator": sort_comparator,
-        "unique_indices": unique_indices,
-        "repetition_metrics": repetition_metrics,
-        "pii_scrub": pii_scrub,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_auto": dedup_embedding_auto,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         "doc_fingerprint": doc_fingerprint,
         "doc_winnow": doc_winnow,
         "stratified_sample": stratified_sample,
@@ -7176,7 +7176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_shuffle_deterministic": check_shuffle_deterministic,
         "check_incremental_rollup": check_incremental_rollup,
         "dedup_clusters": dedup_clusters,
-        "csv_roundtrip": csv_roundtrip,
         "correlated_min": correlated_min,
         "rollup_agg": rollup_agg,
         "union_views": union_views,
