@@ -4516,8 +4516,13 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion DEPTH (deepest per-customer chain, what the level
     limit guards) is scale-invariant under data growth that adds
     customers rather than orders-per-customer."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     _register_tpch_views(spark, sf_dir, "orders")
+    # Size the runaway guard to the data (2x the exact row budget of
+    # this recursion) instead of disabling it session-wide: a later
+    # genuinely-runaway recursive CTE in the same session still trips.
+    n_orders = _t(spark, sf_dir, "orders").count()
+    limit = max(1_000_000, 2 * n_orders)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(limit))
     sql = """
     WITH RECURSIVE chain AS (
       SELECT o_custkey, o_orderkey,
@@ -7216,13 +7221,20 @@ def _bpe_oracle_sql(rounds: int = 5) -> str:
             f"b := b)) AS s FROM p{r}))"
         )
         parts.append(
-            f"v{r} AS (SELECT replace(seq, ' ' || a || '  ' || b || ' ', "
-            f"' ' || a || b || ' ') AS seq, wc FROM v{r - 1} "
+            # CASE guard: on a corpus that exhausts merges before the
+            # last round, p{r} is empty, m{r}'s min() yields NULL a/b,
+            # and an unguarded replace would NULL-cascade the vocab —
+            # the Spark side early-stops instead (operators/bpe.py)
+            f"v{r} AS (SELECT CASE WHEN a IS NULL THEN seq ELSE "
+            f"replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') END AS seq, wc FROM v{r - 1} "
             f"CROSS JOIN m{r})"
         )
     final = " UNION ALL ".join(
+        # a IS NOT NULL drops exhausted rounds, matching Spark's
+        # early-stop (which emits no row for them)
         f'SELECT {r} AS round, a AS "left", b AS "right", cnt AS '
-        f"pair_count FROM m{r}"
+        f"pair_count FROM m{r} WHERE a IS NOT NULL"
         for r in range(1, rounds + 1)
     )
     return ", ".join(parts) + " " + final + " ORDER BY round"
@@ -7257,8 +7269,11 @@ def _bpe_encode_oracle_sql(rounds: int = 5) -> str:
             f"min(struct_pack(nc := -cnt, a := a, b := b)) AS s FROM p{r}))"
         )
         parts.append(
-            f"v{r} AS MATERIALIZED (SELECT w, replace(seq, "
-            f"' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS seq, "
+            # same exhausted-round guard as _bpe_oracle_sql: an empty
+            # p{r} must make this round a no-op, not a NULL cascade
+            f"v{r} AS MATERIALIZED (SELECT w, CASE WHEN a IS NULL THEN "
+            f"seq ELSE replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') END AS seq, "
             f"wc FROM v{r - 1} CROSS JOIN m{r})"
         )
     parts.append(

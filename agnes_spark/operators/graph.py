@@ -34,6 +34,8 @@ import warnings
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from agnes_spark.session import free_blocks
+
 
 def connected_components(
     edges: DataFrame,
@@ -100,7 +102,9 @@ def connected_components(
         else:
             nxt = new_labels
         if prev_persisted is not None:
-            prev_persisted.unpersist()
+            # free_blocks, not unpersist: checkpointed rounds' blocks
+            # live at the RDD layer where unpersist() is a no-op
+            free_blocks(prev_persisted)
         prev_persisted = nxt
         labels = nxt
         if changed == 0:
@@ -200,7 +204,7 @@ def connected_components_star(
         # plan string at the 2 GiB cap and OOMed the driver.
         cp = new_e.localCheckpoint()
         new_e.unpersist()
-        prev_persisted.unpersist()
+        free_blocks(prev_persisted)
         prev_persisted = cp
         e = cp
         if sig == prev_sig:
@@ -393,7 +397,7 @@ def pagerank(
         else:
             nxt = new_ranks
         if prev_persisted is not None:
-            prev_persisted.unpersist()
+            free_blocks(prev_persisted)
         prev_persisted = nxt
         ranks = nxt
         if tol > 0 and max_delta < tol:
@@ -558,7 +562,7 @@ def kcore(
         else:
             nxt = nxt.persist()
         n_now = nxt.count()  # materializes; one job per round
-        prev.unpersist()
+        free_blocks(prev)
         prev = nxt
         if n_now == n_prev:
             break  # fixpoint: further rounds are identity
@@ -751,7 +755,7 @@ def label_propagation(
             nxt = nxt.persist()
         nxt.count()  # materialize; one job per round
         if prev is not None:
-            prev.unpersist()
+            free_blocks(prev)
         labels = nxt
         prev = nxt
     e.unpersist()
@@ -795,6 +799,7 @@ def personalized_pagerank(
         .persist()
     )
     ranks = base.withColumn("rank", F.col("restart"))
+    _prev_ckpt = None
     for i in range(rounds):
         contrib = (
             e.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
@@ -823,6 +828,13 @@ def personalized_pagerank(
         # survives the e/base unpersist below (truncated lineage).
         if i % 3 == 2 or i == rounds - 1:
             nxt = nxt.localCheckpoint(eager=True)
+            # the previous checkpoint's blocks are superseded the
+            # moment this one materializes — free them, or the
+            # cached-RDD footprint grows per invocation in long
+            # bench/driver sessions (r8 advice)
+            if _prev_ckpt is not None:
+                free_blocks(_prev_ckpt)
+            _prev_ckpt = nxt
         ranks = nxt
     e.unpersist()
     base.unpersist()

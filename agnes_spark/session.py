@@ -85,3 +85,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
             "orders", "lineitem", "events", "documents", "embeddings",
         )
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+def free_blocks(df) -> None:
+    """Deterministically free a superseded frame's storage blocks.
+
+    `DataFrame.unpersist()` only evicts cacheManager entries; a
+    `localCheckpoint()`ed frame's blocks live at the RDD layer
+    (`LogicalRDD`), where they survive both `unpersist()` and
+    `spark.catalog.clearCache()` and are otherwise freed only when the
+    JVM garbage-collects the RDD reference. Iterative operators call
+    this on each round's frame once its successor has materialized, so
+    long sessions (the 276-query driver run, the bench) hold at most
+    one round-frame per live query instead of one per round.
+
+    Only safe for frames no downstream plan will touch again — a
+    local checkpoint's lineage is truncated, so recomputing after the
+    blocks are gone is impossible (Spark logs a WARN to that effect).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    df.unpersist()

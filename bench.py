@@ -397,7 +397,7 @@ def main() -> None:
         p = prior.get(q)
         if p and p > 0 and t > max(3 * p, 0.5):
             flagged[q] = {"median": t, "prior": p, "ratio": round(t / p, 2)}
-    remeasure: dict[str, float] = {}
+    remeasure: dict[str, dict] = {}
     if flagged and not only:
         import subprocess
 
@@ -408,7 +408,16 @@ def main() -> None:
                 AGNES_BENCH_ONLY=q,
                 AGNES_BENCH_RUNS="1",
                 AGNES_BENCH_WARMUP="1",
+                # falsy -> the child skips the samples write; inheriting
+                # the parent's explicit path would clobber it with a
+                # single-key record (r8 advice)
+                AGNES_BENCH_SAMPLES="",
             )
+            # Stamp a host canary IMMEDIATELY around each remeasure so
+            # the entry adjudicates host-vs-code on its own: an r8
+            # remeasure taken on an already-degraded host read 4x slow
+            # and could not distinguish throttle from regression.
+            c_pre = _host_canary()
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -418,10 +427,23 @@ def main() -> None:
                     timeout=600,
                 )
                 line = r.stdout.strip().splitlines()[-1]
-                remeasure[q] = json.loads(line)["queries"].get(q, -1.0)
+                t_re = json.loads(line)["queries"].get(q, -1.0)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: re-measure of {q} failed: {e}", file=sys.stderr)
-                remeasure[q] = -1.0
+                t_re = -1.0
+            c_post = _host_canary()
+            nominal_re = float(
+                os.environ.get(
+                    "AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S)
+                )
+            )
+            remeasure[q] = {
+                "s": t_re,
+                "canary_pre_s": c_pre,
+                "canary_post_s": c_post,
+                "canary_degraded": max(c_pre, c_post)
+                > CANARY_DEGRADED_RATIO * nominal_re,
+            }
         print(
             f"bench: {len(flagged)} keys >3x prior median "
             f"{ {q: flagged[q]['ratio'] for q in flagged} }; "

@@ -79,3 +79,29 @@ def test_bpe_encode_counts_no_merges_is_char_count(spark):
     df = spark.createDataFrame([("hello a",)], "text string")
     got = {r.w: r.n_tokens for r in bpe_encode_counts(df, "text", []).collect()}
     assert got == {"hello": 5, "a": 1}
+
+
+def test_bpe_oracle_agrees_with_spark_on_exhausted_corpus(spark):
+    """r8 advice: the DuckDB oracle replays a FIXED 5 rounds while
+    bpe_train early-stops when pairs run out — on an exhausting corpus
+    the unguarded oracle NULL-cascaded. The CASE/WHERE guards must make
+    empty rounds a no-op so both sides emit the same merge table."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "('ab', 'en'), ('ab', 'en')) t(text, lang)"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(entry._bpe_oracle_sql()).fetchall()
+    ]
+    df = spark.createDataFrame([("ab",), ("ab",)], "text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, "text", merges=5).orderBy("round").collect()
+    ]
+    assert got == [(1, "a", "b", 2)]
+    assert oracle == [(1, "a", "b", 2)]

@@ -366,3 +366,33 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # seed stays the top-ranked node
     assert got[1] == max(got.values())
+
+
+def test_iterative_rounds_free_superseded_checkpoint_blocks(spark):
+    """r8 advice: DataFrame.unpersist() is a no-op for localCheckpoint
+    blocks (they live at the RDD layer, outside the cacheManager), so
+    superseded round frames accumulated per invocation. free_blocks
+    must keep the per-invocation residue bounded: after pagerank over
+    a path graph, at most the final round frame(s) may stay resident —
+    not one block set per checkpointed round."""
+    from agnes_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+
+    def n_stored():
+        return len(
+            [i for i in sc._jsc.sc().getRDDStorageInfo() if i.numCachedPartitions() > 0]
+        )
+
+    spark.catalog.clearCache()
+    base = n_stored()
+    edges = table(
+        spark,
+        {"a_id": list(range(1, 30)), "b_id": list(range(2, 31))},
+        types={"a_id": "long", "b_id": "long"},
+    )
+    pr = pagerank(edges, src="a_id", dst="b_id", max_iter=9, tol=0.0)
+    pr.count()
+    # 9 rounds -> 3 checkpoints; only the LAST may remain (plus the
+    # returned frame's own block). Pre-fix this sat at ~3 extra sets.
+    assert n_stored() - base <= 2
