@@ -5584,6 +5584,66 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_IMAGE_CENSUS_CACHE: dict[tuple, str] = {}
+
+
+def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata census WITHOUT a decoder library
+    (operators/multimodal.image_header_meta): every 25th document
+    becomes a synthetic-but-structurally-valid image file — PNG for
+    even doc_ids, JPEG (with VARIABLE-length APP0+COM segments before
+    SOF0, so fixed-offset reads give wrong answers) for odd — whose
+    header bytes encode dimensions derived from doc_id. The binaryFile
+    source reads them back distributed and the gate parses format +
+    width/height + byte size straight out of `content` with pure
+    column expressions (PNG: fixed-offset IHDR u32s; JPEG: a bounded
+    F.aggregate segment walk). The oracle predicts every value closed-
+    form from doc_id, so a parser that misreads any header byte
+    hash-mismatches. Reference parity: agnes FUTURE.md media-column
+    ambitions; the Spark-first shape is scan-side codegen over binary.
+    """
+    from agnes_spark.operators.multimodal import (
+        image_header_meta,
+        make_jpeg_bytes,
+        make_png_bytes,
+    )
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    d = _IMAGE_CENSUS_CACHE.get(ck)
+    if d is None:
+        ids = [
+            r.doc_id
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        d = _gate_scratch(f"imgfiles_{os.path.basename(sf_dir.rstrip('/'))}")
+        for i in ids:
+            w, h = 16 + (i * 7) % 2048, 16 + (i * 13) % 2048
+            if i % 2 == 0:
+                payload = make_png_bytes(w, h, extra_payload=i % 41)
+            else:
+                payload = make_jpeg_bytes(
+                    w, h, app0_pad=i % 32, com_len=i % 57, trailing=i % 23
+                )
+            with open(os.path.join(d, f"{i}.img"), "wb") as fh:
+                fh.write(payload)
+        _IMAGE_CENSUS_CACHE[ck] = d
+    from agnes_spark.sources.formats import read_binary_files
+
+    files = read_binary_files(spark, d, glob="*.img")
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    meta = image_header_meta(files, "content")
+    return meta.select(
+        F.regexp_extract(fname, r"^([0-9]+)", 1).cast("bigint").alias("doc_id"),
+        F.col("img_format").alias("format"),
+        F.col("img_width").alias("width"),
+        F.col("img_height").alias("height"),
+        F.col("img_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
 def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order/array-function coverage in one gate: per order,
     the sorted line-number array is probed with size / element_at /
@@ -6954,6 +7014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_auto": dedup_embedding_auto,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        # --- staged in r9, never graded (r10 window starts here) ---
+        "image_header_census": image_header_census,
         # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
@@ -7863,6 +7925,19 @@ def oracle_sql() -> dict[str, str]:
                 ]
             )
             + " ORDER BY col_name"
+        ),
+        "image_header_census": (
+            # closed-form prediction of every header field the Spark
+            # side must parse OUT OF THE BYTES: the fixture generator
+            # derives dims/sizes from doc_id with this exact arithmetic
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
+            "CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS width, "
+            "CAST(16 + (doc_id * 13) % 2048 AS BIGINT) AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + doc_id % 41 "
+            "ELSE 45 + doc_id % 32 + doc_id % 57 + doc_id % 23 END "
+            "AS BIGINT) AS n_bytes "
+            "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id"
         ),
         "binaryfile_ingest": (
             "SELECT doc_id, "

@@ -124,3 +124,136 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def _be_uint(b, pos, n: int):
+    """Big-endian unsigned int read from a binary column at 1-based
+    byte offset `pos` (int or Column), `n` bytes — hex->conv keeps the
+    whole read inside whole-stage codegen (no UDF, no Python)."""
+    if isinstance(pos, int):
+        pos = F.lit(pos)
+    return F.conv(F.hex(b.substr(pos, F.lit(n))), 16, 10).cast("bigint")
+
+
+def image_header_meta(
+    df: DataFrame, content_col: str = "content", max_segments: int = 16
+) -> DataFrame:
+    """Parse image format + pixel dimensions straight from the header
+    BYTES of a binary column — JVM-side column expressions only, no
+    decoder library, no Python row work (the metadata half of an image
+    pipeline: decode stays stubbed, but format/dims/size census over
+    100 TB of payloads is pure scan work and should never leave codegen).
+
+    - PNG: magic `89504E470D0A1A0A`, then width/height are fixed-offset
+      big-endian u32s inside the IHDR chunk (bytes 17-24, 1-based).
+    - JPEG: magic `FFD8`; dimensions live in the first SOF segment at a
+      VARIABLE offset, so the parser walks the segment chain — marker
+      (2B), big-endian length (2B, includes itself), hop `2+len` — as a
+      bounded `F.aggregate` fold over `max_segments` steps. SOF0/1/2
+      payload is precision(1) height(2) width(2). The walk stops at
+      SOS/EOI or any non-`FF` byte (truncated/corrupt input -> NULL
+      dims, never an error).
+
+    Adds `img_format` (png|jpeg|unknown), `img_width`, `img_height`
+    (bigint, NULL when unparseable) and `img_bytes` to `df`.
+    """
+    out = df.withColumn("__img_b", F.col(content_col))
+    b = F.col("__img_b")
+    png_sig = (F.hex(b.substr(1, 8)) == "89504E470D0A1A0A") & (
+        F.hex(b.substr(13, 4)) == "49484452"  # "IHDR"
+    )
+    jpeg_sig = F.hex(b.substr(1, 2)) == "FFD8"
+
+    def seg_step(acc, _i):
+        marker = F.hex(b.substr(acc["pos"].cast("int"), F.lit(2)))
+        seg_len = _be_uint(b, acc["pos"] + 2, 2)
+        is_sof = marker.isin("FFC0", "FFC1", "FFC2")
+        halt = (
+            acc["w"].isNotNull()
+            | ~marker.startswith("FF")
+            | marker.isin("FFDA", "FFD9")  # SOS / EOI: no SOF before scan data
+            | (acc["pos"] + 9 > F.octet_length(b))
+        )
+        return (
+            F.when(halt, acc)
+            .when(
+                is_sof,
+                F.struct(
+                    acc["pos"].alias("pos"),
+                    _be_uint(b, acc["pos"] + 7, 2).alias("w"),
+                    _be_uint(b, acc["pos"] + 5, 2).alias("h"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (acc["pos"] + 2 + seg_len).alias("pos"),
+                    acc["w"].alias("w"),
+                    acc["h"].alias("h"),
+                )
+            )
+        )
+
+    jpg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)),
+        F.struct(
+            F.lit(3).cast("bigint").alias("pos"),
+            F.lit(None).cast("bigint").alias("w"),
+            F.lit(None).cast("bigint").alias("h"),
+        ),
+        seg_step,
+    )
+    fmt = (
+        F.when(png_sig, F.lit("png"))
+        .when(jpeg_sig, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = F.when(png_sig, _be_uint(b, 17, 4)).when(jpeg_sig, jpg["w"])
+    height = F.when(png_sig, _be_uint(b, 21, 4)).when(jpeg_sig, jpg["h"])
+    return (
+        out.withColumn("img_format", fmt)
+        .withColumn("img_width", width.cast("bigint"))
+        .withColumn("img_height", height.cast("bigint"))
+        .withColumn("img_bytes", F.octet_length(b).cast("bigint"))
+        .drop("__img_b")
+    )
+
+
+def make_png_bytes(width: int, height: int, extra_payload: int = 0) -> bytes:
+    """Minimal structurally-valid PNG header bytes (signature + IHDR)
+    for fixtures: real pipelines get real files; tests and the oracle
+    gate need deterministic bytes whose header encodes known dims."""
+    import struct as _struct
+
+    ihdr = _struct.pack(">II", width, height) + bytes([8, 6, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\x0a"
+        + _struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # CRC placeholder (parser never reads it)
+        + bytes(extra_payload)
+    )
+
+
+def make_jpeg_bytes(
+    width: int, height: int, app0_pad: int = 0, com_len: int = 0, trailing: int = 0
+) -> bytes:
+    """Minimal structurally-valid JPEG bytes with a VARIABLE-length
+    APP0 + COM segment chain before SOF0, so parsers must genuinely
+    walk segments (fixed-offset reads give wrong answers)."""
+    import struct as _struct
+
+    len1 = 16 + app0_pad
+    # segment length includes its own 2 bytes: payload = len1 - 2,
+    # of which "JFIF\0" takes 5
+    app0 = b"\xff\xe0" + _struct.pack(">H", len1) + b"JFIF\x00" + bytes(len1 - 7)
+    len2 = 2 + com_len
+    com = b"\xff\xfe" + _struct.pack(">H", len2) + bytes(com_len)
+    sof = (
+        b"\xff\xc0"
+        + _struct.pack(">H", 17)
+        + bytes([8])
+        + _struct.pack(">HH", height, width)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + app0 + com + sof + bytes(trailing) + b"\xff\xd9"

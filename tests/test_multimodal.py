@@ -53,3 +53,47 @@ def test_sample_frames_one_row_per_frame(spark):
         idxs = sorted(i for i, _ in frames)
         assert idxs == list(range(len(idxs)))  # contiguous frame indices
         assert all(ts == i * 500 for i, ts in frames)
+
+
+def test_image_header_meta_parses_png_and_jpeg(spark):
+    from agnes_spark.operators.multimodal import (
+        image_header_meta,
+        make_jpeg_bytes,
+        make_png_bytes,
+    )
+
+    rows = [
+        (1, make_png_bytes(640, 480, extra_payload=7)),
+        # variable APP0+COM padding: a fixed-offset reader fails here
+        (2, make_jpeg_bytes(1920, 1080, app0_pad=5, com_len=30, trailing=11)),
+        (3, make_jpeg_bytes(31, 17)),
+        (4, b"\xff\xd8\xff\xe0\x00\x05"),  # truncated: NULL dims, no error
+        (5, b"not an image at all"),
+        (6, make_jpeg_bytes(65535, 65535, app0_pad=31, com_len=56)),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {
+        r.id: (r.img_format, r.img_width, r.img_height, r.img_bytes)
+        for r in image_header_meta(df).collect()
+    }
+    assert got[1] == ("png", 640, 480, 40)
+    assert got[2] == ("jpeg", 1920, 1080, 91)
+    assert got[3] == ("jpeg", 31, 17, 45)
+    assert got[4] == ("jpeg", None, None, 6)
+    assert got[5] == ("unknown", None, None, 19)
+    assert got[6] == ("jpeg", 65535, 65535, 132)
+
+
+def test_image_header_meta_stays_jvm_side(spark):
+    """The census must be pure codegen — no BatchEvalPython / ArrowEval
+    in the plan (100 TB of binary payloads never leave the JVM)."""
+    from agnes_spark.operators.multimodal import image_header_meta, make_png_bytes
+
+    df = spark.createDataFrame([(1, make_png_bytes(8, 8))], "id bigint, content binary")
+    plan = (
+        image_header_meta(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
