@@ -5644,6 +5644,85 @@ def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (operators/urltools): every document gets
+    a deterministic messy URL — case-warped scheme/host, www./news./
+    blog. subdomains, default AND non-default ports, index files,
+    trailing slashes, tracking params out of order, fragments — and the
+    gate canonicalizes with normalize_url (pure codegen), extracts the
+    registered domain (multi-part public suffixes included), and marks
+    per canonical URL the kept doc (min doc_id) + duplicate count.
+    The C4/RefinedWeb "one doc per URL" step. The oracle predicts the
+    canonical string closed-form from the same doc_id arithmetic, so
+    any mis-normalized component (an unstripped www, a kept utm param,
+    an unsorted query, a dropped :8080) hash-mismatches."""
+    from pyspark.sql import Window
+
+    from agnes_spark.operators.urltools import normalize_url, registered_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    doc = F.col("doc_id")
+    k = (doc % 5).cast("string")
+    scheme = F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    scheme_raw = F.when(doc % 5 == 0, F.upper(scheme)).otherwise(scheme)
+    sub = (
+        F.when(doc % 4 == 1, F.lit("news."))
+        .when(doc % 4 == 3, F.lit("blog."))
+        .when(doc % 4 == 0, F.lit("WWW."))
+        .otherwise(F.lit(""))
+    )
+    suffix = (
+        F.when(doc % 5 == 0, F.lit(".com"))
+        .when(doc % 5 == 1, F.lit(".co.uk"))
+        .when(doc % 5 == 2, F.lit(".org"))
+        .when(doc % 5 == 3, F.lit(".net"))
+        .otherwise(F.lit(".ac.uk"))
+    )
+    host_base = F.concat(sub, F.col("source"), suffix)
+    host_raw = F.when(doc % 3 == 0, F.upper(host_base)).otherwise(host_base)
+    port_raw = (
+        F.when(doc % 3 == 0, F.when(doc % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(doc % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_tail = (
+        F.when(doc % 9 == 0, F.lit("/index.html"))
+        .when(doc % 2 == 1, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        scheme_raw, F.lit("://"), host_raw, port_raw,
+        F.lit("/articles/"), k, path_tail,
+        F.lit("?utm_source=feed&id="), k, F.lit("&z=1&utm_campaign=c"),
+        (doc % 11).cast("string"),
+        F.when(doc % 8 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    # staged selects, NOT one nested expression: normalize_url
+    # references its input ~8 times and registered_domain would inline
+    # normalize_url(raw) a second time — unchecked, the expression
+    # tree multiplies out to thousands of nodes (the F.lit-array
+    # lesson: plan construction, not row work, becomes the cost)
+    canon = (
+        d.select("doc_id", raw.alias("raw_url"))
+        .select("doc_id", normalize_url(F.col("raw_url")).alias("canonical_url"))
+        .select(
+            "doc_id",
+            "canonical_url",
+            registered_domain(
+                F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
+            ).alias("reg_domain"),
+        )
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        "reg_domain",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    ).orderBy("doc_id")
+
+
 def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order/array-function coverage in one gate: per order,
     the sorted line-number array is probed with size / element_at /
@@ -7016,6 +7095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         # --- staged in r9, never graded (r10 window starts here) ---
         "image_header_census": image_header_census,
+        "url_dedup_docs": url_dedup_docs,
         # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
@@ -7938,6 +8018,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 45 + doc_id % 32 + doc_id % 57 + doc_id % 23 END "
             "AS BIGINT) AS n_bytes "
             "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id"
+        ),
+        "url_dedup_docs": (
+            "WITH raw AS (SELECT doc_id, source, "
+            "CAST(doc_id % 5 AS VARCHAR) AS k, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch, "
+            "CASE WHEN doc_id % 4 = 1 THEN 'news.' "
+            "WHEN doc_id % 4 = 3 THEN 'blog.' ELSE '' END AS sub, "
+            "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+            "WHEN 2 THEN '.org' WHEN 3 THEN '.net' ELSE '.ac.uk' END AS sfx, "
+            "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0 THEN ':8080' "
+            "ELSE '' END AS prt FROM documents), "
+            "canon AS (SELECT doc_id, "
+            "sch || '://' || sub || source || sfx || prt || '/articles/' "
+            "|| k || '?id=' || k || '&z=1' AS canonical_url, "
+            "source || sfx AS reg_domain FROM raw) "
+            "SELECT doc_id, canonical_url, reg_domain, "
+            "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
+            "AS n_dups, "
+            "doc_id = min(doc_id) OVER (PARTITION BY canonical_url) "
+            "AS is_kept FROM canon ORDER BY doc_id"
         ),
         "binaryfile_ingest": (
             "SELECT doc_id, "
