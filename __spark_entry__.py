@@ -7021,6 +7021,38 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([r0, r1], id_col="id", score_col="score", topk=15)
 
 
+def rrf_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-list dedup of the fused RRF candidates
+    (operators/searchindex.dedup_fused_candidates): the rrf_fusion_docs
+    top-15, with any candidate whose bag-of-words Jaccard vs a
+    higher-ranked candidate is >= 0.9 dropped (one-pass dominance,
+    dup_of = best-ranked dominator) — the de-duplication step between
+    retrieval fusion and display/labeling. Unigram shingles because
+    the synthetic corpus has no verbatim n-gram dups; the operator
+    takes n as a parameter. Constant-k frame broadcast everywhere;
+    the only corpus-sized work is the semi-join-pruned text fetch."""
+    from agnes_spark.operators.searchindex import (
+        bm25_search,
+        build_search_index,
+        dedup_fused_candidates,
+        rrf_fuse,
+    )
+
+    prefix = "srchidx_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    if ck not in _SEARCH_IDX_BUILT:
+        d = _t(spark, sf_dir, "documents")
+        build_search_index(d, "doc_id", "text", prefix)
+        _SEARCH_IDX_BUILT.add(ck)
+    r0 = bm25_search(spark, prefix, ["hash", "join", "merge"], k=200)
+    r1 = bm25_search(spark, prefix, ["sort", "merge", "join"], k=200)
+    fused = rrf_fuse([r0, r1], id_col="id", score_col="score", topk=15)
+    return dedup_fused_candidates(
+        fused, _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.9, n=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-9 window (counted to exactly 50):
@@ -7096,6 +7128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- staged in r9, never graded (r10 window starts here) ---
         "image_header_census": image_header_census,
         "url_dedup_docs": url_dedup_docs,
+        "rrf_dedup_docs": rrf_dedup_docs,
         # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
@@ -7490,8 +7523,41 @@ def _pca_oracle_sql(rounds: int = 6) -> str:
     )
 
 
+def _rrf_dedup_oracle_sql(fusion_sql: str) -> str:
+    """Derive the rrf_dedup_docs oracle from the rrf_fusion_docs one:
+    wrap the fused top-15 as a CTE, rebuild unigram shingle sets for
+    exactly those docs, and apply the same one-pass dominance rule
+    (drop iff a higher-ranked candidate has Jaccard >= 0.9; dup_of =
+    arg-min-rank dominator) the Spark operator implements."""
+    head, tail = fusion_sql.rsplit(" SELECT id, n_lists,", 1)
+    assert tail.endswith("LIMIT 15"), tail
+    return (
+        head
+        + ", fused AS (SELECT id, n_lists, round(rrf, 9) AS rrf, "
+        "row_number() OVER (ORDER BY round(rrf, 9) DESC, id ASC) AS rank "
+        "FROM f ORDER BY round(rrf, 9) DESC, id ASC LIMIT 15), "
+        "ctok AS (SELECT doc_id AS id, list_filter(string_split("
+        "regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') "
+        "AS wtoks FROM documents WHERE doc_id IN (SELECT id FROM fused)), "
+        "csh AS (SELECT DISTINCT id, unnest(wtoks) AS shingle FROM ctok), "
+        "csz AS (SELECT id, count(*) AS sz FROM csh GROUP BY 1), "
+        "cpr AS (SELECT a.id AS a_id, b.id AS b_id, "
+        "CAST(count(*) AS BIGINT) AS inter FROM csh a JOIN csh b "
+        "ON a.shingle = b.shingle AND a.id <> b.id GROUP BY 1, 2), "
+        "dom AS (SELECT cpr.b_id, arg_min(cpr.a_id, ra.rank) AS dup_of "
+        "FROM cpr JOIN fused ra ON cpr.a_id = ra.id "
+        "JOIN fused rb ON cpr.b_id = rb.id "
+        "JOIN csz sa ON cpr.a_id = sa.id JOIN csz sb ON cpr.b_id = sb.id "
+        "WHERE ra.rank < rb.rank AND inter * 1.0 / (sa.sz + sb.sz - inter) "
+        ">= 0.9 GROUP BY cpr.b_id) "
+        "SELECT fu.id, fu.n_lists, fu.rrf, CAST(fu.rank AS BIGINT) AS rank, "
+        "dom.dup_of IS NULL AS is_kept, dom.dup_of "
+        "FROM fused fu LEFT JOIN dom ON fu.id = dom.b_id ORDER BY fu.rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         # --- staged r7: table-maintenance / schema-drift gates ---
         "compaction_roundtrip": (
             "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value, "
@@ -10318,3 +10384,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
     }
+    d["rrf_dedup_docs"] = _rrf_dedup_oracle_sql(d["rrf_fusion_docs"])
+    return d

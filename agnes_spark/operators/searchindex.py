@@ -186,3 +186,70 @@ def rrf_fuse(rankings, id_col: str = "id", score_col: str = "score", k_const: in
         .limit(topk)
         .select("id", "n_lists", F.round("rrf", 9).alias("rrf"))
     )
+
+
+def dedup_fused_candidates(
+    fused: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    n: int = 1,
+) -> DataFrame:
+    """Cross-list dedup of a fused candidate list: RRF over query
+    variants / hybrid retrievers routinely surfaces the same content
+    several times (mirrors, boilerplate variants), so the fused top-k
+    is deduplicated before display/labeling. Drop rule: a candidate is
+    dropped iff some HIGHER-ranked candidate (rrf desc, id asc) has
+    n-gram Jaccard >= threshold with it — one-pass dominance, not
+    greedy-survivor chains, so the result is order-free, deterministic,
+    and exactly SQL-expressible. `dup_of` names the best-ranked
+    dominator for audit.
+
+    Scale shape: the fused frame is constant-k (15-100 rows), so it is
+    localCheckpointed once and BROADCAST everywhere — the only
+    corpus-sized work is one semi-join-pruned scan to fetch the k
+    candidate texts; the pair join is k^2 on single-digit-KB shingle
+    arrays. Default n=1 (bag-of-words Jaccard) suits dedup of short
+    result snippets; corpus-scale near-dup uses n=3..5 upstream
+    (operators/dedup.py)."""
+    from agnes_spark.operators.dedup import shingle_sets
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    # constant-k frame consumed by three joins: checkpoint so the
+    # upstream retrieval (BM25 over the corpus) runs once, not thrice
+    ranked = fused.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    cand = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).join(
+        F.broadcast(ranked.select("id")), "id", "left_semi"
+    )
+    sh = shingle_sets(cand, "id", "__t", n).select("id", "shash")
+    feat = ranked.join(sh, "id", "left")
+    a = feat.select(
+        F.col("id").alias("a_id"), F.col("rank").alias("a_rank"),
+        F.col("shash").alias("a_sh"),
+    )
+    b = feat.select(
+        F.col("id").alias("b_id"), F.col("rank").alias("b_rank"),
+        F.col("shash").alias("b_sh"),
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    dropped = (
+        a.join(F.broadcast(b), F.col("a_rank") < F.col("b_rank"))
+        .withColumn("j", inter.cast("double") / union.cast("double"))
+        .filter(F.col("j") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min_by("a_id", "a_rank").alias("dup_of"))
+    )
+    return (
+        ranked.join(F.broadcast(dropped), ranked.id == dropped.b_id, "left")
+        .select(
+            "id", "n_lists", "rrf",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+        .orderBy("rank")
+    )

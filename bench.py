@@ -217,6 +217,10 @@ EXTRA_QUERIES = [
     "bpe_encode_docs",
     "theil_sen_daily",
     "rrf_fusion_docs",
+    # round-9 additions
+    "image_header_census",
+    "url_dedup_docs",
+    "rrf_dedup_docs",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES

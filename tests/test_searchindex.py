@@ -62,3 +62,37 @@ def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
     # doc in both lists outranks the single-list leader
     order = [r.id for r in rrf_fuse([a, b], topk=10).collect()]
     assert order[0] == 2
+
+
+def test_dedup_fused_candidates_dominance_rule(spark):
+    from agnes_spark.operators.searchindex import dedup_fused_candidates
+
+    # fused list: 10 > 20 > 30 > 40 by rrf
+    fused = spark.createDataFrame(
+        [(10, 2, 0.9), (20, 2, 0.8), (30, 1, 0.7), (40, 1, 0.6)],
+        "id long, n_lists long, rrf double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (20, "alpha beta gamma delta"),   # dup of 10 (j=1.0)
+            (30, "totally different words here"),
+            (40, "alpha beta gamma epsilon"), # j=3/5=0.6 vs 10 -> kept at 0.9
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.rank, r.is_kept, r.dup_of)
+        for r in dedup_fused_candidates(fused, docs, threshold=0.9, n=1).collect()
+    }
+    assert got[10] == (1, True, None)
+    assert got[20] == (2, False, 10)
+    assert got[30] == (3, True, None)
+    assert got[40] == (4, True, None)
+    # lower threshold also sweeps 40 under 10 (its best-ranked dominator)
+    got2 = {
+        r.id: (r.is_kept, r.dup_of)
+        for r in dedup_fused_candidates(fused, docs, threshold=0.5, n=1).collect()
+    }
+    assert got2[40] == (False, 10)
+    assert got2[30] == (True, None)
