@@ -208,6 +208,7 @@ AUDIT_BNLJ_ALLOWED = {
     "decision_stump_orders",  # 1-row bounds/totals broadcasts onto the value frame
     "holt_trend_revenue",  # 1-row observation-list broadcast onto the bounded daily frame
     "nb_top_tokens_lang",  # 1-row corpus-totals broadcast onto the (class, token) frame
+    "rrf_dedup_docs",  # constant-k (15-row) rank-dominance pair join, broadcast both sides
     "trimmed_mean_price",  # 1-row bounds/totals broadcasts onto the value frame
     "assoc_rules_parts",  # 1-row basket-count broadcast onto the rule frame
     "stump_eval_orders",  # 1-row learned-split broadcast onto the fact scan (+ stump bounds/totals)
