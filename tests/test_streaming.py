@@ -110,3 +110,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # neither re-emitted the window nor bumped its count
     assert got.get("2024-01-01 12:00:00") == 1
     assert len(rows) == 1
+
+
+def test_bench_streaming_warmup_builds_no_state(spark, tmp_path):
+    """r8 verdict item 7: the bench's rate->noop engine warm-up must
+    only initialize the micro-batch machinery (classes, codegen), never
+    pre-build state stores a first real stateful query would otherwise
+    pay for in production. Same shape as bench.py's warm-up, pinned to
+    an inspectable checkpoint: zero stateOperators reported and no
+    state/ directory materialized."""
+    import os
+
+    ck = str(tmp_path / "warmup_ck")
+    sq = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(30)
+    sq.stop()
+    for p in sq.recentProgress:
+        assert not p["stateOperators"], p["stateOperators"]
+    assert not os.path.exists(os.path.join(ck, "state"))
