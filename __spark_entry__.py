@@ -1476,9 +1476,23 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of skew_profile: approx_top_k heavy hitters in one
     mergeable-sketch pass (no exact per-key groupBy shuffle at 100 TB).
     Sketch-based — rows-only check; agreement with the exact profile
-    is pinned in tests."""
+    is pinned in tests.
+
+    maxItemsTracked is sized from the data (~1.3x the HLL user-count
+    estimate, clamped to Spark's 1e6 cap) instead of the 10k default:
+    the sf1.0 sweep caught the default saturating at 10x the test
+    scale's user cardinality, silently degrading counts past the check
+    twin's 1% tolerance — the "defaults sized near the test scale"
+    defect class. While distinct keys fit the cap the sketch is exact;
+    beyond it (>1e6 heavy-hitter candidates) the space-saving bound
+    applies and the check twin's tolerance, not exactness, is the
+    contract."""
     ev = _events(spark, sf_dir)
-    tk = ev.agg(F.expr("approx_top_k(user_id, 10)").alias("tk"))
+    n_users = ev.agg(F.approx_count_distinct("user_id", 0.02).alias("d")).first()[
+        "d"
+    ]
+    m = min(1_000_000, max(10_000, int(n_users * 1.3)))
+    tk = ev.agg(F.expr(f"approx_top_k(user_id, 10, {m})").alias("tk"))
     return (
         tk.select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n"))

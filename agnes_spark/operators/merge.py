@@ -46,15 +46,28 @@ def with_row_index(df: DataFrame, name: str = _IDX) -> DataFrame:
     broadcast-join back on partition id. The broadcast hash join is
     map-side, so partition-local row order is preserved; the offsets
     impose the global order — identical semantics to zipWithIndex,
-    zero serialization out of Tungsten. The counts branch re-scans the
-    source column-pruned to the partition id (the same second pass
-    zipWithIndex's count job pays)."""
+    zero serialization out of Tungsten. The indexed frame is
+    materialized once (eager localCheckpoint) and BOTH passes read it,
+    mirroring zipWithIndex's one-execution contract (see the inline
+    comment for the sf1.0 failure a re-scanning counts pass caused)."""
     from pyspark.sql import Window
 
     pid = "__agnes_pid"
     local = "__agnes_local"
-    base = df.withColumn(pid, F.spark_partition_id()).withColumn(
-        local, F.monotonically_increasing_id() % F.lit(1 << 33)
+    # The counts pass and the join pass MUST observe the SAME physical
+    # execution: pid/local are execution-dependent, and re-running the
+    # lineage for the offsets branch let the two passes land on
+    # different layouts (AQE coalescing / sort handling diverge between
+    # the broadcast job and the main job) — intermittent row loss at
+    # sf1.0 (150000 -> ~65k after the index join; sf0.1 always
+    # collapsed both branches to one partition, hiding it). Eagerly
+    # localCheckpoint the indexed frame so both passes read one
+    # materialized set of blocks — zipWithIndex's one-execution
+    # contract, kept JVM-side.
+    base = (
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(local, F.monotonically_increasing_id() % F.lit(1 << 33))
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
