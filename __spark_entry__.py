@@ -2363,9 +2363,16 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then sketch UNION for the grand total — no second scan. This is
     how incremental/hierarchical distinct counts roll up at 100 TB
     (store sketches per partition/day, merge on demand). Sketch-based
-    — rows-only check; error vs exact pinned in tests."""
+    — rows-only check; error vs exact pinned in tests.
+
+    lgConfigK=14 (16k registers, RSE ~0.8%), not the lgK=12 default:
+    the check twin promises 2.5% and the default's 1.6% RSE leaves no
+    sigma margin — the sf1.0 sweep caught a 3.2% miss at 200k distinct.
+    Precision must be sized to the promised bound, not defaulted."""
     li = _t(spark, sf_dir, "lineitem")
-    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sk")
+    )
     per_group = sk.select(
         "l_returnflag", F.hll_sketch_estimate("sk").alias("est_parts")
     )
