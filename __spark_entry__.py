@@ -5665,23 +5665,20 @@ def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level crawl dedup (operators/urltools): every document gets
-    a deterministic messy URL — case-warped scheme/host, www./news./
-    blog. subdomains, default AND non-default ports, index files,
-    trailing slashes, tracking params out of order, fragments — and the
-    gate canonicalizes with normalize_url (pure codegen), extracts the
-    registered domain (multi-part public suffixes included), and marks
-    per canonical URL the kept doc (min doc_id) + duplicate count.
-    The C4/RefinedWeb "one doc per URL" step. The oracle predicts the
-    canonical string closed-form from the same doc_id arithmetic, so
-    any mis-normalized component (an unstripped www, a kept utm param,
-    an unsorted query, a dropped :8080) hash-mismatches."""
-    from pyspark.sql import Window
-
+def _synthetic_doc_urls(d: DataFrame) -> DataFrame:
+    """Input frame + (canonical_url, reg_domain): synthesize the
+    deterministic messy URL every doc gets (case-warped scheme/host,
+    www./news./blog. subdomains, default AND non-default ports, index
+    files, trailing slashes, tracking params out of order, fragments),
+    canonicalize with normalize_url (pure codegen) and extract the
+    registered domain. Shared by url_dedup_docs and
+    domain_quality_rollup so both gates dedup/roll up the SAME crawl
+    key space. Input must carry doc_id and source; every other input
+    column passes through, so callers stay on ONE scan lineage instead
+    of joining back (the normalize_url expression tree is large —
+    executing it once per gate matters more than the row work)."""
     from agnes_spark.operators.urltools import normalize_url, registered_domain
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     doc = F.col("doc_id")
     k = (doc % 5).cast("string")
     scheme = F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
@@ -5723,17 +5720,33 @@ def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize_url(raw) a second time — unchecked, the expression
     # tree multiplies out to thousands of nodes (the F.lit-array
     # lesson: plan construction, not row work, becomes the cost)
-    canon = (
-        d.select("doc_id", raw.alias("raw_url"))
-        .select("doc_id", normalize_url(F.col("raw_url")).alias("canonical_url"))
+    return (
+        d.select("*", raw.alias("raw_url"))
+        .select("*", normalize_url(F.col("raw_url")).alias("canonical_url"))
+        .drop("raw_url")
         .select(
-            "doc_id",
-            "canonical_url",
+            "*",
             registered_domain(
                 F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
             ).alias("reg_domain"),
         )
     )
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (operators/urltools): every document gets
+    a deterministic messy URL (see _synthetic_doc_urls), and the gate
+    canonicalizes with normalize_url (pure codegen), extracts the
+    registered domain (multi-part public suffixes included), and marks
+    per canonical URL the kept doc (min doc_id) + duplicate count.
+    The C4/RefinedWeb "one doc per URL" step. The oracle predicts the
+    canonical string closed-form from the same doc_id arithmetic, so
+    any mis-normalized component (an unstripped www, a kept utm param,
+    an unsorted query, a dropped :8080) hash-mismatches."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = _synthetic_doc_urls(d)
     w = Window.partitionBy("canonical_url")
     return canon.select(
         "doc_id",
@@ -7074,6 +7087,162 @@ def rrf_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation rollup — the RefinedWeb/C4 step
+    AFTER url-level dedup: crawl budgeting and quality filtering are
+    decided per OWNER DOMAIN, not per page. Rides the same synthetic
+    URL substrate as url_dedup_docs (_synthetic_doc_urls): per
+    reg_domain, doc count, distinct canonical URLs, the URL-dup rate
+    (1 - urls/docs), exact char/word totals and their per-doc means,
+    and each domain's share of the corpus. Counts and sums are exact
+    integers; the four ratios are single final divisions, so the
+    DuckDB oracle (closed-form canonical URL from the same doc_id
+    arithmetic) hash-matches bit-for-bit. One groupBy on reg_domain +
+    one broadcast scalar join — no global window, no second shuffle."""
+    from agnes_spark.functions import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            ws_tokens(F.lower(F.col("text"))),
+            lambda w: w.rlike("^[a-z]+$"),
+        )
+    ).cast("long")
+    per_doc = _synthetic_doc_urls(
+        d.select("doc_id", "source", "n_chars", words.alias("n_words"))
+    )
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    agg = per_doc.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("canonical_url").cast("long").alias("n_urls"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "reg_domain",
+            "n_docs",
+            "n_urls",
+            (
+                F.lit(1.0)
+                - F.col("n_urls").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "sum_chars",
+            (F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+                "mean_chars"
+            ),
+            "sum_words",
+            (F.col("sum_words").cast("double") / F.col("n_docs").cast("double")).alias(
+                "words_per_doc"
+            ),
+            (F.col("n_docs").cast("double") / F.col("total_docs").cast("double")).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("reg_domain")
+    )
+
+
+def map_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function coverage in one gate — the map twin
+    of array_funcs_suite: per order, per-returnflag line counts and
+    quantity sums become maps via map_from_entries over SORTED entry
+    arrays (deterministic key order), combined with map_zip_with
+    (v = qty*1000 + cnt — exact, losslessly unpackable), pruned with
+    map_filter (qty >= 50), rekeyed with transform_keys and unpacked
+    with transform_values, then flattened back to rows via
+    explode(map_entries(...)) so the output holds no map type and the
+    DuckDB oracle recomputes every cell from a flat GROUP BY. size()
+    and sorted map_keys ride along as per-order columns. All JVM-side
+    whole-stage expressions, zero Python."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    g = li.groupBy("l_orderkey", "flag").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("qty").cast("long").alias("q"),
+    )
+    per_order = g.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("flag", "c")))
+        ).alias("m_cnt"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("flag", "q")))
+        ).alias("m_qty"),
+    )
+    combined = F.map_zip_with(
+        "m_cnt", "m_qty", lambda k, c, q: q * F.lit(1000) + c
+    )
+    kept = F.map_filter(combined, lambda k, v: v >= F.lit(50000))
+    rekeyed = F.transform_keys(
+        kept, lambda k, v: F.concat(k, F.lit("_"), (v % 1000).cast("string"))
+    )
+    unpacked = F.transform_values(rekeyed, lambda k, v: (v / 1000).cast("long"))
+    rows = per_order.select(
+        "l_orderkey",
+        F.size(combined).cast("long").alias("n_flags"),
+        F.concat_ws(",", F.map_keys(combined)).alias("flags"),
+        F.explode(F.map_entries(unpacked)).alias("e"),
+    )
+    return rows.select(
+        "l_orderkey",
+        "n_flags",
+        "flags",
+        F.col("e.key").alias("mkey"),
+        F.col("e.value").alias("mval"),
+    ).orderBy("l_orderkey", "mkey")
+
+
+def token_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the standard multilingual
+    tokenizer-efficiency audit (tokens per word / chars per token,
+    e.g. Rust et al., ACL'21): encode EVERY language's word
+    vocabulary with the ENGLISH-trained BPE merges
+    (_bpe_merges_cached — the same 5-round artifact bpe_merges_docs /
+    bpe_encode_docs grade) and aggregate exact token/word/char totals
+    per lang. The merge replay runs on the bounded all-lang vocab
+    (operators/bpe.py bpe_encode_counts); per-corpus work is one
+    explode + one equi-join — the shape that holds at 100 TB. Counts
+    are exact integers; fertility and chars_per_token are single
+    final divisions, so the generated DuckDB oracle (training chain
+    on en, replay chain on the all-lang vocab) hash-matches."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.bpe import bpe_encode_counts
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_counts(d, "text", _bpe_merges_cached(spark, sf_dir))
+    docw = d.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        docw.join(enc.select("w", "n_tokens"), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-9 window (counted to exactly 50):
@@ -7150,6 +7319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_census": image_header_census,
         "url_dedup_docs": url_dedup_docs,
         "rrf_dedup_docs": rrf_dedup_docs,
+        "domain_quality_rollup": domain_quality_rollup,
+        "map_funcs_suite": map_funcs_suite,
+        "token_fertility_lang": token_fertility_lang,
         # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
@@ -7487,6 +7659,81 @@ def _bpe_encode_oracle_sql(rounds: int = 5) -> str:
         + " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
         "FROM docw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _bpe_fertility_oracle_sql(rounds: int = 5) -> str:
+    """Fertility twin of _bpe_encode_oracle_sql: the merge TRAINING
+    chain runs on the en vocab exactly as _bpe_oracle_sql (v/p/m
+    CTEs), but the REPLAY chain (u CTEs) runs on the ALL-language
+    word vocabulary — mirroring the Spark gate, which encodes every
+    lang's words with the en-trained merges — and the final select
+    aggregates exact token/word/char totals per lang."""
+    parts = [
+        "WITH w AS (SELECT token AS w, CAST(count(*) AS BIGINT) AS wc "
+        "FROM (SELECT unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS token FROM documents WHERE lang = 'en') "
+        "WHERE token <> '' AND regexp_matches(token, '^[a-z]+$') "
+        "GROUP BY token)",
+        "v0 AS MATERIALIZED (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), '  ') || ' ' AS seq, wc "
+        "FROM w)",
+        # the replay vocabulary: every language's distinct words
+        "aw AS (SELECT token AS w FROM (SELECT unnest("
+        "string_split_regex(trim(lower(text)), '\\s+')) AS token "
+        "FROM documents) "
+        "WHERE token <> '' AND regexp_matches(token, '^[a-z]+$') "
+        "GROUP BY token)",
+        "u0 AS MATERIALIZED (SELECT w, ' ' || array_to_string("
+        "list_transform(range(1, length(w) + 1), i -> w[i]), '  ') "
+        "|| ' ' AS seq FROM aw)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT toks[i] AS a, toks[i + 1] AS b, "
+            f"CAST(sum(wc) AS BIGINT) AS cnt FROM (SELECT "
+            f"string_split(trim(seq), '  ') AS toks, wc FROM v{r - 1}), "
+            f"unnest(range(1, len(toks))) AS u(i) GROUP BY a, b)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT struct_extract(s, 'a') AS a, "
+            f"struct_extract(s, 'b') AS b FROM (SELECT "
+            f"min(struct_pack(nc := -cnt, a := a, b := b)) AS s FROM p{r}))"
+        )
+        parts.append(
+            # exhausted-round guard as in _bpe_encode_oracle_sql
+            f"v{r} AS MATERIALIZED (SELECT CASE WHEN a IS NULL THEN seq "
+            f"ELSE replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') END AS seq, wc FROM v{r - 1} "
+            f"CROSS JOIN m{r})"
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT w, CASE WHEN a IS NULL THEN "
+            f"seq ELSE replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') END AS seq FROM u{r - 1} "
+            f"CROSS JOIN m{r})"
+        )
+    parts.append(
+        f"enc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) "
+        f"AS BIGINT) AS n_tokens FROM u{rounds})"
+    )
+    parts.append(
+        "docw AS (SELECT doc_id, lang, token AS w FROM (SELECT doc_id, "
+        "lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) "
+        "AS token FROM documents) "
+        "WHERE token <> '' AND regexp_matches(token, '^[a-z]+$'))"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(length(w)) AS BIGINT) AS n_chars, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "AS fertility, "
+        "CAST(sum(length(w)) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) "
+        "AS chars_per_token "
+        "FROM docw JOIN enc USING (w) GROUP BY lang ORDER BY lang"
     )
 
 
@@ -8126,6 +8373,54 @@ def oracle_sql() -> dict[str, str]:
             "doc_id = min(doc_id) OVER (PARTITION BY canonical_url) "
             "AS is_kept FROM canon ORDER BY doc_id"
         ),
+        "domain_quality_rollup": (
+            "WITH u AS (SELECT doc_id, source, n_chars, "
+            "CAST(len(list_filter(string_split_regex(trim(lower(text)), "
+            "'\\s+'), t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) "
+            "AS n_words, "
+            "CAST(doc_id % 5 AS VARCHAR) AS k, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch, "
+            "CASE WHEN doc_id % 4 = 1 THEN 'news.' "
+            "WHEN doc_id % 4 = 3 THEN 'blog.' ELSE '' END AS sub, "
+            "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+            "WHEN 2 THEN '.org' WHEN 3 THEN '.net' ELSE '.ac.uk' END AS sfx, "
+            "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0 THEN ':8080' "
+            "ELSE '' END AS prt FROM documents), "
+            "c AS (SELECT doc_id, n_chars, n_words, "
+            "source || sfx AS reg_domain, "
+            "sch || '://' || sub || source || sfx || prt || '/articles/' "
+            "|| k || '?id=' || k || '&z=1' AS canonical_url FROM u), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS total_docs "
+            "FROM documents), "
+            "a AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(n_words) AS BIGINT) AS sum_words "
+            "FROM c GROUP BY reg_domain) "
+            "SELECT reg_domain, n_docs, n_urls, "
+            "1.0 - CAST(n_urls AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+            "AS dup_rate, sum_chars, "
+            "CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars, "
+            "sum_words, "
+            "CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+            "AS words_per_doc, "
+            "CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) "
+            "AS corpus_share FROM a CROSS JOIN t ORDER BY reg_domain"
+        ),
+        "map_funcs_suite": (
+            "WITH g AS (SELECT l_orderkey, l_returnflag AS flag, "
+            "CAST(count(*) AS BIGINT) AS c, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q "
+            "FROM lineitem GROUP BY l_orderkey, l_returnflag), "
+            "o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_flags, "
+            "string_agg(flag, ',' ORDER BY flag) AS flags "
+            "FROM g GROUP BY l_orderkey) "
+            "SELECT g.l_orderkey, o.n_flags, o.flags, "
+            "flag || '_' || CAST(c AS VARCHAR) AS mkey, q AS mval "
+            "FROM g JOIN o USING (l_orderkey) "
+            "WHERE q * 1000 + c >= 50000 ORDER BY l_orderkey, mkey"
+        ),
+        "token_fertility_lang": _bpe_fertility_oracle_sql(),
         "binaryfile_ingest": (
             "SELECT doc_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

@@ -198,6 +198,7 @@ AUDIT_BNLJ_ALLOWED = {
     "mutual_info_lang_source",  # 1-row N broadcast onto the (a,b) cell frame
     "pmi_collocations_docs",  # 1-row corpus-N broadcast onto the candidate frame
     "dq_orders_report",  # 1-row n_rows broadcast onto the per-check rows
+    "domain_quality_rollup",  # 1-row corpus-total onto the ~20 domain rows
     "search_bm25_topk",  # 1-row corpus-stats broadcast onto matched postings
     "spearman_qty_price",  # 1-row bounds broadcast onto the value grid (x2 rank frames)
     "cusum_changepoint_revenue",  # 1-row totals + 1-row peak broadcast onto the daily frame

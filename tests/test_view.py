@@ -57,8 +57,12 @@ def test_merge_positional(spark):
 def test_merge_positional_stays_in_tungsten(spark):
     """Keyless/orderless positional merge: correct alignment AND no
     Python-RDD hop — the two-pass numbering (partition offsets +
-    broadcast join-back) replaces rdd.zipWithIndex entirely, so the
-    executed plan must contain no ExistingRDD/PythonRDD scan."""
+    broadcast join-back) replaces rdd.zipWithIndex entirely. The plan
+    DOES contain `Scan ExistingRDD`: that is the eager localCheckpoint
+    with_row_index takes so the counts pass and the join pass observe
+    ONE physical execution (the sf1.0 row-loss fix) — its blocks are
+    JVM UnsafeRows, not a Python hop. What must stay absent is any
+    Python evaluation or rdd.zipWithIndex lineage."""
     left = spark.range(0, 100).select((F.col("id") * 2).alias("a"))
     right = spark.range(0, 100).select((F.col("id") * 3).alias("b"))
     from agnes_spark.operators.merge import merge_views as _merge
@@ -67,8 +71,9 @@ def test_merge_positional_stays_in_tungsten(spark):
     rows = out.orderBy("a").collect()
     assert [(r.a, r.b) for r in rows] == [(2 * i, 3 * i) for i in range(100)]
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" not in plan and "zipWithIndex" not in plan
-    assert "PythonRDD" not in plan
+    assert "zipWithIndex" not in plan
+    assert "PythonRDD" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_merge_order_by_stays_in_tungsten(spark):
