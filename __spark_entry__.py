@@ -7180,7 +7180,11 @@ def map_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rekeyed = F.transform_keys(
         kept, lambda k, v: F.concat(k, F.lit("_"), (v % 1000).cast("string"))
     )
-    unpacked = F.transform_values(rekeyed, lambda k, v: (v / 1000).cast("long"))
+    # Exact integer unpack: (v - v % 1000) / 1000 stays lossless for any
+    # pack modulus, unlike double division which relies on v << 2^53.
+    unpacked = F.transform_values(
+        rekeyed, lambda k, v: ((v - v % 1000) / 1000).cast("long")
+    )
     rows = per_order.select(
         "l_orderkey",
         F.size(combined).cast("long").alias("n_flags"),
@@ -7245,26 +7249,80 @@ def token_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-9 window (counted to exactly 50):
-    #   1-26: the 16 r7-staged keys never driver-graded before r9
-    #         (holt_trend_revenue .. markov_next_event_accuracy),
-    #         the 3 r8-staged keys (bpe_encode_docs theil_sen_daily
-    #         rrf_fusion_docs), and the 7 r3-latest keys
-    #         (serialize_roundtrip .. rolling_7d_revenue).
-    #   27-50: csv_roundtrip + the 23 oldest r4-latest keys in
-    #         registry order (label_centroids .. ann_ivf_topk).
-    #   51+:  keys staged in r9 (never graded), then the r8/r7/r6/
-    #         r5-graded windows and the remaining r4-graded keys.
-    # r10 ROTATION NOTE: after r9 every pre-r9 key has a driver row.
-    # The r10 window = any keys staged in r9 (immediately after
-    # position 50) + the next-oldest-graded keys: the remaining 27
-    # r4-latest keys (doc_fingerprint .. corr_stats block) topped up
-    # from the r5-graded window in registry order. Verify
-    # list(queries())[49] programmatically after rotating.
+    # Round-10 window (counted to exactly 50):
+    #   1-6:  the 6 r9-staged keys never driver-graded before r10
+    #         (image_header_census url_dedup_docs rrf_dedup_docs
+    #         domain_quality_rollup map_funcs_suite token_fertility_lang).
+    #   7-32: the 26 oldest (r4-latest) keys in registry order
+    #         (doc_fingerprint .. corr_stats).
+    #   33-50: the 18 oldest r5-latest keys in registry order
+    #         (q7_volume_shipping .. q20_potential_promotion).
+    #   51+:  keys staged in r10 (never graded), then the remaining
+    #         r5-graded keys and the r9/r8/r7/r6 windows.
+    # r11 ROTATION NOTE: the r11 window = any keys staged in r10
+    # (immediately after position 50) + the next-oldest-graded keys:
+    # the remaining r5-latest keys (dedup_incremental .. merge_views
+    # block) topped up from the r6-graded window in registry order.
+    # Verify list(queries())[49] programmatically after rotating.
     return {
-        # --- r9 window (50): 16 never-graded r7 keys, 3 r8-staged
-        #     keys, 7 r3-latest keys, csv_roundtrip + 23 r4-latest
-        #     keys (label_centroids .. ann_ivf_topk) ---
+        # --- r10 window (50): the 6 r9-staged never-graded keys,
+        #     the 26 oldest (r4-latest) keys (doc_fingerprint ..
+        #     corr_stats), and the 18 oldest r5-latest keys in
+        #     registry order (q7_volume_shipping ..
+        #     q20_potential_promotion). ---
+        "image_header_census": image_header_census,
+        "url_dedup_docs": url_dedup_docs,
+        "rrf_dedup_docs": rrf_dedup_docs,
+        "domain_quality_rollup": domain_quality_rollup,
+        "map_funcs_suite": map_funcs_suite,
+        "token_fertility_lang": token_fertility_lang,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_winnow": doc_winnow,
+        "stratified_sample": stratified_sample,
+        "stream_sessionize": stream_sessionize,
+        "approx_percentiles": approx_percentiles,
+        "approx_distinct_parts": approx_distinct_parts,
+        "hll_sketch_rollup": hll_sketch_rollup,
+        "check_embedding_auto_recall": check_embedding_auto_recall,
+        "check_sketch_rollup_bound": check_sketch_rollup_bound,
+        "check_minhash_subset_exact": check_minhash_subset_exact,
+        "check_simhash_verified": check_simhash_verified,
+        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
+        "check_lsh_scores_exact": check_lsh_scores_exact,
+        "check_hll_error_bound": check_hll_error_bound,
+        "check_approx_percentile_error": check_approx_percentile_error,
+        "check_stratified_sample_bounds": check_stratified_sample_bounds,
+        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
+        "check_pack_greedy": check_pack_greedy,
+        "check_shuffle_deterministic": check_shuffle_deterministic,
+        "check_incremental_rollup": check_incremental_rollup,
+        "dedup_clusters": dedup_clusters,
+        "correlated_min": correlated_min,
+        "rollup_agg": rollup_agg,
+        "union_views": union_views,
+        "embedding_norms": embedding_norms,
+        "corr_stats": corr_stats,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_custdist": q13_custdist,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "xml_roundtrip": xml_roundtrip,
+        "stratified_sample_exact": stratified_sample_exact,
+        "lm_surprise": lm_surprise,
+        "bm25_top_terms": bm25_top_terms,
+        "q12_priority_shipments": q12_priority_shipments,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q20_potential_promotion": q20_potential_promotion,
+        # --- 51+: keys staged in r10 go HERE (immediately after
+        #     position 50), then the remaining r5-graded keys,
+        #     the r9/r8/r7/r6 windows in recency order. ---
         "holt_trend_revenue": holt_trend_revenue,
         "nb_top_tokens_lang": nb_top_tokens_lang,
         "trimmed_mean_price": trimmed_mean_price,
@@ -7315,14 +7373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_auto": dedup_embedding_auto,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        # --- staged in r9, never graded (r10 window starts here) ---
-        "image_header_census": image_header_census,
-        "url_dedup_docs": url_dedup_docs,
-        "rrf_dedup_docs": rrf_dedup_docs,
-        "domain_quality_rollup": domain_quality_rollup,
-        "map_funcs_suite": map_funcs_suite,
-        "token_fertility_lang": token_fertility_lang,
-        # r8-graded window (all green in CORRECTNESS_r08)
         "dedup_spans": dedup_spans,
         "dedup_spans_removal": dedup_spans_removal,
         "check_span_recall": check_span_recall,
@@ -7373,7 +7423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multi_lineitem": ols_multi_lineitem,
         "kaplan_meier_churn": kaplan_meier_churn,
         "decision_stump_orders": decision_stump_orders,
-        # r7-graded window (all green in CORRECTNESS_r07)
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
         "stream_band_join": stream_band_join,
@@ -7424,7 +7473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "word_count": word_count,
         "collect_values": collect_values,
-        # r6-graded window (all green in CORRECTNESS_r06)
         "grouping_sets_agg": grouping_sets_agg,
         "retention_cohorts": retention_cohorts,
         "funnel_conversion": funnel_conversion,
@@ -7445,7 +7493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_top": bigram_top,
         "salted_agg_topusers": salted_agg_topusers,
         "asof_join_forward": asof_join_forward,
-        # --- last driver row r1 (judge re-verified green in r5) ---
         "aggregate_sum": aggregate_sum,
         "field_stats": field_stats,
         "join_semi": join_semi,
@@ -7476,25 +7523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_arith": field_arith,
         "melt_wide": melt_wide,
         "unique_values": unique_values,
-        # r5-graded window (all green in CORRECTNESS_r05)
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q13_custdist": q13_custdist,
-        "q22_lapsed_customers": q22_lapsed_customers,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "xml_roundtrip": xml_roundtrip,
-        "stratified_sample_exact": stratified_sample_exact,
-        "lm_surprise": lm_surprise,
-        "bm25_top_terms": bm25_top_terms,
-        "q12_priority_shipments": q12_priority_shipments,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-        "q20_potential_promotion": q20_potential_promotion,
         "dedup_incremental": dedup_incremental,
         "dedup_incremental_minhash": dedup_incremental_minhash,
         "check_incremental_minhash_parity": check_incremental_minhash_parity,
@@ -7527,33 +7555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_lt": join_lt,
         "join_band": join_band,
         "merge_views": merge_views,
-        # graded green in r4
-        "doc_fingerprint": doc_fingerprint,
-        "doc_winnow": doc_winnow,
-        "stratified_sample": stratified_sample,
-        "stream_sessionize": stream_sessionize,
-        "approx_percentiles": approx_percentiles,
-        "approx_distinct_parts": approx_distinct_parts,
-        "hll_sketch_rollup": hll_sketch_rollup,
-        "check_embedding_auto_recall": check_embedding_auto_recall,
-        "check_sketch_rollup_bound": check_sketch_rollup_bound,
-        "check_minhash_subset_exact": check_minhash_subset_exact,
-        "check_simhash_verified": check_simhash_verified,
-        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
-        "check_lsh_scores_exact": check_lsh_scores_exact,
-        "check_hll_error_bound": check_hll_error_bound,
-        "check_approx_percentile_error": check_approx_percentile_error,
-        "check_stratified_sample_bounds": check_stratified_sample_bounds,
-        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
-        "check_pack_greedy": check_pack_greedy,
-        "check_shuffle_deterministic": check_shuffle_deterministic,
-        "check_incremental_rollup": check_incremental_rollup,
-        "dedup_clusters": dedup_clusters,
-        "correlated_min": correlated_min,
-        "rollup_agg": rollup_agg,
-        "union_views": union_views,
-        "embedding_norms": embedding_norms,
-        "corr_stats": corr_stats,
     }
 
 
