@@ -4315,6 +4315,44 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COPURCHASE_EDGE_CACHE: dict = {}
 
+# Build-once caches shared across queries() invocations, keyed by the
+# gate that depends on them. bench.py prewarms a key's deps BEFORE its
+# timed runs and stamps the build seconds as cache_build_s — so
+# in-session numbers (cache warm from an earlier key) and standalone
+# AGNES_BENCH_ONLY numbers are both warm and directly comparable.
+# (The r8 AND r9 drift investigations both traced to this ambiguity:
+# itemitem 2.2s in-session vs 8.2s standalone with zero code change.)
+# itemitem_parts has no shared cache; it is listed so the whole graph
+# family carries an explicit cache_build_s (0.0) in bench entries.
+SHARED_CACHE_DEPS: dict[str, tuple[str, ...]] = {
+    "pagerank_copurchase": ("copurchase_pagerank",),
+    "check_pagerank_parity": ("copurchase_pagerank",),
+    "labelprop_communities": ("copurchase_edges",),
+    "kcore_copurchase": ("copurchase_edges",),
+    "khop_reach_copurchase": ("copurchase_edges",),
+    "ppr_copurchase": ("copurchase_edges",),
+    "assortativity_copurchase": ("copurchase_edges",),
+    "link_prediction_copurchase": ("linkpred_edges",),
+    "itemitem_parts": (),
+}
+
+
+def prewarm_shared_caches(spark: SparkSession, sf_dir: str, key: str) -> float:
+    """Build the shared caches `key` depends on (SHARED_CACHE_DEPS);
+    returns wall seconds spent building — 0.0-ish when already warm
+    this session, the real build cost on first touch."""
+    import time as _tm
+
+    builders = {
+        "copurchase_edges": _copurchase_edges,
+        "copurchase_pagerank": _copurchase_pagerank,
+        "linkpred_edges": _linkpred_edges,
+    }
+    t0 = _tm.perf_counter()
+    for dep in SHARED_CACHE_DEPS.get(key, ()):
+        builders[dep](spark, sf_dir)
+    return round(_tm.perf_counter() - t0, 3)
+
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of parts in the co-purchase graph
@@ -5311,22 +5349,14 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINKPRED_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-prediction scores (graph.py link_prediction, Liben-Nowell
-    & Kleinberg CIKM'03) over the TOP-16-NEIGHBOR co-purchase graph:
-    each part keeps its 16 strongest co-purchase partners (by
-    co-occurrence count, ties by partner id), the kNN-sparsification
-    every production link predictor runs first — all-pairs common
-    neighbors on the raw co-occurrence graph is sum(deg^2) (~300M
-    wedges at sf0.1, quadratic in density and measured 59s; no hub cap
-    helps because the degree distribution is near-uniform), while the
-    kNN graph bounds it at N*(2k)^2, linear in catalog size at any
-    scale. Top-100 non-adjacent pairs by common-neighbor count; all
-    scores exact integers or one division; every cut totally ordered.
-    """
+def _linkpred_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-16-neighbor kNN-sparsified co-purchase edge frame for
+    link prediction, cached per (app, sf_dir) like _copurchase_edges
+    (localCheckpoint so it survives bench.py's clearCache isolation).
+    Factored out so bench.py can prewarm + stamp the build cost."""
     from pyspark.sql import Window
 
-    from agnes_spark.operators.graph import link_prediction, within_group_pairs
+    from agnes_spark.operators.graph import within_group_pairs
 
     ck = (spark.sparkContext.applicationId, sf_dir)
     edges = _LINKPRED_EDGE_CACHE.get(ck)
@@ -5355,7 +5385,25 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         _LINKPRED_EDGE_CACHE[ck] = edges
-    lp = link_prediction(edges, min_cn=2)
+    return edges
+
+
+def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores (graph.py link_prediction, Liben-Nowell
+    & Kleinberg CIKM'03) over the TOP-16-NEIGHBOR co-purchase graph:
+    each part keeps its 16 strongest co-purchase partners (by
+    co-occurrence count, ties by partner id), the kNN-sparsification
+    every production link predictor runs first — all-pairs common
+    neighbors on the raw co-occurrence graph is sum(deg^2) (~300M
+    wedges at sf0.1, quadratic in density and measured 59s; no hub cap
+    helps because the degree distribution is near-uniform), while the
+    kNN graph bounds it at N*(2k)^2, linear in catalog size at any
+    scale. Top-100 non-adjacent pairs by common-neighbor count; all
+    scores exact integers or one division; every cut totally ordered.
+    """
+    from agnes_spark.operators.graph import link_prediction
+
+    lp = link_prediction(_linkpred_edges(spark, sf_dir), min_cn=2)
     return (
         lp.select(
             "u",

@@ -297,7 +297,29 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    # If the host is ALREADY degraded before any Spark work, waiting is
+    # cheaper than measuring garbage: re-probe up to N times (the r6/r9
+    # throttle episodes were transient), and if it never clears, stamp
+    # pre_degraded_at_start so the whole run is self-flagging — r9's
+    # official session started 1.49x hot and every total read ~2x.
+    nominal = float(
+        os.environ.get("AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S))
+    )
+    retries = int(os.environ.get("AGNES_BENCH_CANARY_RETRIES", "3"))
+    wait_s = float(os.environ.get("AGNES_BENCH_CANARY_WAIT_S", "30"))
     canary_pre = _host_canary()
+    pre_degraded_at_start = canary_pre > CANARY_DEGRADED_RATIO * nominal
+    for attempt in range(retries):
+        if canary_pre <= CANARY_DEGRADED_RATIO * nominal:
+            break
+        print(
+            f"bench: PRE-canary degraded ({canary_pre}s vs nominal "
+            f"{nominal}s) — waiting {wait_s}s and re-probing "
+            f"({attempt + 1}/{retries})",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+        canary_pre = _host_canary()
     spark = get_spark("agnes_spark_bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -346,9 +368,22 @@ def main() -> None:
     # q1 [1.98, 0.73, 0.70]); with median-of-3 that still skews a cold
     # session's median vs a warm one. AGNES_BENCH_WARMUP=0 disables.
     warmup = os.environ.get("AGNES_BENCH_WARMUP", "1") != "0"
+    cache_build_s: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs or (only and name not in only):
             continue
+        # Graph-family keys share build-once caches (co-purchase edges,
+        # pagerank ranks, kNN edges). Prewarm them OUTSIDE the timed
+        # region — in ONLY-mode standalone remeasures too — and stamp
+        # the build cost so warm in-session numbers and standalone
+        # numbers are comparable (r8/r9 itemitem drift postmortems).
+        if name in entrymod.SHARED_CACHE_DEPS:
+            try:
+                cache_build_s[name] = entrymod.prewarm_shared_caches(
+                    spark, sf_dir, name
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: prewarm {name} failed: {e}", file=sys.stderr)
         if warmup:
             try:
                 qs[name](spark, sf_dir).count()
@@ -405,8 +440,10 @@ def main() -> None:
     if flagged and not only:
         import subprocess
 
-        worst = sorted(flagged, key=lambda q: -flagged[q]["ratio"])[:3]
-        for q in worst:
+        # Re-measure EVERY flagged key (r9 verdict: taking only the
+        # worst 3 left six >3x keys unadjudicated), worst-first so a
+        # wall-clock cap still covers the most suspicious ones.
+        for q in sorted(flagged, key=lambda q: -flagged[q]["ratio"]):
             env = dict(
                 os.environ,
                 AGNES_BENCH_ONLY=q,
@@ -428,7 +465,7 @@ def main() -> None:
                     env=env,
                     capture_output=True,
                     text=True,
-                    timeout=600,
+                    timeout=900,  # child may spend up to ~90s in canary retries
                 )
                 line = r.stdout.strip().splitlines()[-1]
                 t_re = json.loads(line)["queries"].get(q, -1.0)
@@ -455,13 +492,13 @@ def main() -> None:
             file=sys.stderr,
         )
     canary_post = _host_canary()
-    nominal = float(
-        os.environ.get("AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S))
-    )
     canary = {
         "pre_s": canary_pre,
         "post_s": canary_post,
         "nominal_s": nominal,
+        # the FIRST pre-probe was already degraded (before any retry
+        # wait) — even if it later cleared, note the run started hot
+        "pre_degraded_at_start": pre_degraded_at_start,
         # degraded: the host ran >10% slower than nominal at either
         # end of the bench — treat this run's timings as
         # throttle-poisoned (re-measure regressions standalone)
@@ -492,6 +529,7 @@ def main() -> None:
                         "samples": all_samples,
                         "gc_ms": gc_ms,
                         "cached_rdds_mb_after": blocks,
+                        "cache_build_s": cache_build_s,
                         "flagged_3x": flagged,
                         "remeasure_standalone": remeasure,
                     },
@@ -513,6 +551,7 @@ def main() -> None:
                 "agg": "median",
                 "total_all_queries": total_all,
                 "canary_degraded": canary["degraded"],
+                "cache_build_s": cache_build_s,
                 "flagged_3x": {q: v["ratio"] for q, v in flagged.items()},
                 "remeasure_standalone": remeasure,
             }

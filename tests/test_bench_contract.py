@@ -25,7 +25,7 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
         SPARK_GRAFT_CPUS="4",
         AGNES_SHUFFLE_PARTITIONS="4",
         AGNES_BENCH_RUNS="1",
-        AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum",
+        AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum,khop_reach_copurchase",
         AGNES_BENCH_SAMPLES=side,
     )
     out = subprocess.run(
@@ -42,7 +42,11 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     assert d["metric"] == "headline_queries_total_runtime"
     assert d["unit"] == "sec"
     assert isinstance(d["value"], (int, float))
-    assert set(d["queries"]) == {"q1_pricing_summary", "aggregate_sum"}
+    assert set(d["queries"]) == {
+        "q1_pricing_summary",
+        "aggregate_sum",
+        "khop_reach_copurchase",
+    }
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
     # samples belong in the side file, never in the metric line
     assert "samples" not in d
@@ -57,3 +61,13 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     assert canary["nominal_s"] > 0
     assert isinstance(canary["degraded"], bool)
     assert d["canary_degraded"] == canary["degraded"]
+    # the first PRE-probe's state is stamped even when retries clear it
+    assert isinstance(canary["pre_degraded_at_start"], bool)
+    # graph-family keys prewarm their shared caches OUTSIDE the timed
+    # region and stamp the build cost, so in-session (warm) and
+    # standalone ONLY-mode numbers are directly comparable
+    assert "khop_reach_copurchase" in d["cache_build_s"]
+    assert d["cache_build_s"]["khop_reach_copurchase"] >= 0
+    assert side_doc["cache_build_s"] == d["cache_build_s"]
+    # non-graph keys carry no cache_build_s entry
+    assert "q1_pricing_summary" not in d["cache_build_s"]
