@@ -2430,14 +2430,31 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     API (operators/textanalysis.py quality_score) is unchanged; its
     weights map to this numerator exactly:
     quality = quality_num / quality_den."""
+    return _quality_rational(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("c").alias("n_chars"),
+        "distinct_n",
+        "stop_n",
+        "punct_n",
+        "quality_num",
+        "quality_den",
+    )
+
+
+def _quality_rational(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Exact integer-rational doc quality (quality_num / quality_den)
+    plus its component counts — shared by quality_score and
+    domain_budget_sample so both gates rank by the identical
+    arithmetic. `keep` columns pass through untouched."""
     from agnes_spark.functions import ws_tokens
     from agnes_spark.operators.textanalysis import STOPWORDS
 
-    docs = _t(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     x = docs.select(
         "doc_id",
+        *keep,
         F.size(toks).cast("long").alias("n"),
         F.length("text").cast("long").alias("c"),
         F.size(F.array_distinct(toks)).cast("long").alias("distinct_n"),
@@ -2462,8 +2479,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return x.select(
         "doc_id",
-        F.col("n").alias("n_tokens"),
-        F.col("c").alias("n_chars"),
+        *keep,
+        "n",
+        "c",
         "distinct_n",
         "stop_n",
         "punct_n",
@@ -2472,6 +2490,57 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("quality_den"),
     )
+
+
+def domain_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-budget sampler — the RefinedWeb per-domain cap
+    step AFTER url dedup and quality scoring: each registered domain
+    keeps its BEST documents (quality-first, deterministic) until a
+    4000-char budget fills. Composition of three existing substrates:
+    the exact integer-rational quality score (_quality_rational), the
+    synthetic crawl key space's registered domain (_synthetic_doc_urls,
+    shared with url_dedup_docs / domain_quality_rollup), and
+    operators/sampling.py budget_fill_by_rank_SCALABLE — the
+    threshold-then-boundary-sort form whose per-key pass 1 bounds the
+    exact sort to ~budget-worth of rows per domain, so the oracle
+    certifies the 100 TB path itself. Rank key q_ppm =
+    quality_num*1e6 div quality_den is one exact integer division both
+    engines share; ties break on doc_id; every output cell is an
+    exact integer or string, hashed unrounded."""
+    from agnes_spark.operators.sampling import budget_fill_by_rank_scalable
+
+    q = _quality_rational(
+        _t(spark, sf_dir, "documents"), keep=("source", "n_chars")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("quality_num * 1000000 div quality_den").alias("q_ppm"),
+    )
+    per_doc = _synthetic_doc_urls(q).withColumn("neg_q", -F.col("q_ppm"))
+    # The scalable fill consumes its input TWICE (per-key pass 1 +
+    # candidate semi-join probe); checkpoint the scored frame once so
+    # the big quality/URL expression tree is planned and executed once,
+    # not per branch (the one-lineage rule). Five narrow columns per
+    # doc — at 100 TB this is the small artifact you'd persist anyway.
+    per_doc = per_doc.select(
+        "doc_id", "source", "n_chars", "q_ppm", "reg_domain", "neg_q"
+    ).localCheckpoint(eager=True)
+    filled = budget_fill_by_rank_scalable(
+        per_doc,
+        "reg_domain",
+        "n_chars",
+        budget=4000.0,
+        key_col="neg_q",
+        tiebreak_col="doc_id",
+    )
+    return filled.select(
+        "reg_domain",
+        "doc_id",
+        "q_ppm",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("fill_rank").cast("long").alias("fill_rank"),
+    ).orderBy("reg_domain", "fill_rank")
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7371,6 +7440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 51+: keys staged in r10 go HERE (immediately after
         #     position 50), then the remaining r5-graded keys,
         #     the r9/r8/r7/r6 windows in recency order. ---
+        "domain_budget_sample": domain_budget_sample,
         "holt_trend_revenue": holt_trend_revenue,
         "nb_top_tokens_lang": nb_top_tokens_lang,
         "trimmed_mean_price": trimmed_mean_price,
@@ -8470,6 +8540,44 @@ def oracle_sql() -> dict[str, str]:
             "WHERE q * 1000 + c >= 50000 ORDER BY l_orderkey, mkey"
         ),
         "token_fertility_lang": _bpe_fertility_oracle_sql(),
+        "domain_budget_sample": (
+            # quality rational (quality_score oracle CTEs) + closed-form
+            # reg_domain (domain_quality_rollup oracle) + quality-first
+            # budget fill as one running-sum window — certifies the
+            # Spark side's threshold-then-boundary-sort scale path.
+            "WITH f AS (SELECT doc_id, source, n_chars, length(text) AS c, "
+            "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> x != '') AS w, text FROM documents), "
+            "m AS (SELECT doc_id, source, n_chars, CAST(len(w) AS BIGINT) AS n, "
+            "CAST(c AS BIGINT) AS c, "
+            "CAST(len(list_distinct(w)) AS BIGINT) AS distinct_n, "
+            "CAST(len(list_filter(w, x -> lower(x) IN "
+            "('the','a','of','and','is','to','in','that','it','for'))) AS BIGINT) AS stop_n, "
+            "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct_n "
+            "FROM f), "
+            "b AS (SELECT *, "
+            "CAST(CASE WHEN n BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS big_l, "
+            "CAST(CASE WHEN c - n + 1 >= 2 * n AND c - n + 1 <= 12 * n "
+            "THEN 1 ELSE 0 END AS BIGINT) AS big_t FROM m), "
+            "q AS (SELECT doc_id, source, n_chars, "
+            "(CASE WHEN n > 0 AND c > 0 THEN "
+            "25 * big_l * n * c + 20 * big_t * n * c "
+            "+ 20 * c * least(4 * stop_n, n) + 25 * distinct_n * c "
+            "+ 10 * n * (c - least(5 * punct_n, c)) ELSE 0 END * 1000000) "
+            "// (CASE WHEN n > 0 AND c > 0 THEN 100 * n * c ELSE 1 END) AS q_ppm, "
+            "source || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+            "WHEN 2 THEN '.org' WHEN 3 THEN '.net' ELSE '.ac.uk' END) AS reg_domain "
+            "FROM b), "
+            "r AS (SELECT *, "
+            "CAST(row_number() OVER (PARTITION BY reg_domain "
+            "ORDER BY q_ppm DESC, doc_id ASC) AS BIGINT) AS fill_rank, "
+            "COALESCE(SUM(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY reg_domain "
+            "ORDER BY q_ppm DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cb "
+            "FROM q) "
+            "SELECT reg_domain, doc_id, q_ppm, CAST(n_chars AS BIGINT) AS n_chars, "
+            "fill_rank FROM r WHERE cb < 4000.0 ORDER BY reg_domain, fill_rank"
+        ),
         "binaryfile_ingest": (
             "SELECT doc_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

@@ -176,6 +176,104 @@ def sample_to_budget_scalable(
     return out
 
 
+def budget_fill_by_rank(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budget: float | dict,
+    rank_cols: list,
+    rank_col: str = "fill_rank",
+) -> DataFrame:
+    """Per-stratum budget fill in an EXPLICIT rank order — the
+    RefinedWeb per-domain crawl-cap step: keep each domain's BEST
+    documents (quality-first, not hash-random like sample_to_budget)
+    until a char/token budget is met.
+
+    `rank_cols` is the full ordering (e.g. [quality.desc(),
+    doc_id.asc()]); make it total or the selection is undefined. A row
+    survives iff the cumulative weight of rows ranked BEFORE it is
+    still below the stratum's budget — overshoot is at most one row,
+    and the selection is reproducible by any engine that sorts the
+    same keys. `budget` is one number or a {stratum: budget} dict
+    (missing strata get 0 — excluded, never silently everything).
+    Emits `rank_col`, the 1-based rank within the stratum.
+
+    One shuffle on the stratum key + a running-sum window. This exact
+    form sorts every row of every stratum; at corpus scale use
+    budget_fill_by_rank_scalable, which bounds the sort input to
+    ~budget-worth of rows per stratum and is row-identical.
+    """
+    w = Window.partitionBy(strata_col).orderBy(*rank_cols)
+    if isinstance(budget, dict):
+        pairs = [x for kv in budget.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        bud = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
+    else:
+        bud = F.lit(float(budget))
+    cum_before = F.coalesce(
+        F.sum(F.col(weight_col).cast("double")).over(w) - F.col(weight_col).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .withColumn("__cb", cum_before)
+        .filter(F.col("__cb") < bud)
+        .drop("__cb")
+    )
+
+
+def budget_fill_by_rank_scalable(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budget: float | dict,
+    key_col: str,
+    tiebreak_col: str,
+    rank_col: str = "fill_rank",
+) -> DataFrame:
+    """budget_fill_by_rank with a BOUNDED sort input — the 100 TB form
+    (threshold-then-boundary-sort).
+
+    Requires the primary rank key to be one NUMERIC column, ascending
+    = better (negate a quality score for quality-first fill), with
+    `tiebreak_col` ascending completing the total order. Pass 1
+    aggregates (stratum, key) -> weight — map-side combined, the
+    shuffle carries one row per DISTINCT key, not per row — and a
+    window over that per-key frame keeps exactly the keys whose
+    strictly-better predecessors haven't exhausted the budget. Any
+    row of a dropped key is provably unselectable (even ranked first
+    within its key, >= budget weight precedes it), so the exact pass
+    runs on ~budget-worth of candidate rows per stratum plus one
+    boundary key — no margin parameter, no fallback, row-identical to
+    the exact form for every input (test-pinned).
+    """
+    if isinstance(budget, dict):
+        pairs = [x for kv in budget.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        bud = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
+    else:
+        bud = F.lit(float(budget))
+    perkey = df.groupBy(strata_col, key_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__kw")
+    )
+    wk = Window.partitionBy(strata_col).orderBy(F.col(key_col).asc())
+    cum_before = F.coalesce(
+        F.sum("__kw").over(wk) - F.col("__kw"), F.lit(0.0)
+    )
+    kept = (
+        perkey.withColumn("__cb", cum_before)
+        .filter(F.col("__cb") < bud)
+        .select(strata_col, key_col)
+    )
+    cand = df.join(kept, on=[strata_col, key_col], how="left_semi")
+    return budget_fill_by_rank(
+        cand,
+        strata_col,
+        weight_col,
+        budget,
+        [F.col(key_col).asc(), F.col(tiebreak_col).asc()],
+        rank_col=rank_col,
+    )
+
+
 def weighted_sample_aes(
     df: DataFrame,
     id_col: str,

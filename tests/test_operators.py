@@ -300,6 +300,85 @@ def test_sample_to_budget_scalable_matches_exact(spark, sf_dir):
     assert tiny == exact
 
 
+def test_budget_fill_by_rank_quality_first(spark):
+    """Quality-first budget fill: per stratum the HIGHEST-ranked rows
+    are kept until the weight budget is crossed (overshoot <= one
+    row), ranks are emitted 1-based in rank order, and a dict budget
+    excludes unlisted strata."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.sampling import budget_fill_by_rank
+    from agnes_spark.sources.memory import table
+
+    df = table(
+        spark,
+        {
+            "id": list(range(8)),
+            "src": ["a"] * 4 + ["b"] * 4,
+            "q": [5, 9, 9, 1, 7, 2, 8, 6],
+            "w": [10.0, 10.0, 25.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+        },
+        types={"id": "bigint", "src": "string", "q": "bigint", "w": "double"},
+    )
+    out = budget_fill_by_rank(
+        df, "src", "w", 30.0, [F.col("q").desc(), F.col("id").asc()]
+    ).collect()
+    got = {(r.src, r.id): r.fill_rank for r in out}
+    # a: rank order is id1(q9,w10), id2(q9,w25), id0(q5), id3(q1);
+    #    cum-before 0,10,35 -> keep id1, id2 (overshoots to 35), stop.
+    # b: order id6(q8), id4(q7), id7(q6), id5(q2); cum-before 0,10,20,30
+    #    -> keep first three.
+    assert got == {
+        ("a", 1): 1, ("a", 2): 2,
+        ("b", 6): 1, ("b", 4): 2, ("b", 7): 3,
+    }
+    d = budget_fill_by_rank(
+        df, "src", "w", {"b": 15.0}, [F.col("q").desc(), F.col("id").asc()]
+    ).collect()
+    assert {(r.src, r.id) for r in d} == {("b", 6), ("b", 4)}
+
+
+def test_budget_fill_by_rank_scalable_matches_exact(spark, sf_dir):
+    """threshold-then-boundary-sort is row-identical (ids AND ranks) to
+    the exact windowed form — including when the boundary key is tied
+    across many rows and when a stratum fits whole under its budget."""
+    from pyspark.sql import functions as F
+
+    from agnes_spark.operators.sampling import (
+        budget_fill_by_rank,
+        budget_fill_by_rank_scalable,
+    )
+    from agnes_spark.sources.memory import table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # coarse key with heavy ties so budget boundaries land INSIDE a key
+        (-(F.col("n_chars") % 7)).alias("negk"),
+    )
+    order = [F.col("negk").asc(), F.col("doc_id").asc()]
+    exact = {
+        (r.source, r.doc_id, r.fill_rank)
+        for r in budget_fill_by_rank(docs, "source", "n_chars", 1800.0, order).collect()
+    }
+    fast = {
+        (r.source, r.doc_id, r.fill_rank)
+        for r in budget_fill_by_rank_scalable(
+            docs, "source", "n_chars", 1800.0, key_col="negk", tiebreak_col="doc_id"
+        ).collect()
+    }
+    assert fast == exact and exact
+    # budget larger than any stratum -> every row kept, whole-stratum path
+    n = docs.count()
+    assert (
+        budget_fill_by_rank_scalable(
+            docs, "source", "n_chars", 1e12, key_col="negk", tiebreak_col="doc_id"
+        ).count()
+        == n
+    )
+
+
 def test_interpolate_linear_fills_between_neighbors(spark):
     from agnes_spark.operators.timeseries import interpolate_linear
     from agnes_spark.sources.memory import table
