@@ -5728,22 +5728,27 @@ _IMAGE_CENSUS_CACHE: dict[tuple, str] = {}
 def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata census WITHOUT a decoder library
     (operators/multimodal.image_header_meta): every 25th document
-    becomes a synthetic-but-structurally-valid image file — PNG for
-    even doc_ids, JPEG (with VARIABLE-length APP0+COM segments before
-    SOF0, so fixed-offset reads give wrong answers) for odd — whose
-    header bytes encode dimensions derived from doc_id. The binaryFile
-    source reads them back distributed and the gate parses format +
-    width/height + byte size straight out of `content` with pure
-    column expressions (PNG: fixed-offset IHDR u32s; JPEG: a bounded
-    F.aggregate segment walk). The oracle predicts every value closed-
-    form from doc_id, so a parser that misreads any header byte
-    hash-mismatches. Reference parity: agnes FUTURE.md media-column
-    ambitions; the Spark-first shape is scan-side codegen over binary.
-    """
+    becomes a synthetic-but-structurally-valid image file — rotating
+    through all the self-describing formats by doc_id/25 mod 8: PNG,
+    JPEG (VARIABLE-length APP0+COM segments before SOF0, so
+    fixed-offset reads give wrong answers), GIF87a, WebP VP8 (lossy),
+    JPEG with a real APP1 Exif segment, GIF89a, WebP VP8L (lossless),
+    WebP VP8X (extended) — whose header bytes encode dimensions
+    derived from doc_id. The binaryFile source reads them back
+    distributed and the gate parses format + width/height + EXIF
+    presence + byte size straight out of `content` with pure column
+    expressions (fixed-offset u32/LE-u16/24-bit reads; JPEG: a bounded
+    F.aggregate segment walk that also spots `Exif\\0\\0` APP1s). The
+    oracle predicts every value closed-form from doc_id, so a parser
+    that misreads any header byte hash-mismatches. Reference parity:
+    agnes FUTURE.md media-column ambitions; the Spark-first shape is
+    scan-side codegen over binary."""
     from agnes_spark.operators.multimodal import (
         image_header_meta,
+        make_gif_bytes,
         make_jpeg_bytes,
         make_png_bytes,
+        make_webp_bytes,
     )
 
     ck = (spark.sparkContext.applicationId, sf_dir)
@@ -5759,11 +5764,21 @@ def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _gate_scratch(f"imgfiles_{os.path.basename(sf_dir.rstrip('/'))}")
         for i in ids:
             w, h = 16 + (i * 7) % 2048, 16 + (i * 13) % 2048
-            if i % 2 == 0:
+            v = (i // 25) % 8
+            if v == 0:
                 payload = make_png_bytes(w, h, extra_payload=i % 41)
-            else:
+            elif v in (1, 4):
                 payload = make_jpeg_bytes(
-                    w, h, app0_pad=i % 32, com_len=i % 57, trailing=i % 23
+                    w, h, app0_pad=i % 32, com_len=i % 57, trailing=i % 23,
+                    exif_pad=(i % 13) if v == 4 else None,
+                )
+            elif v in (2, 5):
+                payload = make_gif_bytes(
+                    w, h, version="87a" if v == 2 else "89a", trailing=i % 19
+                )
+            else:
+                payload = make_webp_bytes(
+                    w, h, flavor={3: "vp8", 6: "vp8l", 7: "vp8x"}[v], pad=i % 29
                 )
             with open(os.path.join(d, f"{i}.img"), "wb") as fh:
                 fh.write(payload)
@@ -5778,6 +5793,7 @@ def image_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("img_format").alias("format"),
         F.col("img_width").alias("width"),
         F.col("img_height").alias("height"),
+        "has_exif",
         F.col("img_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
 
@@ -8462,15 +8478,26 @@ def oracle_sql() -> dict[str, str]:
         "image_header_census": (
             # closed-form prediction of every header field the Spark
             # side must parse OUT OF THE BYTES: the fixture generator
-            # derives dims/sizes from doc_id with this exact arithmetic
+            # derives format/dims/sizes from doc_id with this exact
+            # arithmetic (v = (doc_id/25) % 8 rotates PNG, JPEG,
+            # GIF87a, WebP-VP8, JPEG+EXIF, GIF89a, VP8L, VP8X)
+            "WITH v AS (SELECT doc_id, (doc_id // 25) % 8 AS v "
+            "FROM documents WHERE doc_id % 25 = 0) "
             "SELECT doc_id, "
-            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
+            "CASE WHEN v = 0 THEN 'png' WHEN v IN (1, 4) THEN 'jpeg' "
+            "WHEN v IN (2, 5) THEN 'gif' ELSE 'webp' END AS format, "
             "CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS width, "
             "CAST(16 + (doc_id * 13) % 2048 AS BIGINT) AS height, "
-            "CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + doc_id % 41 "
-            "ELSE 45 + doc_id % 32 + doc_id % 57 + doc_id % 23 END "
+            "CASE WHEN v IN (1, 4) THEN v = 4 ELSE NULL END AS has_exif, "
+            "CAST(CASE WHEN v = 0 THEN 33 + doc_id % 41 "
+            "WHEN v = 1 THEN 45 + doc_id % 32 + doc_id % 57 + doc_id % 23 "
+            "WHEN v = 4 THEN 55 + doc_id % 32 + doc_id % 57 + doc_id % 23 "
+            "+ doc_id % 13 "
+            "WHEN v IN (2, 5) THEN 14 + doc_id % 19 "
+            "WHEN v = 6 THEN 25 + doc_id % 29 "
+            "ELSE 30 + doc_id % 29 END "
             "AS BIGINT) AS n_bytes "
-            "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id"
+            "FROM v ORDER BY doc_id"
         ),
         "url_dedup_docs": (
             "WITH raw AS (SELECT doc_id, source, "

@@ -135,6 +135,16 @@ def _be_uint(b, pos, n: int):
     return F.conv(F.hex(b.substr(pos, F.lit(n))), 16, 10).cast("bigint")
 
 
+def _le_uint(b, pos: int, n: int):
+    """Little-endian unsigned int read (GIF / RIFF-WebP headers are
+    LE): sum byte[pos+i] << 8i over n <= 4 single-byte reads — still
+    pure column expressions inside codegen."""
+    total = F.lit(0).cast("bigint")
+    for i in range(n):
+        total = total + _be_uint(b, pos + i, 1) * F.lit(1 << (8 * i))
+    return total
+
+
 def image_header_meta(
     df: DataFrame, content_col: str = "content", max_segments: int = 16
 ) -> DataFrame:
@@ -152,10 +162,20 @@ def image_header_meta(
       bounded `F.aggregate` fold over `max_segments` steps. SOF0/1/2
       payload is precision(1) height(2) width(2). The walk stops at
       SOS/EOI or any non-`FF` byte (truncated/corrupt input -> NULL
-      dims, never an error).
+      dims, never an error). The same walk records whether any APP1
+      segment carries an `Exif\\0\\0` payload (`has_exif` — the
+      orientation-metadata presence signal an image pipeline keys
+      rotation handling on).
+    - GIF: magic `GIF87a`/`GIF89a`; logical-screen width/height are
+      LITTLE-endian u16s at fixed offsets 7/9.
+    - WebP (RIFF): `RIFF....WEBP`, then one of three fourCCs at 13 —
+      `VP8 ` (lossy: start code 9D012A, 14-bit LE dims at 27/29),
+      `VP8L` (lossless: sig 2F, width-1/height-1 packed in the LE u32
+      at 22), `VP8X` (extended: canvas-1 as 24-bit LEs at 25/28).
 
-    Adds `img_format` (png|jpeg|unknown), `img_width`, `img_height`
-    (bigint, NULL when unparseable) and `img_bytes` to `df`.
+    Adds `img_format` (png|jpeg|gif|webp|unknown), `img_width`,
+    `img_height` (bigint, NULL when unparseable), `has_exif`
+    (boolean, NULL for non-JPEG) and `img_bytes` to `df`.
     """
     out = df.withColumn("__img_b", F.col(content_col))
     b = F.col("__img_b")
@@ -163,11 +183,20 @@ def image_header_meta(
         F.hex(b.substr(13, 4)) == "49484452"  # "IHDR"
     )
     jpeg_sig = F.hex(b.substr(1, 2)) == "FFD8"
+    gif_sig = F.hex(b.substr(1, 6)).isin("474946383761", "474946383961")  # GIF87a/89a
+    webp_sig = (F.hex(b.substr(1, 4)) == "52494646") & (  # "RIFF"
+        F.hex(b.substr(9, 4)) == "57454250"  # "WEBP"
+    )
+    webp_cc = F.hex(b.substr(13, 4))  # "VP8 " / "VP8L" / "VP8X"
 
     def seg_step(acc, _i):
         marker = F.hex(b.substr(acc["pos"].cast("int"), F.lit(2)))
         seg_len = _be_uint(b, acc["pos"] + 2, 2)
         is_sof = marker.isin("FFC0", "FFC1", "FFC2")
+        is_exif = (marker == "FFE1") & (
+            F.hex(b.substr((acc["pos"] + 4).cast("int"), F.lit(6))) == "457869660000"
+        )
+        exif = (acc["exif"] | is_exif).alias("exif")
         halt = (
             acc["w"].isNotNull()
             | ~marker.startswith("FF")
@@ -182,6 +211,7 @@ def image_header_meta(
                     acc["pos"].alias("pos"),
                     _be_uint(b, acc["pos"] + 7, 2).alias("w"),
                     _be_uint(b, acc["pos"] + 5, 2).alias("h"),
+                    exif,
                 ),
             )
             .otherwise(
@@ -189,6 +219,7 @@ def image_header_meta(
                     (acc["pos"] + 2 + seg_len).alias("pos"),
                     acc["w"].alias("w"),
                     acc["h"].alias("h"),
+                    exif,
                 )
             )
         )
@@ -199,20 +230,57 @@ def image_header_meta(
             F.lit(3).cast("bigint").alias("pos"),
             F.lit(None).cast("bigint").alias("w"),
             F.lit(None).cast("bigint").alias("h"),
+            F.lit(False).alias("exif"),
         ),
         seg_step,
+    )
+    # WebP per-flavor dimension reads (all fixed-offset or one-hop)
+    vp8_ok = F.hex(b.substr(24, 3)) == "9D012A"  # keyframe start code
+    vp8_w = F.pmod(_le_uint(b, 27, 2), F.lit(16384))
+    vp8_h = F.pmod(_le_uint(b, 29, 2), F.lit(16384))
+    vp8l_ok = F.hex(b.substr(21, 1)) == "2F"
+    vp8l_bits = _le_uint(b, 22, 4)  # < 2^32: double-exact floor-div below
+    vp8l_w = F.pmod(vp8l_bits, F.lit(16384)) + 1
+    vp8l_h = F.pmod((vp8l_bits / F.lit(16384)).cast("bigint"), F.lit(16384)) + 1
+    vp8x_w = _le_uint(b, 25, 3) + 1
+    vp8x_h = _le_uint(b, 28, 3) + 1
+    webp_w = (
+        F.when((webp_cc == "56503820") & vp8_ok, vp8_w)  # "VP8 "
+        .when((webp_cc == "5650384C") & vp8l_ok, vp8l_w)  # "VP8L"
+        .when(webp_cc == "56503858", vp8x_w)  # "VP8X"
+    )
+    webp_h = (
+        F.when((webp_cc == "56503820") & vp8_ok, vp8_h)
+        .when((webp_cc == "5650384C") & vp8l_ok, vp8l_h)
+        .when(webp_cc == "56503858", vp8x_h)
     )
     fmt = (
         F.when(png_sig, F.lit("png"))
         .when(jpeg_sig, F.lit("jpeg"))
+        .when(gif_sig, F.lit("gif"))
+        .when(webp_sig, F.lit("webp"))
         .otherwise(F.lit("unknown"))
     )
-    width = F.when(png_sig, _be_uint(b, 17, 4)).when(jpeg_sig, jpg["w"])
-    height = F.when(png_sig, _be_uint(b, 21, 4)).when(jpeg_sig, jpg["h"])
+    width = (
+        F.when(png_sig, _be_uint(b, 17, 4))
+        .when(jpeg_sig, jpg["w"])
+        .when(gif_sig, _le_uint(b, 7, 2))
+        .when(webp_sig, webp_w)
+    )
+    height = (
+        F.when(png_sig, _be_uint(b, 21, 4))
+        .when(jpeg_sig, jpg["h"])
+        .when(gif_sig, _le_uint(b, 9, 2))
+        .when(webp_sig, webp_h)
+    )
     return (
         out.withColumn("img_format", fmt)
         .withColumn("img_width", width.cast("bigint"))
         .withColumn("img_height", height.cast("bigint"))
+        .withColumn(
+            "has_exif",
+            F.when(jpeg_sig, jpg["exif"]).otherwise(F.lit(None).cast("boolean")),
+        )
         .withColumn("img_bytes", F.octet_length(b).cast("bigint"))
         .drop("__img_b")
     )
@@ -236,17 +304,33 @@ def make_png_bytes(width: int, height: int, extra_payload: int = 0) -> bytes:
 
 
 def make_jpeg_bytes(
-    width: int, height: int, app0_pad: int = 0, com_len: int = 0, trailing: int = 0
+    width: int,
+    height: int,
+    app0_pad: int = 0,
+    com_len: int = 0,
+    trailing: int = 0,
+    exif_pad: int | None = None,
 ) -> bytes:
     """Minimal structurally-valid JPEG bytes with a VARIABLE-length
     APP0 + COM segment chain before SOF0, so parsers must genuinely
-    walk segments (fixed-offset reads give wrong answers)."""
+    walk segments (fixed-offset reads give wrong answers). With
+    `exif_pad` set (>= 0), an APP1 `Exif\\0\\0` segment of that much
+    extra payload is inserted after APP0 — 10 + exif_pad bytes — so
+    EXIF presence is a real segment to detect, not a flag."""
     import struct as _struct
 
     len1 = 16 + app0_pad
     # segment length includes its own 2 bytes: payload = len1 - 2,
     # of which "JFIF\0" takes 5
     app0 = b"\xff\xe0" + _struct.pack(">H", len1) + b"JFIF\x00" + bytes(len1 - 7)
+    app1 = b""
+    if exif_pad is not None:
+        app1 = (
+            b"\xff\xe1"
+            + _struct.pack(">H", 8 + exif_pad)
+            + b"Exif\x00\x00"
+            + bytes(exif_pad)
+        )
     len2 = 2 + com_len
     com = b"\xff\xfe" + _struct.pack(">H", len2) + bytes(com_len)
     sof = (
@@ -256,4 +340,41 @@ def make_jpeg_bytes(
         + _struct.pack(">HH", height, width)
         + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
-    return b"\xff\xd8" + app0 + com + sof + bytes(trailing) + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + app1 + com + sof + bytes(trailing) + b"\xff\xd9"
+
+
+def make_gif_bytes(width: int, height: int, version: str = "87a", trailing: int = 0) -> bytes:
+    """Minimal GIF87a/89a bytes: header + logical screen descriptor
+    (LE u16 dims, no global color table) + padding + trailer."""
+    import struct as _struct
+
+    return (
+        b"GIF" + version.encode("ascii")
+        + _struct.pack("<HH", width, height)
+        + bytes([0, 0, 0])  # packed/bg/aspect, GCT flag off
+        + bytes(trailing)
+        + b"\x3b"
+    )
+
+
+def make_webp_bytes(width: int, height: int, flavor: str = "vp8", pad: int = 0) -> bytes:
+    """Minimal RIFF/WEBP bytes for the three self-describing flavors:
+    `vp8` (lossy keyframe header: start code + 14-bit LE dims), `vp8l`
+    (lossless: 0x2F sig + packed width-1/height-1 LE u32), `vp8x`
+    (extended: 24-bit LE canvas-1 dims)."""
+    import struct as _struct
+
+    if flavor == "vp8":
+        data = bytes(3) + b"\x9d\x01\x2a" + _struct.pack("<HH", width, height) + bytes(pad)
+        cc = b"VP8 "
+    elif flavor == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        data = b"\x2f" + _struct.pack("<I", bits) + bytes(pad)
+        cc = b"VP8L"
+    elif flavor == "vp8x":
+        data = bytes(4) + _struct.pack("<I", width - 1)[:3] + _struct.pack("<I", height - 1)[:3] + bytes(pad)
+        cc = b"VP8X"
+    else:
+        raise ValueError(f"unknown webp flavor: {flavor}")
+    chunk = cc + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -84,6 +84,46 @@ def test_image_header_meta_parses_png_and_jpeg(spark):
     assert got[6] == ("jpeg", 65535, 65535, 132)
 
 
+def test_image_header_meta_parses_gif_webp_exif(spark):
+    """GIF87a/89a LE dims, the three WebP flavors' packed dims, EXIF
+    APP1 presence on JPEG (and NULL has_exif off-JPEG), plus truncated
+    variants of each new format -> NULL dims, never an error."""
+    from agnes_spark.operators.multimodal import (
+        image_header_meta,
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_webp_bytes,
+    )
+
+    rows = [
+        (1, make_gif_bytes(320, 200, version="87a", trailing=9)),
+        (2, make_gif_bytes(65535, 1, version="89a")),
+        (3, make_webp_bytes(2063, 17, flavor="vp8", pad=6)),
+        (4, make_webp_bytes(16383, 16383, flavor="vp8l")),
+        (5, make_webp_bytes(1, 1, flavor="vp8l", pad=3)),
+        (6, make_webp_bytes(4096, 2160, flavor="vp8x", pad=2)),
+        (7, make_jpeg_bytes(99, 44, app0_pad=3, exif_pad=12)),
+        (8, make_jpeg_bytes(99, 44, app0_pad=3)),
+        (9, b"RIFFxxxxWEBPVP8 "),  # truncated: no start code
+        (10, b"GIF89a\x40"),  # truncated LSD
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {
+        r.id: (r.img_format, r.img_width, r.img_height, r.has_exif, r.img_bytes)
+        for r in image_header_meta(df).collect()
+    }
+    assert got[1] == ("gif", 320, 200, None, 23)
+    assert got[2] == ("gif", 65535, 1, None, 14)
+    assert got[3] == ("webp", 2063, 17, None, 36)
+    assert got[4] == ("webp", 16383, 16383, None, 25)
+    assert got[5] == ("webp", 1, 1, None, 28)
+    assert got[6] == ("webp", 4096, 2160, None, 32)
+    assert got[7] == ("jpeg", 99, 44, True, 70)
+    assert got[8] == ("jpeg", 99, 44, False, 48)
+    assert got[9] == ("webp", None, None, None, 16)
+    assert got[10][0] == "gif" and got[10][4] == 7
+
+
 def test_image_header_meta_stays_jvm_side(spark):
     """The census must be pure codegen — no BatchEvalPython / ArrowEval
     in the plan (100 TB of binary payloads never leave the JVM)."""
