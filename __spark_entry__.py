@@ -7093,15 +7093,17 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES_CACHE: dict[tuple, list] = {}
 
 
-def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
-    """Train-once-per-session BPE merges over the en documents (the
-    bounded tokenizer artifact both BPE gates share)."""
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str, lang: str = "en") -> list:
+    """Train-once-per-session BPE merges over one language's documents
+    (the bounded tokenizer artifact the BPE gates share; en for the
+    train/encode/fertility gates, every corpus language for
+    bpe_fertility_delta's retrain comparison)."""
     from agnes_spark.operators.bpe import bpe_train
 
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    ck = (spark.sparkContext.applicationId, sf_dir, lang)
     m = _BPE_MERGES_CACHE.get(ck)
     if m is None:
-        d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+        d = _t(spark, sf_dir, "documents").filter(F.col("lang") == lang)
         m = [
             (r["left"], r["right"])
             for r in bpe_train(d, "text", merges=5).orderBy("round").collect()
@@ -7380,6 +7382,71 @@ def token_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The corpus languages (stable across every generated scale; verified
+# sf0.001 through sf1.0). The delta gate and its generated oracle must
+# agree on this list, so it is a module constant, not a discovery.
+_FERTILITY_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer RETRAIN comparison — the follow-through
+    on token_fertility_lang's audit (Rust et al., ACL'21): train BPE
+    merges on EACH language's own documents (bpe_train, session-cached
+    per lang) and report, per language, its fertility under the
+    en-trained merges vs its own-trained merges. fertility_delta =
+    fertility_en - fertility_own is the price the shared (en-biased)
+    vocabulary charges that language — the actual vocab-design readout.
+
+    Every merge chain runs on a bounded word vocabulary; per-corpus
+    work is ONE explode + two equi-joins (en encodes keyed on w,
+    own encodes keyed on lang+w) — the shape that holds at 100 TB.
+    Counts are exact integers; the three ratios are single final
+    divisions (the delta subtracts two of them, token-identically in
+    the generated DuckDB oracle), so the gate hash-matches unrounded."""
+    from agnes_spark.functions import ws_tokens
+    from agnes_spark.operators.bpe import bpe_encode_counts
+
+    d = _t(spark, sf_dir, "documents")
+    enc_en = bpe_encode_counts(d, "text", _bpe_merges_cached(spark, sf_dir)).select(
+        "w", F.col("n_tokens").alias("t_en")
+    )
+    enc_own = None
+    for lang in _FERTILITY_LANGS:
+        e = bpe_encode_counts(
+            d.filter(F.col("lang") == lang),
+            "text",
+            _bpe_merges_cached(spark, sf_dir, lang),
+        ).select(F.lit(lang).alias("lang"), "w", F.col("n_tokens").alias("t_own"))
+        enc_own = e if enc_own is None else enc_own.unionByName(e)
+    docw = (
+        d.select("lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .filter(F.col("lang").isin(list(_FERTILITY_LANGS)))
+    )
+    agg = (
+        docw.join(enc_en, "w")
+        .join(enc_own, ["lang", "w"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("t_en").cast("long").alias("n_tokens_en"),
+            F.sum("t_own").cast("long").alias("n_tokens_own"),
+        )
+    )
+    nw = F.col("n_words").cast("double")
+    fert_en = F.col("n_tokens_en").cast("double") / nw
+    fert_own = F.col("n_tokens_own").cast("double") / nw
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens_en",
+        "n_tokens_own",
+        fert_en.alias("fertility_en"),
+        fert_own.alias("fertility_own"),
+        (fert_en - fert_own).alias("fertility_delta"),
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-10 window (counted to exactly 50):
@@ -7457,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     position 50), then the remaining r5-graded keys,
         #     the r9/r8/r7/r6 windows in recency order. ---
         "domain_budget_sample": domain_budget_sample,
+        "bpe_fertility_delta": bpe_fertility_delta,
         "holt_trend_revenue": holt_trend_revenue,
         "nb_top_tokens_lang": nb_top_tokens_lang,
         "trimmed_mean_price": trimmed_mean_price,
@@ -7869,6 +7937,109 @@ def _bpe_fertility_oracle_sql(rounds: int = 5) -> str:
         "CAST(sum(length(w)) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) "
         "AS chars_per_token "
         "FROM docw JOIN enc USING (w) GROUP BY lang ORDER BY lang"
+    )
+
+
+def _bpe_fertility_delta_oracle_sql(rounds: int = 5) -> str:
+    """Retrain twin of _bpe_fertility_oracle_sql: one full training
+    chain PER LANGUAGE (v_L CTEs on L's own vocab, m_L argmax rounds)
+    plus a word-keyed replay chain per language (u_L — own-merges
+    encodes), the en merges additionally replayed over the all-lang
+    vocab (g chain — the shared-vocab encodes), finishing with per-lang
+    exact totals and the fertility_en - fertility_own delta."""
+
+    def _vocab(name: str, where: str, with_wc: bool) -> str:
+        wc = ", CAST(count(*) AS BIGINT) AS wc" if with_wc else ""
+        return (
+            f"{name} AS (SELECT token AS w{wc} "
+            f"FROM (SELECT unnest(string_split_regex(trim(lower(text)), "
+            f"'\\s+')) AS token FROM documents{where}) "
+            f"WHERE token <> '' AND regexp_matches(token, '^[a-z]+$') "
+            f"GROUP BY token)"
+        )
+
+    def _seq0(name: str, src: str, keyed: bool) -> str:
+        key = "w, " if keyed else ""
+        wc = "" if keyed else ", wc"
+        return (
+            f"{name} AS MATERIALIZED (SELECT {key}' ' || array_to_string("
+            f"list_transform(range(1, length(w) + 1), i -> w[i]), '  ') "
+            f"|| ' ' AS seq{wc} FROM {src})"
+        )
+
+    def _replay(name: str, src: str, m: str, keyed: bool) -> str:
+        key = "w, " if keyed else ""
+        wc = "" if keyed else ", wc"
+        return (
+            f"{name} AS MATERIALIZED (SELECT {key}CASE WHEN a IS NULL THEN "
+            f"seq ELSE replace(seq, ' ' || a || '  ' || b || ' ', "
+            f"' ' || a || b || ' ') END AS seq{wc} FROM {src} CROSS JOIN {m})"
+        )
+
+    parts = []
+    for lang in _FERTILITY_LANGS:
+        parts.append(_vocab(f"w_{lang}", f" WHERE lang = '{lang}'", True))
+        parts.append(_seq0(f"v_{lang}_0", f"w_{lang}", keyed=False))
+        parts.append(_seq0(f"u_{lang}_0", f"w_{lang}", keyed=True))
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"p_{lang}_{r} AS (SELECT toks[i] AS a, toks[i + 1] AS b, "
+                f"CAST(sum(wc) AS BIGINT) AS cnt FROM (SELECT "
+                f"string_split(trim(seq), '  ') AS toks, wc "
+                f"FROM v_{lang}_{r - 1}), "
+                f"unnest(range(1, len(toks))) AS u(i) GROUP BY a, b)"
+            )
+            parts.append(
+                f"m_{lang}_{r} AS (SELECT struct_extract(s, 'a') AS a, "
+                f"struct_extract(s, 'b') AS b FROM (SELECT "
+                f"min(struct_pack(nc := -cnt, a := a, b := b)) AS s "
+                f"FROM p_{lang}_{r}))"
+            )
+            parts.append(
+                _replay(f"v_{lang}_{r}", f"v_{lang}_{r - 1}", f"m_{lang}_{r}", False)
+            )
+            parts.append(
+                _replay(f"u_{lang}_{r}", f"u_{lang}_{r - 1}", f"m_{lang}_{r}", True)
+            )
+        parts.append(
+            f"enc_{lang} AS (SELECT '{lang}' AS lang, w, "
+            f"CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS t_own "
+            f"FROM u_{lang}_{rounds})"
+        )
+    # the en merges replayed over the ALL-language vocabulary (the
+    # shared-vocab encodes every language actually pays for)
+    parts.append(_vocab("aw", "", False))
+    parts.append(_seq0("g0", "aw", keyed=True))
+    for r in range(1, rounds + 1):
+        parts.append(_replay(f"g{r}", f"g{r - 1}", f"m_en_{r}", True))
+    parts.append(
+        f"enc_en_all AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) "
+        f"AS BIGINT) AS t_en FROM g{rounds})"
+    )
+    parts.append(
+        "enc_own AS (" + " UNION ALL ".join(
+            f"SELECT * FROM enc_{lang}" for lang in _FERTILITY_LANGS
+        ) + ")"
+    )
+    langs_in = ", ".join(f"'{lang}'" for lang in _FERTILITY_LANGS)
+    parts.append(
+        "docw AS (SELECT lang, token AS w FROM (SELECT lang, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+        f"FROM documents WHERE lang IN ({langs_in})) "
+        "WHERE token <> '' AND regexp_matches(token, '^[a-z]+$'))"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT lang, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(t_en) AS BIGINT) AS n_tokens_en, "
+        "CAST(sum(t_own) AS BIGINT) AS n_tokens_own, "
+        "CAST(sum(t_en) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_en, "
+        "CAST(sum(t_own) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_own, "
+        "CAST(sum(t_en) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "- CAST(sum(t_own) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "AS fertility_delta "
+        "FROM docw JOIN enc_en_all USING (w) JOIN enc_own USING (lang, w) "
+        "GROUP BY lang ORDER BY lang"
     )
 
 
@@ -8567,6 +8738,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE q * 1000 + c >= 50000 ORDER BY l_orderkey, mkey"
         ),
         "token_fertility_lang": _bpe_fertility_oracle_sql(),
+        "bpe_fertility_delta": _bpe_fertility_delta_oracle_sql(),
         "domain_budget_sample": (
             # quality rational (quality_score oracle CTEs) + closed-form
             # reg_domain (domain_quality_rollup oracle) + quality-first

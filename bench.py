@@ -221,6 +221,12 @@ EXTRA_QUERIES = [
     "image_header_census",
     "url_dedup_docs",
     "rrf_dedup_docs",
+    "domain_quality_rollup",
+    "map_funcs_suite",
+    "token_fertility_lang",
+    # round-10 additions
+    "domain_budget_sample",
+    "bpe_fertility_delta",
 ]
 
 BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
