@@ -254,6 +254,40 @@ def _host_canary(n: int = 2_000_000) -> float:
     return round(best, 4)
 
 
+def _mc_spin(n: int) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    return time.perf_counter() - t0
+
+
+# Nominal wall seconds for _host_canary_mc on an unthrottled host
+# (pool spawn + 8 parallel 1M-iteration spins; calibrated r10).
+MC_CANARY_NOMINAL_S = 0.25
+MC_CANARY_DEGRADED_RATIO = 1.8
+
+
+def _host_canary_mc(workers: int = 8, n: int = 1_000_000) -> float:
+    """MULTI-core host probe: wall seconds for `workers` parallel
+    single-core spins. The single-core canary is blind to the failure
+    mode that actually poisoned the r9 and r10 sessions — external
+    multi-core contention/steal that leaves one core fast while
+    parallel Spark stages crawl (r10 run 3: endpoint canaries clean at
+    0.20s, yet join_band read 60x its prior mid-run and remeasured at
+    0.9s). Run BETWEEN keys, this sees the machine the way a Spark
+    stage does. Pure-python fork children; no JVM interaction."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    try:
+        with mp.Pool(workers) as p:
+            p.map(_mc_spin, [n] * workers)
+    except Exception:
+        return -1.0
+    return round(time.perf_counter() - t0, 4)
+
+
 def _jvm_gc_ms(spark) -> int:
     """Total JVM GC time (ms) across all collectors — public JMX API.
     A per-query delta makes session-state degradation visible in
@@ -375,9 +409,21 @@ def main() -> None:
     # session's median vs a warm one. AGNES_BENCH_WARMUP=0 disables.
     warmup = os.environ.get("AGNES_BENCH_WARMUP", "1") != "0"
     cache_build_s: dict[str, float] = {}
+    # Mid-run MULTI-core canary: probe every N keys so contention waves
+    # BETWEEN the endpoint canaries are caught and bracketed to the
+    # keys they hit (~0.25s per probe on a healthy host).
+    mc_every = int(os.environ.get("AGNES_BENCH_MC_EVERY", "15"))
+    mc_nominal = float(
+        os.environ.get("AGNES_BENCH_MC_NOMINAL", str(MC_CANARY_NOMINAL_S))
+    )
+    mc_probes: list = []
+    key_idx = 0
     for name in BENCH_QUERIES:
         if name not in qs or (only and name not in only):
             continue
+        if mc_every > 0 and key_idx % mc_every == 0:
+            mc_probes.append([key_idx, name, _host_canary_mc()])
+        key_idx += 1
         # Graph-family keys share build-once caches (co-purchase edges,
         # pagerank ranks, kNN edges). Prewarm them OUTSIDE the timed
         # region — in ONLY-mode standalone remeasures too — and stamp
@@ -465,6 +511,7 @@ def main() -> None:
             # remeasure taken on an already-degraded host read 4x slow
             # and could not distinguish throttle from regression.
             c_pre = _host_canary()
+            mc_pre = _host_canary_mc()
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -484,12 +531,18 @@ def main() -> None:
                     "AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S)
                 )
             )
+            mc_post = _host_canary_mc()
             remeasure[q] = {
                 "s": t_re,
                 "canary_pre_s": c_pre,
                 "canary_post_s": c_post,
-                "canary_degraded": max(c_pre, c_post)
-                > CANARY_DEGRADED_RATIO * nominal_re,
+                "mc_pre_s": mc_pre,
+                "mc_post_s": mc_post,
+                "canary_degraded": (
+                    max(c_pre, c_post) > CANARY_DEGRADED_RATIO * nominal_re
+                    or max(mc_pre, mc_post)
+                    > MC_CANARY_DEGRADED_RATIO * MC_CANARY_NOMINAL_S
+                ),
             }
         print(
             f"bench: {len(flagged)} keys >3x prior median "
@@ -497,11 +550,21 @@ def main() -> None:
             f"standalone re-measure: {remeasure}",
             file=sys.stderr,
         )
+    if mc_every > 0:
+        mc_probes.append([key_idx, "<end>", _host_canary_mc()])
+    mc_worst = max((p[2] for p in mc_probes if p[2] > 0), default=-1.0)
+    mc_degraded = mc_worst > MC_CANARY_DEGRADED_RATIO * mc_nominal
     canary_post = _host_canary()
     canary = {
         "pre_s": canary_pre,
         "post_s": canary_post,
         "nominal_s": nominal,
+        # multi-core mid-run probes: the contention axis the endpoint
+        # single-core canary is blind to (worst wall + per-probe list
+        # in the samples file, bracketed by bench position)
+        "mc_worst_s": mc_worst,
+        "mc_nominal_s": mc_nominal,
+        "mc_degraded": mc_degraded,
         # the FIRST pre-probe was already degraded (before any retry
         # wait) — even if it later cleared, note the run started hot
         "pre_degraded_at_start": pre_degraded_at_start,
@@ -535,6 +598,7 @@ def main() -> None:
                         "samples": all_samples,
                         "gc_ms": gc_ms,
                         "cached_rdds_mb_after": blocks,
+                        "mc_probes": mc_probes,
                         "cache_build_s": cache_build_s,
                         "flagged_3x": flagged,
                         "remeasure_standalone": remeasure,
@@ -557,6 +621,7 @@ def main() -> None:
                 "agg": "median",
                 "total_all_queries": total_all,
                 "canary_degraded": canary["degraded"],
+                "mc_degraded": mc_degraded,
                 "cache_build_s": cache_build_s,
                 "flagged_3x": {q: v["ratio"] for q, v in flagged.items()},
                 "remeasure_standalone": remeasure,

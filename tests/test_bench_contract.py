@@ -63,6 +63,15 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     assert d["canary_degraded"] == canary["degraded"]
     # the first PRE-probe's state is stamped even when retries clear it
     assert isinstance(canary["pre_degraded_at_start"], bool)
+    # mid-run MULTI-core probes: the contention axis endpoint probes
+    # are blind to — worst wall on the metric line, per-probe list
+    # (bench position + key) in the samples file
+    assert isinstance(canary["mc_degraded"], bool)
+    assert canary["mc_worst_s"] > 0
+    assert d["mc_degraded"] == canary["mc_degraded"]
+    probes = side_doc["mc_probes"]
+    assert probes and all(len(p) == 3 and p[2] > 0 for p in probes)
+    assert probes[-1][1] == "<end>"
     # graph-family keys prewarm their shared caches OUTSIDE the timed
     # region and stamp the build cost, so in-session (warm) and
     # standalone ONLY-mode numbers are directly comparable
