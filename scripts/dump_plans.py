@@ -43,6 +43,11 @@ SHOWCASE = [
         "keep-last-per-key in ONE shuffle: WindowGroupLimit prunes rank>1 map-side",
     ),
     (
+        "domain_budget_sample",
+        "threshold-then-boundary-sort: the per-(domain, key) weight agg "
+        "prunes the exact sort to ~budget-worth of rows per domain",
+    ),
+    (
         "lateral_join_topn",
         "correlated LATERAL + LIMIT decorrelated into a ranked keyed window",
     ),
