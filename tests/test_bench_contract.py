@@ -80,3 +80,31 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     assert side_doc["cache_build_s"] == d["cache_build_s"]
     # non-graph keys carry no cache_build_s entry
     assert "q1_pricing_summary" not in d["cache_build_s"]
+
+
+def test_bench_registry_metadata_consistent():
+    """Static pins (no SparkSession): every BENCH_QUERIES name and
+    every SHARED_CACHE_DEPS key resolves to a real queries() entry, so
+    a registry rename can never silently drop a key from the bench or
+    orphan a prewarm; and the driver window boundary holds."""
+    import __spark_entry__ as entrymod
+
+    import bench
+
+    qs = entrymod.queries()
+    missing_bench = [k for k in bench.BENCH_QUERIES if k not in qs]
+    assert not missing_bench, missing_bench
+    missing_deps = [k for k in entrymod.SHARED_CACHE_DEPS if k not in qs]
+    assert not missing_deps, missing_deps
+    # prewarm dep names resolve to builders
+    import inspect
+
+    src = inspect.getsource(entrymod.prewarm_shared_caches)
+    for deps in entrymod.SHARED_CACHE_DEPS.values():
+        for dep in deps:
+            assert f'"{dep}"' in src, dep
+    # the dict is the grading order: position 50 is the r10 boundary
+    assert list(qs)[49] == "q20_potential_promotion"
+    # every queries() key has either an oracle or a rows-only design
+    oracles = entrymod.oracle_sql()
+    assert sum(1 for k in qs if k in oracles) >= 260
