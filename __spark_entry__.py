@@ -7449,182 +7449,117 @@ def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-10 window (counted to exactly 50):
-    #   1-6:  the 6 r9-staged keys never driver-graded before r10
-    #         (image_header_census url_dedup_docs rrf_dedup_docs
-    #         domain_quality_rollup map_funcs_suite token_fertility_lang).
-    #   7-32: the 26 oldest (r4-latest) keys in registry order
-    #         (doc_fingerprint .. corr_stats).
-    #   33-50: the 18 oldest r5-latest keys in registry order
-    #         (q7_volume_shipping .. q20_potential_promotion).
-    #   51+:  keys staged in r10 (never graded), then the remaining
-    #         r5-graded keys and the r9/r8/r7/r6 windows.
-    # r11 ROTATION NOTE: the r11 window = any keys staged in r10
-    # (immediately after position 50) + the next-oldest-graded keys:
-    # the remaining r5-latest keys (dedup_incremental .. merge_views
-    # block) topped up from the r6-graded window in registry order.
-    # Verify list(queries())[49] programmatically after rotating.
+    # Round-11 window (counted to exactly 50):
+    #   1-2:  the 2 r10-staged keys never driver-graded before r11
+    #         (domain_budget_sample, bpe_fertility_delta).
+    #   3-34: the 32 remaining r5-latest keys in registry order
+    #         (dedup_incremental .. merge_views).
+    #   35-50: the 16 oldest r6-graded keys in registry order
+    #         (grouping_sets_agg .. readability_score).
+    #   51+:  keys staged in r11 (never graded), then all remaining
+    #         keys oldest-grade-first (rest of r6, then r7/r8/r9/r10).
+    # r12 ROTATION NOTE: the r12 window = any keys staged in r11
+    # (immediately after position 50) + the next keys in dict order
+    # (the remaining r6-graded block, crosstab_source_lang ..
+    # unique_values, topped up from the r7-graded window).
+    # Positions 51+ are already in rotation-priority order: future
+    # windows just slide forward. Verify list(queries())[49]
+    # programmatically after rotating.
     return {
-        # --- r10 window (50): the 6 r9-staged never-graded keys,
-        #     the 26 oldest (r4-latest) keys (doc_fingerprint ..
-        #     corr_stats), and the 18 oldest r5-latest keys in
-        #     registry order (q7_volume_shipping ..
-        #     q20_potential_promotion). ---
-        "image_header_census": image_header_census,
-        "url_dedup_docs": url_dedup_docs,
-        "rrf_dedup_docs": rrf_dedup_docs,
-        "domain_quality_rollup": domain_quality_rollup,
-        "map_funcs_suite": map_funcs_suite,
-        "token_fertility_lang": token_fertility_lang,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_winnow": doc_winnow,
-        "stratified_sample": stratified_sample,
-        "stream_sessionize": stream_sessionize,
-        "approx_percentiles": approx_percentiles,
-        "approx_distinct_parts": approx_distinct_parts,
-        "hll_sketch_rollup": hll_sketch_rollup,
-        "check_embedding_auto_recall": check_embedding_auto_recall,
-        "check_sketch_rollup_bound": check_sketch_rollup_bound,
-        "check_minhash_subset_exact": check_minhash_subset_exact,
-        "check_simhash_verified": check_simhash_verified,
-        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
-        "check_lsh_scores_exact": check_lsh_scores_exact,
-        "check_hll_error_bound": check_hll_error_bound,
-        "check_approx_percentile_error": check_approx_percentile_error,
-        "check_stratified_sample_bounds": check_stratified_sample_bounds,
-        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
-        "check_pack_greedy": check_pack_greedy,
-        "check_shuffle_deterministic": check_shuffle_deterministic,
-        "check_incremental_rollup": check_incremental_rollup,
-        "dedup_clusters": dedup_clusters,
-        "correlated_min": correlated_min,
-        "rollup_agg": rollup_agg,
-        "union_views": union_views,
-        "embedding_norms": embedding_norms,
-        "corr_stats": corr_stats,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q13_custdist": q13_custdist,
-        "q22_lapsed_customers": q22_lapsed_customers,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "xml_roundtrip": xml_roundtrip,
-        "stratified_sample_exact": stratified_sample_exact,
-        "lm_surprise": lm_surprise,
-        "bm25_top_terms": bm25_top_terms,
-        "q12_priority_shipments": q12_priority_shipments,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-        "q20_potential_promotion": q20_potential_promotion,
-        # --- 51+: keys staged in r10 go HERE (immediately after
-        #     position 50), then the remaining r5-graded keys,
-        #     the r9/r8/r7/r6 windows in recency order. ---
+        # --- r11 window (50): the 2 r10-staged keys
+        #     (domain_budget_sample, bpe_fertility_delta), the 32
+        #     remaining r5-latest keys (dedup_incremental ..
+        #     merge_views), and the 16 oldest r6-graded keys
+        #     (grouping_sets_agg .. readability_score). ---
         "domain_budget_sample": domain_budget_sample,
         "bpe_fertility_delta": bpe_fertility_delta,
-        "holt_trend_revenue": holt_trend_revenue,
-        "nb_top_tokens_lang": nb_top_tokens_lang,
-        "trimmed_mean_price": trimmed_mean_price,
-        "assoc_rules_parts": assoc_rules_parts,
-        "pca_top_embeddings": pca_top_embeddings,
-        "stump_eval_orders": stump_eval_orders,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        "bpe_merges_docs": bpe_merges_docs,
-        "khop_reach_copurchase": khop_reach_copurchase,
-        "dbscan_customers": dbscan_customers,
-        "ccf_events_hourly": ccf_events_hourly,
-        "ppr_copurchase": ppr_copurchase,
-        "quantile_norm_docs": quantile_norm_docs,
-        "ks_matrix_sources": ks_matrix_sources,
-        "winsorized_mean_price": winsorized_mean_price,
-        "markov_next_event_accuracy": markov_next_event_accuracy,
-        "bpe_encode_docs": bpe_encode_docs,
-        "theil_sen_daily": theil_sen_daily,
-        "rrf_fusion_docs": rrf_fusion_docs,
-        "serialize_roundtrip": serialize_roundtrip,
-        "decontaminate": decontaminate,
-        "pack_chunks": pack_chunks,
-        "train_test_split": train_test_split,
-        "normalize_text": normalize_text,
-        "tfidf_top_terms": tfidf_top_terms,
-        "rolling_7d_revenue": rolling_7d_revenue,
-        "csv_roundtrip": csv_roundtrip,
-        "label_centroids": label_centroids,
-        "time_rollup": time_rollup,
-        "fill_missing_hours": fill_missing_hours,
-        "latest_event_per_user": latest_event_per_user,
-        "events_windowed": events_windowed,
-        "events_sliding": events_sliding,
-        "sessionize": sessionize,
-        "stream_windowed": stream_windowed,
-        "skew_profile": skew_profile,
-        "approx_heavy_hitters": approx_heavy_hitters,
-        "check_heavy_hitters_agree": check_heavy_hitters_agree,
-        "check_stream_sessionize_parity": check_stream_sessionize_parity,
-        "asof_join_events": asof_join_events,
-        "json_funcs": json_funcs,
-        "sort_comparator": sort_comparator,
-        "unique_indices": unique_indices,
-        "repetition_metrics": repetition_metrics,
-        "pii_scrub": pii_scrub,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_auto": dedup_embedding_auto,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "dedup_spans": dedup_spans,
-        "dedup_spans_removal": dedup_spans_removal,
-        "check_span_recall": check_span_recall,
-        "mann_whitney_cents": mann_whitney_cents,
-        "ks_test_cents": ks_test_cents,
-        "mutual_info_lang_source": mutual_info_lang_source,
-        "kcore_copurchase": kcore_copurchase,
-        "gram_matrix_embeddings": gram_matrix_embeddings,
-        "ngram_novelty_docs": ngram_novelty_docs,
-        "domain_mixture_docs": domain_mixture_docs,
-        "window_funcs_suite": window_funcs_suite,
-        "snapshot_diff_orders": snapshot_diff_orders,
-        "interval_overlap_daily": interval_overlap_daily,
-        "ewma_daily_revenue": ewma_daily_revenue,
-        "hourly_seasonality": hourly_seasonality,
-        "pmi_collocations_docs": pmi_collocations_docs,
-        "link_prediction_copurchase": link_prediction_copurchase,
-        "dq_orders_report": dq_orders_report,
-        "search_bm25_topk": search_bm25_topk,
-        "assortativity_copurchase": assortativity_copurchase,
-        "spearman_qty_price": spearman_qty_price,
-        "anova_f_priority": anova_f_priority,
-        "cusum_changepoint_revenue": cusum_changepoint_revenue,
-        "cdc_orders_apply": cdc_orders_apply,
-        "data_profile_orders": data_profile_orders,
-        "binaryfile_ingest": binaryfile_ingest,
-        "array_funcs_suite": array_funcs_suite,
-        "regex_funcs_docs": regex_funcs_docs,
-        "feature_encode_orders": feature_encode_orders,
-        "rolling_median_revenue": rolling_median_revenue,
-        "labelprop_communities": labelprop_communities,
-        "abc_parts_classification": abc_parts_classification,
-        "top_paths_events": top_paths_events,
-        "gini_part_revenue": gini_part_revenue,
-        "attribution_last_touch": attribution_last_touch,
-        "stream_enrich_join": stream_enrich_join,
-        "char_entropy_docs": char_entropy_docs,
-        "sql_pipe_query": sql_pipe_query,
-        "lateral_join_topn": lateral_join_topn,
-        "pandas_udf_digitsum": pandas_udf_digitsum,
-        "scaled_features_lineitem": scaled_features_lineitem,
-        "seasonal_anomaly_hours": seasonal_anomaly_hours,
-        "pareto_frontier_parts": pareto_frontier_parts,
-        "spatial_radius_pairs": spatial_radius_pairs,
-        "kfold_orders": kfold_orders,
-        "kmeans_embeddings": kmeans_embeddings,
-        "itemitem_parts": itemitem_parts,
-        "ols_multi_lineitem": ols_multi_lineitem,
-        "kaplan_meier_churn": kaplan_meier_churn,
-        "decision_stump_orders": decision_stump_orders,
+        "dedup_incremental": dedup_incremental,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
+        "check_incremental_minhash_parity": check_incremental_minhash_parity,
+        "dedup_incremental_embedding": dedup_incremental_embedding,
+        "check_incremental_embedding": check_incremental_embedding,
+        "dedup_keep_best": dedup_keep_best,
+        "sample_to_budget": sample_to_budget,
+        "interdoc_repetition": interdoc_repetition,
+        "orc_roundtrip": orc_roundtrip,
+        "stream_dedup": stream_dedup,
+        "embedding_quantize": embedding_quantize,
+        "check_quantized_recall": check_quantized_recall,
+        "stream_ingest_dedup": stream_ingest_dedup,
+        "winnow_overlap": winnow_overlap,
+        "check_winnow_overlap_bound": check_winnow_overlap_bound,
+        "jdbc_roundtrip": jdbc_roundtrip,
+        "stream_ingest_neardup": stream_ingest_neardup,
+        "check_stream_neardup_parity": check_stream_neardup_parity,
+        "quality_classifier": quality_classifier,
+        "check_classifier_holdout": check_classifier_holdout,
+        "json_variant": json_variant,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        "join_equal": join_equal,
+        "join_lt": join_lt,
+        "join_band": join_band,
+        "merge_views": merge_views,
+        "grouping_sets_agg": grouping_sets_agg,
+        "retention_cohorts": retention_cohorts,
+        "funnel_conversion": funnel_conversion,
+        "rfm_segmentation": rfm_segmentation,
+        "price_trend_regression": price_trend_regression,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "revenue_dod_delta": revenue_dod_delta,
+        "user_idle_gaps": user_idle_gaps,
+        "mode_order_priority": mode_order_priority,
+        "conditional_agg": conditional_agg,
+        "window_distribution": window_distribution,
+        "first_last_orders": first_last_orders,
+        "moment_stats": moment_stats,
+        "zorder_pruned_scan": zorder_pruned_scan,
+        "bucketed_join_revenue": bucketed_join_revenue,
+        "readability_score": readability_score,
+        # --- 51+: keys staged in r11 go HERE (immediately after
+        #     position 50), then all remaining keys OLDEST grade
+        #     first: the rest of the r6 window (crosstab_source_lang
+        #     .. unique_values), then the r7, r8, r9 windows, and
+        #     the 50 r10-graded keys last. ---
+        "crosstab_source_lang": crosstab_source_lang,
+        "bigram_top": bigram_top,
+        "salted_agg_topusers": salted_agg_topusers,
+        "asof_join_forward": asof_join_forward,
+        "aggregate_sum": aggregate_sum,
+        "field_stats": field_stats,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "join_outer": join_outer,
+        "join_null_safe": join_null_safe,
+        "join_cross": join_cross,
+        "topk_per_group": topk_per_group,
+        "pivot_linestatus": pivot_linestatus,
+        "running_sum": running_sum,
+        "cube_agg": cube_agg,
+        "count_distinct_parts": count_distinct_parts,
+        "merge_upsert": merge_upsert,
+        "scd2_apply": scd2_apply,
+        "window_ranks": window_ranks,
+        "null_handling": null_handling,
+        "histogram_totalprice": histogram_totalprice,
+        "view_stats": view_stats,
+        "percentiles": percentiles,
+        "set_ops": set_ops,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "q4_order_priority": q4_order_priority,
+        "subview": subview,
+        "relabel": relabel,
+        "filter_pred": filter_pred,
+        "sort_two_keys": sort_two_keys,
+        "field_arith": field_arith,
+        "melt_wide": melt_wide,
+        "unique_values": unique_values,
         "compaction_roundtrip": compaction_roundtrip,
         "schema_evolution_read": schema_evolution_read,
         "stream_band_join": stream_band_join,
@@ -7675,88 +7610,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "word_count": word_count,
         "collect_values": collect_values,
-        "grouping_sets_agg": grouping_sets_agg,
-        "retention_cohorts": retention_cohorts,
-        "funnel_conversion": funnel_conversion,
-        "rfm_segmentation": rfm_segmentation,
-        "price_trend_regression": price_trend_regression,
-        "events_anomaly_zscore": events_anomaly_zscore,
-        "revenue_dod_delta": revenue_dod_delta,
-        "user_idle_gaps": user_idle_gaps,
-        "mode_order_priority": mode_order_priority,
-        "conditional_agg": conditional_agg,
-        "window_distribution": window_distribution,
-        "first_last_orders": first_last_orders,
-        "moment_stats": moment_stats,
-        "zorder_pruned_scan": zorder_pruned_scan,
-        "bucketed_join_revenue": bucketed_join_revenue,
-        "readability_score": readability_score,
-        "crosstab_source_lang": crosstab_source_lang,
-        "bigram_top": bigram_top,
-        "salted_agg_topusers": salted_agg_topusers,
-        "asof_join_forward": asof_join_forward,
-        "aggregate_sum": aggregate_sum,
-        "field_stats": field_stats,
-        "join_semi": join_semi,
-        "join_anti": join_anti,
-        "join_outer": join_outer,
-        "join_null_safe": join_null_safe,
-        "join_cross": join_cross,
-        "topk_per_group": topk_per_group,
-        "pivot_linestatus": pivot_linestatus,
-        "running_sum": running_sum,
-        "cube_agg": cube_agg,
-        "count_distinct_parts": count_distinct_parts,
-        "merge_upsert": merge_upsert,
-        "scd2_apply": scd2_apply,
-        "window_ranks": window_ranks,
-        "null_handling": null_handling,
-        "histogram_totalprice": histogram_totalprice,
-        "view_stats": view_stats,
-        "percentiles": percentiles,
-        "set_ops": set_ops,
-        "string_funcs": string_funcs,
-        "date_funcs": date_funcs,
-        "q4_order_priority": q4_order_priority,
-        "subview": subview,
-        "relabel": relabel,
-        "filter_pred": filter_pred,
-        "sort_two_keys": sort_two_keys,
-        "field_arith": field_arith,
-        "melt_wide": melt_wide,
-        "unique_values": unique_values,
-        "dedup_incremental": dedup_incremental,
-        "dedup_incremental_minhash": dedup_incremental_minhash,
-        "check_incremental_minhash_parity": check_incremental_minhash_parity,
-        "dedup_incremental_embedding": dedup_incremental_embedding,
-        "check_incremental_embedding": check_incremental_embedding,
-        "dedup_keep_best": dedup_keep_best,
-        "sample_to_budget": sample_to_budget,
-        "interdoc_repetition": interdoc_repetition,
-        "orc_roundtrip": orc_roundtrip,
-        "stream_dedup": stream_dedup,
-        "embedding_quantize": embedding_quantize,
-        "check_quantized_recall": check_quantized_recall,
-        "stream_ingest_dedup": stream_ingest_dedup,
-        "winnow_overlap": winnow_overlap,
-        "check_winnow_overlap_bound": check_winnow_overlap_bound,
-        "jdbc_roundtrip": jdbc_roundtrip,
-        "stream_ingest_neardup": stream_ingest_neardup,
-        "check_stream_neardup_parity": check_stream_neardup_parity,
-        "quality_classifier": quality_classifier,
-        "check_classifier_holdout": check_classifier_holdout,
-        "json_variant": json_variant,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_effect": q14_promo_effect,
-        "q18_large_orders": q18_large_orders,
-        "join_equal": join_equal,
-        "join_lt": join_lt,
-        "join_band": join_band,
-        "merge_views": merge_views,
+        "dedup_spans": dedup_spans,
+        "dedup_spans_removal": dedup_spans_removal,
+        "check_span_recall": check_span_recall,
+        "mann_whitney_cents": mann_whitney_cents,
+        "ks_test_cents": ks_test_cents,
+        "mutual_info_lang_source": mutual_info_lang_source,
+        "kcore_copurchase": kcore_copurchase,
+        "gram_matrix_embeddings": gram_matrix_embeddings,
+        "ngram_novelty_docs": ngram_novelty_docs,
+        "domain_mixture_docs": domain_mixture_docs,
+        "window_funcs_suite": window_funcs_suite,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "interval_overlap_daily": interval_overlap_daily,
+        "ewma_daily_revenue": ewma_daily_revenue,
+        "hourly_seasonality": hourly_seasonality,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "link_prediction_copurchase": link_prediction_copurchase,
+        "dq_orders_report": dq_orders_report,
+        "search_bm25_topk": search_bm25_topk,
+        "assortativity_copurchase": assortativity_copurchase,
+        "spearman_qty_price": spearman_qty_price,
+        "anova_f_priority": anova_f_priority,
+        "cusum_changepoint_revenue": cusum_changepoint_revenue,
+        "cdc_orders_apply": cdc_orders_apply,
+        "data_profile_orders": data_profile_orders,
+        "binaryfile_ingest": binaryfile_ingest,
+        "array_funcs_suite": array_funcs_suite,
+        "regex_funcs_docs": regex_funcs_docs,
+        "feature_encode_orders": feature_encode_orders,
+        "rolling_median_revenue": rolling_median_revenue,
+        "labelprop_communities": labelprop_communities,
+        "abc_parts_classification": abc_parts_classification,
+        "top_paths_events": top_paths_events,
+        "gini_part_revenue": gini_part_revenue,
+        "attribution_last_touch": attribution_last_touch,
+        "stream_enrich_join": stream_enrich_join,
+        "char_entropy_docs": char_entropy_docs,
+        "sql_pipe_query": sql_pipe_query,
+        "lateral_join_topn": lateral_join_topn,
+        "pandas_udf_digitsum": pandas_udf_digitsum,
+        "scaled_features_lineitem": scaled_features_lineitem,
+        "seasonal_anomaly_hours": seasonal_anomaly_hours,
+        "pareto_frontier_parts": pareto_frontier_parts,
+        "spatial_radius_pairs": spatial_radius_pairs,
+        "kfold_orders": kfold_orders,
+        "kmeans_embeddings": kmeans_embeddings,
+        "itemitem_parts": itemitem_parts,
+        "ols_multi_lineitem": ols_multi_lineitem,
+        "kaplan_meier_churn": kaplan_meier_churn,
+        "decision_stump_orders": decision_stump_orders,
+        "holt_trend_revenue": holt_trend_revenue,
+        "nb_top_tokens_lang": nb_top_tokens_lang,
+        "trimmed_mean_price": trimmed_mean_price,
+        "assoc_rules_parts": assoc_rules_parts,
+        "pca_top_embeddings": pca_top_embeddings,
+        "stump_eval_orders": stump_eval_orders,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "bpe_merges_docs": bpe_merges_docs,
+        "khop_reach_copurchase": khop_reach_copurchase,
+        "dbscan_customers": dbscan_customers,
+        "ccf_events_hourly": ccf_events_hourly,
+        "ppr_copurchase": ppr_copurchase,
+        "quantile_norm_docs": quantile_norm_docs,
+        "ks_matrix_sources": ks_matrix_sources,
+        "winsorized_mean_price": winsorized_mean_price,
+        "markov_next_event_accuracy": markov_next_event_accuracy,
+        "bpe_encode_docs": bpe_encode_docs,
+        "theil_sen_daily": theil_sen_daily,
+        "rrf_fusion_docs": rrf_fusion_docs,
+        "serialize_roundtrip": serialize_roundtrip,
+        "decontaminate": decontaminate,
+        "pack_chunks": pack_chunks,
+        "train_test_split": train_test_split,
+        "normalize_text": normalize_text,
+        "tfidf_top_terms": tfidf_top_terms,
+        "rolling_7d_revenue": rolling_7d_revenue,
+        "csv_roundtrip": csv_roundtrip,
+        "label_centroids": label_centroids,
+        "time_rollup": time_rollup,
+        "fill_missing_hours": fill_missing_hours,
+        "latest_event_per_user": latest_event_per_user,
+        "events_windowed": events_windowed,
+        "events_sliding": events_sliding,
+        "sessionize": sessionize,
+        "stream_windowed": stream_windowed,
+        "skew_profile": skew_profile,
+        "approx_heavy_hitters": approx_heavy_hitters,
+        "check_heavy_hitters_agree": check_heavy_hitters_agree,
+        "check_stream_sessionize_parity": check_stream_sessionize_parity,
+        "asof_join_events": asof_join_events,
+        "json_funcs": json_funcs,
+        "sort_comparator": sort_comparator,
+        "unique_indices": unique_indices,
+        "repetition_metrics": repetition_metrics,
+        "pii_scrub": pii_scrub,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_auto": dedup_embedding_auto,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "image_header_census": image_header_census,
+        "url_dedup_docs": url_dedup_docs,
+        "rrf_dedup_docs": rrf_dedup_docs,
+        "domain_quality_rollup": domain_quality_rollup,
+        "map_funcs_suite": map_funcs_suite,
+        "token_fertility_lang": token_fertility_lang,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_winnow": doc_winnow,
+        "stratified_sample": stratified_sample,
+        "stream_sessionize": stream_sessionize,
+        "approx_percentiles": approx_percentiles,
+        "approx_distinct_parts": approx_distinct_parts,
+        "hll_sketch_rollup": hll_sketch_rollup,
+        "check_embedding_auto_recall": check_embedding_auto_recall,
+        "check_sketch_rollup_bound": check_sketch_rollup_bound,
+        "check_minhash_subset_exact": check_minhash_subset_exact,
+        "check_simhash_verified": check_simhash_verified,
+        "check_ivf_autotuned_recall": check_ivf_autotuned_recall,
+        "check_lsh_scores_exact": check_lsh_scores_exact,
+        "check_hll_error_bound": check_hll_error_bound,
+        "check_approx_percentile_error": check_approx_percentile_error,
+        "check_stratified_sample_bounds": check_stratified_sample_bounds,
+        "check_fingerprint_layout_independent": check_fingerprint_layout_independent,
+        "check_pack_greedy": check_pack_greedy,
+        "check_shuffle_deterministic": check_shuffle_deterministic,
+        "check_incremental_rollup": check_incremental_rollup,
+        "dedup_clusters": dedup_clusters,
+        "correlated_min": correlated_min,
+        "rollup_agg": rollup_agg,
+        "union_views": union_views,
+        "embedding_norms": embedding_norms,
+        "corr_stats": corr_stats,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_custdist": q13_custdist,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "xml_roundtrip": xml_roundtrip,
+        "stratified_sample_exact": stratified_sample_exact,
+        "lm_surprise": lm_surprise,
+        "bm25_top_terms": bm25_top_terms,
+        "q12_priority_shipments": q12_priority_shipments,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q20_potential_promotion": q20_potential_promotion,
     }
 
 

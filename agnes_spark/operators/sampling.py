@@ -198,12 +198,27 @@ def budget_fill_by_rank(
     (missing strata get 0 — excluded, never silently everything).
     Emits `rank_col`, the 1-based rank within the stratum.
 
+    The running sum uses an explicit ROWS frame (unboundedPreceding ..
+    currentRow), so even a NON-total `rank_cols` degrades to a
+    deterministic-frame semantics: each row's cumulative weight counts
+    rows in its (engine-chosen but frame-consistent) row order rather
+    than silently including every tied peer's weight, and it always
+    agrees with the row_number() rank emitted alongside.
+
     One shuffle on the stratum key + a running-sum window. This exact
     form sorts every row of every stratum; at corpus scale use
     budget_fill_by_rank_scalable, which bounds the sort input to
     ~budget-worth of rows per stratum and is row-identical.
     """
-    w = Window.partitionBy(strata_col).orderBy(*rank_cols)
+    # explicit ROWS frame: the default RANGE frame would include ALL
+    # tied peers' weights in the running sum when rank_cols is not
+    # total (r10 advice) — ROWS keeps it consistent with row_number()
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*rank_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(*rank_cols)
     if isinstance(budget, dict):
         pairs = [x for kv in budget.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
         bud = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
@@ -214,7 +229,7 @@ def budget_fill_by_rank(
         F.lit(0.0),
     )
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        df.withColumn(rank_col, F.row_number().over(w_rank))
         .withColumn("__cb", cum_before)
         .filter(F.col("__cb") < bud)
         .drop("__cb")
@@ -235,7 +250,11 @@ def budget_fill_by_rank_scalable(
 
     Requires the primary rank key to be one NUMERIC column, ascending
     = better (negate a quality score for quality-first fill), with
-    `tiebreak_col` ascending completing the total order. Pass 1
+    `tiebreak_col` ascending completing the total order, and weights
+    to be NON-NEGATIVE: pass-1 key pruning assumes cumulative weight
+    is monotone in key order, so a negative weight could revive a key
+    the prune dropped — the exact form accepts any weights, this form
+    does not (r10 advice; enforced below, not just documented). Pass 1
     aggregates (stratum, key) -> weight — map-side combined, the
     shuffle carries one row per DISTINCT key, not per row — and a
     window over that per-key frame keeps exactly the keys whose
@@ -251,9 +270,21 @@ def budget_fill_by_rank_scalable(
         bud = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
     else:
         bud = F.lit(float(budget))
-    perkey = df.groupBy(strata_col, key_col).agg(
-        F.sum(F.col(weight_col).cast("double")).alias("__kw")
+    # enforce the non-negative-weight precondition IN the pass-1 scan
+    # (a per-row branch, negligible next to the shuffle): silently
+    # divergent selections are worse than a loud failure
+    wchk = F.col(weight_col).cast("double")
+    wchk = F.when(wchk.isNull() | (wchk >= 0), wchk).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "budget_fill_by_rank_scalable requires weight >= 0, got "
+                ),
+                wchk.cast("string"),
+            )
+        )
     )
+    perkey = df.groupBy(strata_col, key_col).agg(F.sum(wchk).alias("__kw"))
     wk = Window.partitionBy(strata_col).orderBy(F.col(key_col).asc())
     cum_before = F.coalesce(
         F.sum("__kw").over(wk) - F.col("__kw"), F.lit(0.0)

@@ -493,9 +493,23 @@ def main() -> None:
         import subprocess
 
         # Re-measure EVERY flagged key (r9 verdict: taking only the
-        # worst 3 left six >3x keys unadjudicated), worst-first so a
-        # wall-clock cap still covers the most suspicious ones.
+        # worst 3 left six >3x keys unadjudicated), worst-first under a
+        # wall-clock budget (r10 advice: each child can spend up to
+        # 900s + ~90s canary retries, so an uncapped loop on a degraded
+        # host is unbounded) — worst-first means the cap still covers
+        # the most suspicious ones.
+        remeasure_budget_s = float(
+            os.environ.get("AGNES_BENCH_REMEASURE_MAX", "1800")
+        )
+        remeasure_t0 = time.perf_counter()
         for q in sorted(flagged, key=lambda q: -flagged[q]["ratio"]):
+            if time.perf_counter() - remeasure_t0 > remeasure_budget_s:
+                print(
+                    f"bench: remeasure budget {remeasure_budget_s}s "
+                    f"exhausted; skipping remaining flagged keys",
+                    file=sys.stderr,
+                )
+                break
             env = dict(
                 os.environ,
                 AGNES_BENCH_ONLY=q,
@@ -532,16 +546,26 @@ def main() -> None:
                 )
             )
             mc_post = _host_canary_mc()
+            re_degraded = (
+                max(c_pre, c_post) > CANARY_DEGRADED_RATIO * nominal_re
+                or max(mc_pre, mc_post)
+                > MC_CANARY_DEGRADED_RATIO * MC_CANARY_NOMINAL_S
+            )
             remeasure[q] = {
                 "s": t_re,
                 "canary_pre_s": c_pre,
                 "canary_post_s": c_post,
                 "mc_pre_s": mc_pre,
                 "mc_post_s": mc_post,
-                "canary_degraded": (
-                    max(c_pre, c_post) > CANARY_DEGRADED_RATIO * nominal_re
-                    or max(mc_pre, mc_post)
-                    > MC_CANARY_DEGRADED_RATIO * MC_CANARY_NOMINAL_S
+                "canary_degraded": re_degraded,
+                # the ADJUDICATED per-key time: the standalone reading
+                # when its own canary stamps are clean, else the (still
+                # suspect) in-run median. Readers of `samples`/`queries`
+                # raw should prefer this for flagged keys (r10 verdict:
+                # in-run medians of wave-flagged keys are the poisoned
+                # readings).
+                "adjudicated_s": (
+                    t_re if (t_re > 0 and not re_degraded) else flagged[q]["median"]
                 ),
             }
         print(

@@ -57,8 +57,21 @@ def _norm_expr(col: str, dtype: str) -> str:
         )
     elif t.startswith("DECIMAL"):
         # norm_cell str()s Python Decimal; trim to the same canonical
-        # form by casting through DOUBLE's %.9g (exact for the money
-        # columns this tool meets: <= 9 significant digits)
+        # form by casting through DOUBLE's %.9g — exact ONLY while the
+        # declared precision fits in 9 significant digits, so enforce
+        # that instead of assuming it (a 12-digit money aggregate that
+        # differed below ~1e-9 relative would otherwise silently match)
+        import re
+
+        m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", t)
+        prec = int(m.group(1)) if m else 38
+        if prec > 9:
+            raise SystemExit(
+                f"DECIMAL precision {prec} > 9 for {col}: %.9g DOUBLE "
+                "normalization would lose low-order digits — widen the "
+                "normalizer (exact VARCHAR canonicalization) before "
+                "hash-comparing this key"
+            )
         body = f"printf('%.9g', CAST({q} AS DOUBLE))"
     elif t.startswith("DATE"):
         body = f"strftime({q}, '%Y-%m-%d')"

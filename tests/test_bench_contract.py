@@ -103,8 +103,8 @@ def test_bench_registry_metadata_consistent():
     for deps in entrymod.SHARED_CACHE_DEPS.values():
         for dep in deps:
             assert f'"{dep}"' in src, dep
-    # the dict is the grading order: position 50 is the r10 boundary
-    assert list(qs)[49] == "q20_potential_promotion"
+    # the dict is the grading order: position 50 is the r11 boundary
+    assert list(qs)[49] == "readability_score"
     # every queries() key has either an oracle or a rows-only design
     oracles = entrymod.oracle_sql()
     assert sum(1 for k in qs if k in oracles) >= 260
