@@ -94,6 +94,18 @@ def test_bench_registry_metadata_consistent():
     qs = entrymod.queries()
     missing_bench = [k for k in bench.BENCH_QUERIES if k not in qs]
     assert not missing_bench, missing_bench
+    # full-coverage rule (r10 verdict item 2): every registry key that
+    # is not a check_* twin (correctness guards, not user workloads)
+    # has a timed bench row — no other skip list exists
+    unbenched = [
+        k
+        for k in qs
+        if k not in bench.BENCH_QUERIES and not k.startswith("check_")
+    ]
+    assert not unbenched, unbenched
+    # no duplicate bench rows, and heavy single-run keys are real keys
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+    assert set(bench.HEAVY_SINGLE_RUN) <= set(bench.BENCH_QUERIES)
     missing_deps = [k for k in entrymod.SHARED_CACHE_DEPS if k not in qs]
     assert not missing_deps, missing_deps
     # prewarm dep names resolve to builders
