@@ -7447,6 +7447,68 @@ def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+# Gate snapshot for psl_registered_domain: REAL publicsuffix.org rule
+# classes — plain, deep ccTLD, a wildcard (*.ck) and its exception
+# (!www.ck) — small enough to inline in the oracle's closed form.
+_PSL_GATE_SNAPSHOT = [
+    "// psl_registered_domain gate snapshot",
+    "com", "net", "org",
+    "uk", "co.uk", "gov.uk",
+    "jp", "co.jp",
+    "br", "gov.br",
+    "*.ck",
+    "!www.ck",
+]
+
+
+def psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction against a user-supplied Public Suffix List
+    snapshot (operators/urltools.registered_domain_psl) — the
+    production form of the registered-domain step behind per-domain
+    crawl budgets/rollups (RefinedWeb §crawl curation; reference
+    FUTURE.md corpus-curation bullets re-expressed Spark-first). Each
+    document gets a deterministic host exercising every PSL rule
+    class: exact TLD, multi-label suffix (co.uk/gov.uk/co.jp/gov.br),
+    wildcard (*.ck), exception (!www.ck), the implicit * default for
+    an unlisted TLD, and a host that IS a public suffix (NULL out).
+    Matching is one broadcast hash join per rule label count — the
+    big side never shuffles until the final rollup. The oracle
+    predicts each registered domain closed-form from the same doc_id
+    arithmetic, so any mis-ranked rule class (wildcard beating the
+    exception, a missed multi-label suffix, a non-NULL suffix-host)
+    hash-mismatches."""
+    from agnes_spark.operators.urltools import registered_domain_psl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.col("doc_id") % 8
+    host = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("co.uk"))
+        .when(m == 0, F.concat(F.col("source"), F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("sub."), F.col("source"), F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.col("source"), F.lit(".gov.uk")))
+        .when(m == 3, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.jp")))
+        .when(m == 4, F.concat(F.col("source"), F.lit(".foo.ck")))
+        .when(m == 5, F.lit("sub.www.ck"))
+        .when(m == 6, F.concat(F.col("source"), F.lit(".zz")))
+        .otherwise(
+            F.concat(F.lit("deep.sub."), F.col("source"), F.lit(".gov.br"))
+        )
+    )
+    hosts = d.select("doc_id", "source", host.alias("host"))
+    out = registered_domain_psl(
+        hosts, "host", _PSL_GATE_SNAPSHOT, out_col="reg_domain"
+    )
+    return (
+        out.groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy(F.col("reg_domain").asc_nulls_first())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-11 window (counted to exactly 50):
@@ -7521,11 +7583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": zorder_pruned_scan,
         "bucketed_join_revenue": bucketed_join_revenue,
         "readability_score": readability_score,
-        # --- 51+: keys staged in r11 go HERE (immediately after
-        #     position 50), then all remaining keys OLDEST grade
-        #     first: the rest of the r6 window (crosstab_source_lang
-        #     .. unique_values), then the r7, r8, r9 windows, and
-        #     the 50 r10-graded keys last. ---
+        # --- 51+: keys staged in r11 (never graded) ---
+        "psl_registered_domain": psl_registered_domain,
+        # --- then all remaining keys OLDEST grade first: the rest of
+        #     the r6 window (crosstab_source_lang .. unique_values),
+        #     then the r7, r8, r9 windows, and the 50 r10-graded
+        #     keys last. ---
         "crosstab_source_lang": crosstab_source_lang,
         "bigram_top": bigram_top,
         "salted_agg_topusers": salted_agg_topusers,
@@ -8742,6 +8805,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_fertility_lang": _bpe_fertility_oracle_sql(),
         "bpe_fertility_delta": _bpe_fertility_delta_oracle_sql(),
+        "psl_registered_domain": (
+            # the registered domain per doc is predicted CLOSED-FORM
+            # from the same doc_id arithmetic the gate uses — the
+            # oracle never runs the PSL algorithm, so a Spark-side
+            # rule-class bug (wildcard vs exception precedence, missed
+            # multi-label suffix, non-NULL suffix-host) cannot cancel
+            "WITH hosts AS (SELECT doc_id, source, "
+            "CASE "
+            "WHEN doc_id % 13 = 0 THEN NULL "  # host co.uk IS a suffix
+            "WHEN doc_id % 8 = 0 THEN source || '.com' "
+            "WHEN doc_id % 8 = 1 THEN source || '.co.uk' "
+            "WHEN doc_id % 8 = 2 THEN source || '.gov.uk' "
+            "WHEN doc_id % 8 = 3 THEN source || '.co.jp' "
+            "WHEN doc_id % 8 = 4 THEN source || '.foo.ck' "
+            "WHEN doc_id % 8 = 5 THEN 'www.ck' "
+            "WHEN doc_id % 8 = 6 THEN source || '.zz' "
+            "ELSE source || '.gov.br' END AS reg_domain "
+            "FROM documents) "
+            "SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+            "CAST(min(doc_id) AS BIGINT) AS first_doc "
+            "FROM hosts GROUP BY reg_domain ORDER BY reg_domain"
+        ),
         "domain_budget_sample": (
             # quality rational (quality_score oracle CTEs) + closed-form
             # reg_domain (domain_quality_rollup oracle) + quality-first

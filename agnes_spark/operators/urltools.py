@@ -89,7 +89,14 @@ def registered_domain(host: Column | str) -> Column:
     """Owner domain of a (lowercased) hostname: last two labels, or
     last three when the two-label tail is a multi-part public suffix
     (`news.bbc.co.uk` -> `bbc.co.uk`, not `co.uk`). Hosts with a
-    single label (localhost, intranet names) pass through unchanged."""
+    single label (localhost, intranet names) pass through unchanged.
+
+    This is the LIGHTWEIGHT form — a pure column expression over the
+    embedded suffix subset, fine for tests and single-lineage gates.
+    Production domain-level budgets/rollups should use
+    `registered_domain_psl` with a real Public Suffix List snapshot:
+    the embedded subset mis-groups ccTLD domains it doesn't know
+    (e.g. `*.gov.br`) and cannot express wildcard/exception rules."""
     h = F.col(host) if isinstance(host, str) else host
     parts = F.split(h, r"\.")
     n = F.size(parts)
@@ -102,3 +109,131 @@ def registered_domain(host: Column | str) -> Column:
         .when(last2.isin(*MULTI_PART_SUFFIXES), last3)
         .otherwise(last2)
     )
+
+
+def parse_psl_rules(lines) -> list[tuple[str, str]]:
+    """Parse Public Suffix List text lines into (kind, suffix) pairs,
+    kind in {"exact", "wild", "exc"} — the publicsuffix.org format:
+    comments (`//`) and blanks skipped, `*.<base>` stored as
+    ("wild", base), `!<rule>` as ("exc", rule), everything else as
+    ("exact", rule); lowercased. Only leftmost-label wildcards are
+    supported (the only form the published list uses)."""
+    out = []
+    for ln in lines:
+        s = ln.strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        if s.startswith("!"):
+            out.append(("exc", s[1:]))
+        elif s.startswith("*."):
+            out.append(("wild", s[2:]))
+        elif s == "*":
+            continue  # the implicit default rule is always applied
+        else:
+            out.append(("exact", s))
+    return out
+
+
+def registered_domain_psl(
+    df,
+    host_col: str,
+    psl_rules,
+    out_col: str = "registered_domain",
+):
+    """eTLD+1 per the full Public Suffix List algorithm
+    (publicsuffix.org/list/), against a USER-SUPPLIED snapshot —
+    wildcard (`*.ck`) and exception (`!www.ck`) rules included.
+
+    `psl_rules` is an iterable of PSL text lines (or pre-parsed
+    (kind, suffix) pairs from parse_psl_rules). The snapshot is
+    grouped by label count driver-side (~10k rules, trivially
+    broadcastable) and matched with ONE left broadcast hash join per
+    distinct rule label count against the host's k-label tail — no
+    explode, no shuffle, no re-aggregation: the big side keeps its
+    single scan lineage and partitioning. Matching follows the spec:
+    an exception rule wins outright (its public suffix drops the
+    leftmost label), else the longest matching exact/wildcard rule,
+    else the implicit `*` default (last label). The registered domain
+    is the public suffix plus one preceding label; a host that IS a
+    public suffix (or NULL) yields NULL — unlike the lightweight
+    `registered_domain`, which passes single-label hosts through.
+
+    Hosts are matched lowercased; supply already-normalized hostnames
+    (normalize_url lowercases).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    rules = list(psl_rules)
+    if rules and isinstance(rules[0], str):
+        rules = parse_psl_rules(rules)
+    # group rules by the label count of the TAIL they match:
+    #   exact rule with k labels  -> matches tail_k, public suffix k
+    #   wild  base with k labels  -> matches tail_(k+1), suffix k+1
+    #   exc   rule with k labels  -> matches tail_k, suffix k-1
+    by_k: dict[int, dict[str, tuple[bool, bool, bool]]] = {}
+    for kind, sfx in rules:
+        k = sfx.count(".") + 1
+        key_k = k  # label count of the JOIN KEY (the stored string)
+        e, w, x = by_k.setdefault(key_k, {}).get(sfx, (False, False, False))
+        if kind == "exact":
+            e = True
+        elif kind == "wild":
+            w = True
+        elif kind == "exc":
+            x = True
+        else:
+            raise ValueError(f"unknown PSL rule kind: {kind}")
+        by_k[key_k][sfx] = (e, w, x)
+
+    spark = df.sparkSession
+    h = F.lower(F.col(host_col))
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    out = df.withColumn("__psl_n", n)
+    ps_candidates = [F.lit(1)]  # the implicit default rule
+    exc_ps = F.lit(None).cast("int")
+    for k in sorted(by_k):
+        tbl = spark.createDataFrame(
+            [(s, e, w, x) for s, (e, w, x) in sorted(by_k[k].items())],
+            f"__psl_key_{k} string, __psl_e_{k} boolean, "
+            f"__psl_w_{k} boolean, __psl_x_{k} boolean",
+        )
+        tail_k = F.when(
+            F.size(F.split(F.lower(F.col(host_col)), r"\.")) >= k,
+            F.concat_ws(
+                ".", F.slice(F.split(F.lower(F.col(host_col)), r"\."), -k, k)
+            ),
+        )
+        out = out.join(
+            F.broadcast(tbl),
+            tail_k == F.col(f"__psl_key_{k}"),
+            "left",
+        ).drop(f"__psl_key_{k}")
+        # exact rule with k labels -> public suffix length k
+        ps_candidates.append(
+            F.when(F.col(f"__psl_e_{k}") & (F.col("__psl_n") >= k), F.lit(k))
+        )
+        # wildcard base with k labels -> suffix k+1, host needs k+1 labels
+        ps_candidates.append(
+            F.when(
+                F.col(f"__psl_w_{k}") & (F.col("__psl_n") >= k + 1), F.lit(k + 1)
+            )
+        )
+        # exception rule with k labels -> public suffix k-1, wins outright
+        exc_ps = F.coalesce(
+            F.when(F.col(f"__psl_x_{k}") & (F.col("__psl_n") >= k), F.lit(k - 1)),
+            exc_ps,
+        )
+    ps = F.coalesce(exc_ps, F.greatest(*ps_candidates))
+    parts2 = F.split(F.lower(F.col(host_col)), r"\.")
+    reg = F.when(
+        F.col(host_col).isNotNull() & (F.col("__psl_n") > ps),
+        F.concat_ws(".", F.slice(parts2, -(ps + F.lit(1)), ps + F.lit(1))),
+    )
+    out = out.withColumn(out_col, reg)
+    drop = ["__psl_n"] + [
+        c
+        for k in by_k
+        for c in (f"__psl_e_{k}", f"__psl_w_{k}", f"__psl_x_{k}")
+    ]
+    return out.drop(*drop)

@@ -225,6 +225,8 @@ EXTRA_QUERIES = [
     # round-10 additions
     "domain_budget_sample",
     "bpe_fertility_delta",
+    # round-11 staged gates
+    "psl_registered_domain",
     # round-11 additions: the full-coverage sweep — every remaining
     # non-check_* registry key (r10 verdict item 2), so the "within
     # 2x at the same scale" bar is evaluable for the whole registry.
