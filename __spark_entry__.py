@@ -7447,6 +7447,97 @@ def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+_MEDIA_CENSUS_CACHE: dict[tuple, str] = {}
+
+
+def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video metadata census WITHOUT a codec library
+    (operators/multimodal.media_header_meta) — the WAV/MP4 twin of
+    image_header_census: every 25th document becomes a synthetic but
+    structurally-valid media file rotating through 8 variants by
+    doc_id/25 mod 8 — plain WAV, WAV with a JUNK chunk before `fmt `
+    (fixed-offset reads give wrong answers), MP4 with a v0 mvhd, MP4
+    with a v1 mvhd (64-bit times shift every offset), MP4 with a
+    `free` box before `moov` (the top-level walk must hop), a
+    TRUNCATED WAV (sig only -> NULL fields), an ftyp-only MP4 (brand
+    but no duration), and non-media junk (unknown). The binaryFile
+    source reads them back distributed; channels / sample rate / bit
+    depth / byte-rate-derived duration / brand / mvhd duration parse
+    as pure column expressions (bounded F.aggregate chunk/box walks —
+    zero Python). The oracle predicts every value closed-form from
+    doc_id, so one misread header byte or mis-hopped chunk
+    hash-mismatches. Reference parity: agnes FUTURE.md media-column
+    ambitions; Spark-first shape is scan-side codegen over binary."""
+    from agnes_spark.operators.multimodal import (
+        make_mp4_bytes,
+        make_wav_bytes,
+        media_header_meta,
+    )
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    d = _MEDIA_CENSUS_CACHE.get(ck)
+    if d is None:
+        ids = [
+            r.doc_id
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        d = _gate_scratch(f"mediafiles_{os.path.basename(sf_dir.rstrip('/'))}")
+        for i in ids:
+            ch = 1 + i % 3
+            sr = (8000, 16000, 44100, 48000)[i % 4]
+            bits = 8 * (1 + i % 4)
+            data = 2 * (500 + i % 488)
+            junk = 2 * (1 + i % 18)
+            v = (i // 25) % 8
+            if v == 0:
+                payload = make_wav_bytes(ch, sr, bits, data)
+            elif v == 1:
+                payload = make_wav_bytes(ch, sr, bits, data, junk_pad=junk)
+            elif v == 2:
+                payload = make_mp4_bytes(
+                    "isom", 600, 600 * (1 + i % 120) + i % 600, version=0
+                )
+            elif v == 3:
+                payload = make_mp4_bytes(
+                    "mp42", 1000, 1000 * (1 + i % 90) + i % 1000, version=1
+                )
+            elif v == 4:
+                payload = make_mp4_bytes(
+                    "avc1",
+                    90000,
+                    90000 * (1 + i % 30) + i % 90000,
+                    version=0,
+                    free_pad=2 * (1 + i % 11),
+                )
+            elif v == 5:
+                payload = make_wav_bytes(ch, sr, bits, data)[:14]
+            elif v == 6:
+                payload = make_mp4_bytes("dash", 1, 1, ftyp_only=True)
+            else:
+                payload = b"notamedia" + bytes(i % 7)
+            with open(os.path.join(d, f"{i}.med"), "wb") as fh:
+                fh.write(payload)
+        _MEDIA_CENSUS_CACHE[ck] = d
+    from agnes_spark.sources.formats import read_binary_files
+
+    files = read_binary_files(spark, d, glob="*.med")
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    meta = media_header_meta(files, "content")
+    return meta.select(
+        F.regexp_extract(fname, r"^([0-9]+)", 1).cast("bigint").alias("doc_id"),
+        F.col("media_format").alias("format"),
+        F.col("audio_channels").alias("channels"),
+        F.col("sample_rate_hz").alias("sample_rate"),
+        F.col("bits_per_sample").alias("bits"),
+        F.col("mp4_brand").alias("brand"),
+        F.col("media_duration_ms").alias("duration_ms"),
+        F.col("media_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
 # Gate snapshot for psl_registered_domain: REAL publicsuffix.org rule
 # classes — plain, deep ccTLD, a wildcard (*.ck) and its exception
 # (!www.ck) — small enough to inline in the oracle's closed form.
@@ -7585,6 +7676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_score": readability_score,
         # --- 51+: keys staged in r11 (never graded) ---
         "psl_registered_domain": psl_registered_domain,
+        "media_header_census": media_header_census,
         # --- then all remaining keys OLDEST grade first: the rest of
         #     the r6 window (crosstab_source_lang .. unique_values),
         #     then the r7, r8, r9 windows, and the 50 r10-graded
@@ -8805,6 +8897,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_fertility_lang": _bpe_fertility_oracle_sql(),
         "bpe_fertility_delta": _bpe_fertility_delta_oracle_sql(),
+        "media_header_census": (
+            # every field predicted CLOSED-FORM from doc_id — the
+            # oracle never parses a byte, so a mis-hopped chunk, a
+            # wrong mvhd version offset, or an unguarded truncated
+            # read on the Spark side cannot cancel out
+            "WITH ids AS (SELECT doc_id, (doc_id // 25) % 8 AS v, "
+            "1 + doc_id % 3 AS ch, "
+            "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 44100 ELSE 48000 END AS sr, "
+            "8 * (1 + doc_id % 4) AS bits, "
+            "2 * (500 + doc_id % 488) AS data, "
+            "2 * (1 + doc_id % 18) AS junk, "
+            "CASE (doc_id // 25) % 8 "
+            "WHEN 2 THEN 600 * (1 + doc_id % 120) + doc_id % 600 "
+            "WHEN 3 THEN 1000 * (1 + doc_id % 90) + doc_id % 1000 "
+            "WHEN 4 THEN 90000 * (1 + doc_id % 30) + doc_id % 90000 "
+            "END AS mdur, "
+            "CASE (doc_id // 25) % 8 WHEN 2 THEN 600 WHEN 3 THEN 1000 "
+            "WHEN 4 THEN 90000 END AS mts "
+            "FROM documents WHERE doc_id % 25 = 0) "
+            "SELECT doc_id, "
+            "CASE WHEN v IN (0, 1, 5) THEN 'wav' "
+            "WHEN v IN (2, 3, 4, 6) THEN 'mp4' ELSE 'unknown' END AS format, "
+            "CAST(CASE WHEN v IN (0, 1) THEN ch END AS BIGINT) AS channels, "
+            "CAST(CASE WHEN v IN (0, 1) THEN sr END AS BIGINT) AS sample_rate, "
+            "CAST(CASE WHEN v IN (0, 1) THEN bits END AS BIGINT) AS bits, "
+            "CASE v WHEN 2 THEN 'isom' WHEN 3 THEN 'mp42' "
+            "WHEN 4 THEN 'avc1' WHEN 6 THEN 'dash' END AS brand, "
+            "CAST(CASE WHEN v IN (0, 1) THEN "
+            "(data * 1000) // (sr * ch * (bits // 8)) "
+            "WHEN v IN (2, 3, 4) THEN (mdur * 1000) // mts END AS BIGINT) "
+            "AS duration_ms, "
+            "CAST(CASE v WHEN 0 THEN 44 + data WHEN 1 THEN 52 + data + junk "
+            "WHEN 2 THEN 132 WHEN 3 THEN 144 "
+            "WHEN 4 THEN 140 + 2 * (1 + doc_id % 11) "
+            "WHEN 5 THEN 14 WHEN 6 THEN 16 "
+            "ELSE 9 + doc_id % 7 END AS BIGINT) AS n_bytes "
+            "FROM ids ORDER BY doc_id"
+        ),
         "psl_registered_domain": (
             # the registered domain per doc is predicted CLOSED-FORM
             # from the same doc_id arithmetic the gate uses — the

@@ -378,3 +378,252 @@ def make_webp_bytes(width: int, height: int, flavor: str = "vp8", pad: int = 0) 
         raise ValueError(f"unknown webp flavor: {flavor}")
     chunk = cc + _struct.pack("<I", len(data)) + data
     return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def media_header_meta(
+    df: DataFrame, content_col: str = "content", max_chunks: int = 16
+) -> DataFrame:
+    """Audio/video header census — the WAV/MP4 twin of
+    image_header_meta: container format, audio shape (channels /
+    sample rate / bit depth), MP4 brand and playback duration parsed
+    straight from header BYTES with pure column expressions (no codec
+    library, no Python row work — a media census over 100 TB of
+    payloads is scan work and stays inside whole-stage codegen).
+
+    - WAV (RIFF): magic `RIFF....WAVE`, then a CHUNK WALK — id (4B),
+      LITTLE-endian u32 size, hop `8 + size + pad` (chunks are
+      word-aligned) — as a bounded `F.aggregate` fold, because `fmt `
+      is not guaranteed first (JUNK/LIST chunks precede it in the
+      wild). `fmt ` payload: channels (LE u16 @ +10), sample rate
+      (LE u32 @ +12), byte rate (LE u32 @ +16), bits/sample (LE u16
+      @ +22); the `data` chunk size turns byte rate into duration:
+      floor(data_bytes * 1000 / byte_rate) ms.
+    - MP4 (ISO BMFF): a top-level BOX WALK — BIG-endian u32 size,
+      fourCC type — records the `ftyp` major brand and finds `moov`;
+      a second bounded walk INSIDE moov finds `mvhd`, whose version
+      picks the timescale/duration offsets (v0: u32s @ +20/+24; v1:
+      64-bit times, so @ +28/+32 with a u64 duration). duration_ms =
+      floor(duration * 1000 / timescale). 64-bit `largesize` boxes
+      (size==1) and size==0 tail boxes halt the walk -> NULLs.
+
+    Truncated/corrupt payloads yield NULL fields, never an error
+    (every read is length-guarded; the walks halt at the payload
+    end). Adds media_format (wav|mp4|unknown), audio_channels,
+    sample_rate_hz, bits_per_sample, mp4_brand, media_duration_ms,
+    media_bytes. Reference parity: agnes FUTURE.md media-column
+    ambitions, re-expressed as scan-side codegen over binary."""
+    out = df.withColumn("__med_b", F.col(content_col))
+    b = F.col("__med_b")
+    blen = F.octet_length(b)
+    wav_sig = (F.hex(b.substr(1, 4)) == "52494646") & (  # "RIFF"
+        F.hex(b.substr(9, 4)) == "57415645"  # "WAVE"
+    )
+    mp4_sig = F.hex(b.substr(5, 4)) == "66747970"  # "ftyp" box type
+
+    # --- WAV chunk walk: (pos, ch, sr, brate, bits, dbytes) ---
+    def wav_step(acc, _i):
+        pos = acc["pos"]
+        cid = F.hex(b.substr(pos.cast("int"), F.lit(4)))
+        csize = _le_uint(b, pos + 4, 4)
+        is_fmt = (cid == "666D7420") & (csize >= 16) & (pos + 23 <= blen)
+        is_data = cid == "64617461"
+        halt = (
+            (pos + 7 > blen)
+            | (acc["ch"].isNotNull() & acc["dbytes"].isNotNull())
+        )
+        nxt = pos + 8 + csize + F.pmod(csize, F.lit(2))
+        return F.when(halt, acc).otherwise(
+            F.struct(
+                nxt.alias("pos"),
+                F.coalesce(
+                    acc["ch"], F.when(is_fmt, _le_uint(b, pos + 10, 2))
+                ).alias("ch"),
+                F.coalesce(
+                    acc["sr"], F.when(is_fmt, _le_uint(b, pos + 12, 4))
+                ).alias("sr"),
+                F.coalesce(
+                    acc["brate"], F.when(is_fmt, _le_uint(b, pos + 16, 4))
+                ).alias("brate"),
+                F.coalesce(
+                    acc["bits"], F.when(is_fmt, _le_uint(b, pos + 22, 2))
+                ).alias("bits"),
+                F.coalesce(acc["dbytes"], F.when(is_data, csize)).alias(
+                    "dbytes"
+                ),
+            )
+        )
+
+    wav0 = F.struct(
+        F.lit(13).cast("bigint").alias("pos"),
+        *[
+            F.lit(None).cast("bigint").alias(f)
+            for f in ("ch", "sr", "brate", "bits", "dbytes")
+        ],
+    )
+    wav = F.aggregate(F.sequence(F.lit(1), F.lit(max_chunks)), wav0, wav_step)
+
+    # --- MP4 top-level box walk: (pos, brand, moov) ---
+    def box_step(target_hex):
+        def step(acc, _i):
+            pos = acc["pos"]
+            size = _be_uint(b, pos, 4)
+            t = F.hex(b.substr((pos + 4).cast("int"), F.lit(4)))
+            halt = acc["hit"].isNotNull() | (pos + 7 > blen) | (
+                acc["stop"].isNotNull() & (pos + 7 > acc["stop"])
+            )
+            dead = size < 8  # size 0 (to-EOF) or 1 (largesize): stop
+            return F.when(halt, acc).otherwise(
+                F.struct(
+                    F.when(dead, blen + 8).otherwise(pos + size).alias("pos"),
+                    F.coalesce(
+                        acc["brand"],
+                        F.when(
+                            (t == "66747970") & (pos + 11 <= blen),
+                            b.substr((pos + 8).cast("int"), F.lit(4)).cast(
+                                "string"
+                            ),
+                        ),
+                    ).alias("brand"),
+                    F.when(t == target_hex, pos).cast("bigint").alias("hit"),
+                    acc["stop"].alias("stop"),
+                )
+            )
+
+        return step
+
+    def box_walk(start, target_hex, stop=None):
+        init = F.struct(
+            start.cast("bigint").alias("pos"),
+            F.lit(None).cast("string").alias("brand"),
+            F.lit(None).cast("bigint").alias("hit"),
+            (
+                stop if stop is not None else F.lit(None).cast("bigint")
+            ).alias("stop"),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_chunks)), init, box_step(target_hex)
+        )
+
+    top = box_walk(F.lit(1), "6D6F6F76")  # find "moov"
+    moov = top["hit"]
+    moov_end = moov + _be_uint(b, moov, 4)
+    inner = box_walk(moov + 8, "6D766864", stop=moov_end)  # find "mvhd"
+    mvhd = inner["hit"]
+    ver = _be_uint(b, mvhd + 8, 1)
+    ts = F.when((ver == 0) & (mvhd + 27 <= blen), _be_uint(b, mvhd + 20, 4)).when(
+        (ver == 1) & (mvhd + 39 <= blen), _be_uint(b, mvhd + 28, 4)
+    )
+    dur = F.when((ver == 0) & (mvhd + 27 <= blen), _be_uint(b, mvhd + 24, 4)).when(
+        (ver == 1) & (mvhd + 39 <= blen), _be_uint(b, mvhd + 32, 8)
+    )
+
+    def _floordiv(num, den):
+        # exact integer floor division as column arithmetic (both
+        # operands non-negative here); engine-portable, no doubles
+        return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+    wav_dur_ms = F.when(
+        wav["dbytes"].isNotNull() & (wav["brate"] > 0),
+        _floordiv(wav["dbytes"] * F.lit(1000), wav["brate"]),
+    )
+    mp4_dur_ms = F.when(ts > 0, _floordiv(dur * F.lit(1000), ts))
+    fmt = (
+        F.when(wav_sig, F.lit("wav"))
+        .when(mp4_sig, F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        out.withColumn("media_format", fmt)
+        .withColumn(
+            "audio_channels",
+            F.when(wav_sig, wav["ch"]).cast("bigint"),
+        )
+        .withColumn(
+            "sample_rate_hz",
+            F.when(wav_sig, wav["sr"]).cast("bigint"),
+        )
+        .withColumn(
+            "bits_per_sample",
+            F.when(wav_sig, wav["bits"]).cast("bigint"),
+        )
+        .withColumn("mp4_brand", F.when(mp4_sig, top["brand"]))
+        .withColumn(
+            "media_duration_ms",
+            F.when(wav_sig, wav_dur_ms)
+            .when(mp4_sig, mp4_dur_ms)
+            .cast("bigint"),
+        )
+        .withColumn("media_bytes", blen.cast("bigint"))
+        .drop("__med_b")
+    )
+
+
+def make_wav_bytes(
+    channels: int,
+    sample_rate: int,
+    bits: int,
+    data_bytes: int,
+    junk_pad: int = 0,
+) -> bytes:
+    """Minimal structurally-valid RIFF/WAVE bytes: optional JUNK chunk
+    (so parsers must genuinely walk chunks), canonical 16-byte `fmt `
+    chunk, `data` chunk of `data_bytes` zeros. Even-size chunks only
+    (word alignment stays trivial for the oracle's closed form)."""
+    import struct as _struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    chunks = b""
+    if junk_pad:
+        if junk_pad % 2:
+            raise ValueError("junk_pad must be even")
+        chunks += b"JUNK" + _struct.pack("<I", junk_pad) + bytes(junk_pad)
+    chunks += b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    if data_bytes % 2:
+        raise ValueError("data_bytes must be even")
+    chunks += b"data" + _struct.pack("<I", data_bytes) + bytes(data_bytes)
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_mp4_bytes(
+    brand: str,
+    timescale: int,
+    duration: int,
+    version: int = 0,
+    free_pad: int | None = None,
+    ftyp_only: bool = False,
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF bytes: `ftyp` (major brand,
+    minor version 0), optional `free` box (so the top-level walk must
+    hop boxes), `moov` containing a spec-sized `mvhd` (v0: 108 bytes,
+    v1: 120) whose timescale/duration encode the given values."""
+    import struct as _struct
+
+    ftyp = _struct.pack(">I", 16) + b"ftyp" + brand.encode("ascii") + bytes(4)
+    if ftyp_only:
+        return ftyp
+    out = ftyp
+    if free_pad is not None:
+        out += _struct.pack(">I", 8 + free_pad) + b"free" + bytes(free_pad)
+    if version == 0:
+        mvhd = (
+            _struct.pack(">I", 108)
+            + b"mvhd"
+            + bytes([0, 0, 0, 0])
+            + _struct.pack(">IIII", 0, 0, timescale, duration)
+            + bytes(108 - 28)
+        )
+    elif version == 1:
+        mvhd = (
+            _struct.pack(">I", 120)
+            + b"mvhd"
+            + bytes([1, 0, 0, 0])
+            + _struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + bytes(120 - 40)
+        )
+    else:
+        raise ValueError(f"unsupported mvhd version: {version}")
+    out += _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return out

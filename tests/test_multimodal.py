@@ -137,3 +137,61 @@ def test_image_header_meta_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+# --- media_header_meta: WAV/MP4 header census (r10 verdict item 5) ---
+
+def test_media_header_meta_wav_mp4_variants(spark):
+    from agnes_spark.operators.multimodal import (
+        make_mp4_bytes,
+        make_wav_bytes,
+        media_header_meta,
+    )
+
+    rows = [
+        (0, make_wav_bytes(2, 44100, 16, 176400)),           # exactly 1s
+        (1, make_wav_bytes(1, 8000, 8, 4000, junk_pad=10)),  # JUNK first
+        (2, make_mp4_bytes("isom", 600, 1500, version=0)),
+        (3, make_mp4_bytes("mp42", 1000, 3210, version=1)),  # v1 offsets
+        (4, make_mp4_bytes("avc1", 90000, 90000 * 7 + 45000,
+                           version=0, free_pad=24)),          # hop free box
+        (5, make_wav_bytes(2, 44100, 16, 1000)[:14]),         # truncated
+        (6, make_mp4_bytes("dash", 1, 1, ftyp_only=True)),    # no moov
+        (7, b"notamedia"),                                    # unknown
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {
+        r.id: (
+            r.media_format, r.audio_channels, r.sample_rate_hz,
+            r.bits_per_sample, r.mp4_brand, r.media_duration_ms,
+            r.media_bytes,
+        )
+        for r in media_header_meta(df, "content").collect()
+    }
+    assert got[0] == ("wav", 2, 44100, 16, None, 1000, 176444)
+    assert got[1] == ("wav", 1, 8000, 8, None, 500, 4062)
+    assert got[2] == ("mp4", None, None, None, "isom", 2500, 132)
+    assert got[3] == ("mp4", None, None, None, "mp42", 3210, 144)
+    assert got[4] == ("mp4", None, None, None, "avc1", 7500, 164)
+    # truncated input -> NULL fields, never an error
+    assert got[5] == ("wav", None, None, None, None, None, 14)
+    assert got[6] == ("mp4", None, None, None, "dash", None, 16)
+    assert got[7] == ("unknown", None, None, None, None, None, 9)
+
+
+def test_media_header_meta_stays_jvm_side(spark):
+    from agnes_spark.operators.multimodal import (
+        make_wav_bytes,
+        media_header_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(0, make_wav_bytes(1, 8000, 16, 100))], "id bigint, content binary"
+    )
+    plan = (
+        media_header_meta(df, "content")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
