@@ -7447,6 +7447,52 @@ def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _binary_payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a binary landing zone: payload = a 4-byte magic +
+    the UTF-8 text bytes — binary near-dup structure mirrors the text
+    near-dup structure, all synthesized inside the scan (pure column
+    expressions, no files)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")), F.encode(F.col("text"), "UTF-8")
+        ).alias("payload"),
+    )
+
+
+def dedup_binary_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload near-dup pairs (operators/dedup.binary_minhash
+    _pairs) — the multimodal twin of dedup_minhash, closing the
+    landing-zone dedup story: k-byte shingles of the payload hashed
+    with PURE column expressions (substr+xxhash64 in codegen — no
+    Arrow UDF, unlike the text path), content-defined 0-mod-p window
+    sampling (stable under byte insertions that shift every
+    downstream window), then the SAME MinHash/LSH band machinery and
+    exact byte-shingle Jaccard verification. Hash-based — no SQL
+    oracle; check_binary_minhash_subset pins pairs against the exact
+    prefix-filtered Jaccard join."""
+    from agnes_spark.operators.dedup import binary_minhash_pairs
+
+    return binary_minhash_pairs(
+        _binary_payload_docs(spark, sf_dir), "doc_id", "payload", threshold=0.5
+    ).orderBy("a_id", "b_id")
+
+
+def check_binary_minhash_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: every binary MinHash+LSH verified pair is an exact
+    byte-shingle Jaccard pair at the same threshold — banding may MISS
+    pairs but exact verification can never invent one (the binary twin
+    of check_minhash_subset_exact). Returns minhash pairs absent from
+    the exact join (must be empty)."""
+    from agnes_spark.operators.dedup import binary_jaccard_pairs
+
+    mh = dedup_binary_minhash(spark, sf_dir).select("a_id", "b_id")
+    ex = binary_jaccard_pairs(
+        _binary_payload_docs(spark, sf_dir), "doc_id", "payload", threshold=0.5
+    ).select("a_id", "b_id")
+    return mh.join(ex, ["a_id", "b_id"], "left_anti")
+
+
 _MEDIA_CENSUS_CACHE: dict[tuple, str] = {}
 
 
@@ -7677,6 +7723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 51+: keys staged in r11 (never graded) ---
         "psl_registered_domain": psl_registered_domain,
         "media_header_census": media_header_census,
+        "dedup_binary_minhash": dedup_binary_minhash,
+        "check_binary_minhash_subset": check_binary_minhash_subset,
         # --- then all remaining keys OLDEST grade first: the rest of
         #     the r6 window (crosstab_source_lang .. unique_values),
         #     then the r7, r8, r9 windows, and the 50 r10-graded
@@ -8897,6 +8945,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_fertility_lang": _bpe_fertility_oracle_sql(),
         "bpe_fertility_delta": _bpe_fertility_delta_oracle_sql(),
+        "check_binary_minhash_subset": (
+            "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
+        ),
         "media_header_census": (
             # every field predicted CLOSED-FORM from doc_id — the
             # oracle never parses a byte, so a mis-hopped chunk, a

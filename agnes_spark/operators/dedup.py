@@ -102,7 +102,26 @@ def exact_dedup_keep_best(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard similarity join (pairs >= threshold).
+    """Exact n-gram-shingle Jaccard similarity join (pairs >= threshold)
+    — `jaccard_pairs_from_sets` over text shingles; see that function
+    for the AllPairs/PPJoin prefix-filter design."""
+    shingle_udf = hashed_shingles_udf(n)
+    sets = (
+        # repartition BEFORE the Python stage: a single-file source
+        # otherwise runs the whole UDF serially in one worker
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), shingle_udf(F.col(text_col)).alias("shash"))
+    )
+    return jaccard_pairs_from_sets(sets, id_col, threshold)
+
+
+def jaccard_pairs_from_sets(
+    sets: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity join (pairs >= threshold) over a
+    (id, shash array<long>) shingle-set frame — the shared engine
+    behind ngram_jaccard_pairs (text) and binary_jaccard_pairs (byte
+    payloads).
 
     AllPairs/PPJoin-style prefix filtering: order each doc's shingle
     set by a global total order (xxhash64 — a fixed pseudo-random
@@ -112,18 +131,14 @@ def ngram_jaccard_pairs(
     loss); everything outside the prefix never enters the join. The
     join key is the 8-byte shingle hash (a hash collision can only add
     a spurious candidate, which verification removes). Candidates are
-    then verified with an exact string-set intersection.
+    then verified with an exact shingle-set intersection.
 
     vs. the naive full inverted index this cuts the self-join input by
     ~1/(1-t) and, more importantly at 100 TB, caps the quadratic
     blowup on hot shingles to prefix occurrences only.
     """
-    shingle_udf = hashed_shingles_udf(n)
     base = (
-        # repartition BEFORE the Python stage: a single-file source
-        # otherwise runs the whole UDF serially in one worker
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), F.array_sort(shingle_udf(F.col(text_col))).alias("shash"))
+        sets.select(F.col(id_col), F.array_sort(F.col("shash")).alias("shash"))
         .filter(F.size("shash") > 0)
         .withColumn("sz", F.size("shash"))
         .persist()  # reused by prefix index and both verify sides
@@ -236,9 +251,28 @@ def minhash_lsh_pairs(
     Candidate generation cost is bounded by bucket sizes, never n^2;
     verification touches only candidate pairs.
     """
+    return minhash_lsh_pairs_from_sets(
+        shingle_sets(df, id_col, text_col, n),
+        id_col,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+    )
+
+
+def minhash_lsh_pairs_from_sets(
+    sets: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs from a (id, shash array<long>)
+    shingle-set frame — the shared engine behind minhash_lsh_pairs
+    (text shingles) and binary_minhash_pairs (byte shingles)."""
     # reused three times below (banding + both verify sides): keep
     # the shingle sets materialized instead of re-tokenizing
-    base = shingle_sets(df, id_col, text_col, n).persist()
+    base = sets.filter(F.size("shash") > 0).persist()
     banded = minhash_bands(
         base, id_col, num_perm, num_bands
     ).persist()  # self-joined below — without this the signature UDF runs twice
@@ -267,6 +301,92 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def byte_shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    k: int = 8,
+    sample_mod: int = 4,
+    max_bytes: int = 65536,
+) -> DataFrame:
+    """(id, shash): distinct k-byte shingles of a BINARY payload
+    column hashed to int64 — the multimodal twin of `shingle_sets`,
+    feeding the same MinHash/LSH band machinery so binary payloads
+    (images, audio, arbitrary blobs in a landing zone) get the same
+    near-dup treatment as text.
+
+    Unlike the text path (an Arrow UDF for unicode-aware n-grams),
+    byte windows are PURE COLUMN EXPRESSIONS: substr over binary +
+    xxhash64 inside a transform over a bounded position sequence —
+    whole-stage codegen, zero Python. Every window is hashed;
+    `sample_mod` > 1 keeps only windows with hash % mod == 0 —
+    CONTENT-DEFINED (Broder's 0-mod-p shingling), so unlike a
+    positional stride the kept set is stable under byte
+    insertions/deletions that shift every downstream window, and the
+    sampled-set Jaccard is an unbiased estimate of the full-set
+    Jaccard. `max_bytes` caps the scanned prefix, bounding per-row
+    work regardless of payload size — at 100 TB the census cost is
+    the scan, not the shingling. Payloads shorter than k bytes (or
+    with no surviving sampled window) yield no shingles (row filtered
+    out, same contract as shingle_sets)."""
+    b = F.col(payload_col).substr(F.lit(1), F.lit(max_bytes))
+    npos = F.octet_length(b) - F.lit(k - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos))
+    hashes = F.transform(positions, lambda p: F.xxhash64(b.substr(p, F.lit(k))))
+    if sample_mod > 1:
+        hashes = F.filter(hashes, lambda h: F.pmod(h, F.lit(sample_mod)) == 0)
+    shash = F.array_distinct(hashes)
+    return (
+        df.select(F.col(id_col), shash.alias("shash"))
+        .filter(F.col("shash").isNotNull() & (F.size("shash") > 0))
+    )
+
+
+def binary_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    k: int = 8,
+    sample_mod: int = 4,
+    max_bytes: int = 65536,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over BINARY payloads: byte-shingle
+    (pure codegen, content-defined 0-mod-p sampling) -> the shared
+    band/bucket/verify engine. Candidate generation stays an
+    equi-join on (band, bucket); verification is exact byte-shingle
+    Jaccard >= threshold."""
+    return minhash_lsh_pairs_from_sets(
+        byte_shingle_sets(df, id_col, payload_col, k, sample_mod, max_bytes),
+        id_col,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+    )
+
+
+def binary_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    k: int = 8,
+    sample_mod: int = 4,
+    max_bytes: int = 65536,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT byte-shingle Jaccard pairs >= threshold (prefix-filtered
+    AllPairs join) — the verification twin of binary_minhash_pairs:
+    LSH banding may miss pairs, but every pair it reports must appear
+    here."""
+    return jaccard_pairs_from_sets(
+        byte_shingle_sets(df, id_col, payload_col, k, sample_mod, max_bytes),
+        id_col,
+        threshold,
+    )
 
 
 def simhash_pairs(

@@ -235,3 +235,66 @@ def test_drop_duplicate_spans_cuts_and_passes_through(spark):
     assert out[1] == ("alpha beta gamma delta", 12)
     assert out[2] == ("one two three four", 12)
     assert out[3] == (docs[2][1], 0)  # untouched doc passes through
+
+
+# --- binary-payload near-dup dedup (r10 verdict item 6) ---
+
+def test_byte_shingles_content_defined_sampling_is_shift_robust(spark):
+    from agnes_spark.operators.dedup import byte_shingle_sets
+
+    base = b"The quick brown fox jumps over the lazy dog. " * 30
+    # a 5-byte insertion shifts every downstream window position;
+    # content-defined 0-mod-p sampling keeps the shared windows anyway
+    rows = [(0, base), (1, base[:600] + b"MUT!x" + base[600:])]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    sets = {r.id: set(r.shash) for r in byte_shingle_sets(df, "id", "payload").collect()}
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    assert inter / union > 0.5, (inter, union)
+
+
+def test_byte_shingles_short_payload_dropped(spark):
+    from agnes_spark.operators.dedup import byte_shingle_sets
+
+    df = spark.createDataFrame(
+        [(0, b"tiny"), (1, bytes(range(100)))], "id bigint, payload binary"
+    )
+    got = byte_shingle_sets(df, "id", "payload", k=8).collect()
+    assert [r.id for r in got] == [1]
+
+
+def test_binary_minhash_subset_of_exact_and_finds_neardups(spark):
+    from agnes_spark.operators.dedup import (
+        binary_jaccard_pairs,
+        binary_minhash_pairs,
+    )
+
+    base = b"The quick brown fox jumps over the lazy dog. " * 30
+    rows = [
+        (0, base),
+        (1, base[:600] + b"MUT!" + base[600:]),
+        (2, bytes(range(256)) * 5),
+        (3, base.replace(b"quick", b"rapid")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    mh = binary_minhash_pairs(df, "id", "payload", threshold=0.5)
+    ex = binary_jaccard_pairs(df, "id", "payload", threshold=0.5)
+    ex_pairs = {(r.a_id, r.b_id) for r in ex.collect()}
+    mh_pairs = {(r.a_id, r.b_id) for r in mh.collect()}
+    assert (0, 1) in ex_pairs and (0, 3) in ex_pairs
+    assert all(p[0] < p[1] for p in mh_pairs)
+    assert mh_pairs <= ex_pairs  # LSH may miss, never invents
+    assert not any(2 in p for p in ex_pairs)
+
+
+def test_byte_shingles_stay_jvm_side(spark):
+    from agnes_spark.operators.dedup import byte_shingle_sets
+
+    df = spark.createDataFrame([(0, b"x" * 100)], "id bigint, payload binary")
+    plan = (
+        byte_shingle_sets(df, "id", "payload")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
