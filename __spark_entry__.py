@@ -7447,6 +7447,100 @@ def bpe_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-robust eval-set decontamination
+    (operators/textprep.decontaminate_fuzzy): training docs whose
+    8-gram shingle Jaccard vs ANY eval doc reaches 0.3, with the
+    best-matching eval doc — the fuzzy upgrade of `decontaminate`
+    (exact single-shared-8-gram), which misses contamination that
+    survives light paraphrase. Candidates come from the same
+    broadcast shared-shingle join (recall-lossless: J > 0 implies a
+    shared shingle), verified by exact pairwise Jaccard — full DuckDB
+    oracle, no banding approximation. Split: doc_id % 10 == 0 is the
+    eval slice."""
+    from agnes_spark.operators.textprep import decontaminate_fuzzy as _dcf
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    out = _dcf(train, ev, "doc_id", "doc_id", "text", n=8, threshold=0.3)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_eval_matches").cast("long").alias("n_eval_matches"),
+        F.col("best_eval_id").cast("long").alias("best_eval_id"),
+        "best_jaccard",
+    ).orderBy("doc_id")
+
+
+def check_fuzzy_decon_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: every fuzzy-flagged training doc (Jaccard >= 0.3 vs
+    some eval doc) must also be flagged by EXACT decontamination on
+    the same split (J > 0 implies at least one shared 8-gram, so the
+    fuzzy hit set is a subset of the exact min_shared=1 hit set —
+    the sound direction of the exact/fuzzy containment). Returns
+    fuzzy hits absent from the exact output (must be empty)."""
+    from agnes_spark.operators.textprep import decontaminate as _dc
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    fz = decontaminate_fuzzy(spark, sf_dir).select("doc_id")
+    exact = _dc(train, ev, "doc_id", "text", n=8, min_shared=1).select("doc_id")
+    return fz.join(exact, "doc_id", "left_anti")
+
+
+def decontaminate_fuzzy_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-broadcast fuzzy decontamination path
+    (operators/textprep.decontaminate_fuzzy_banded): the MinHash band
+    index of the eval slice probed by the train side with one
+    (band, bucket) equi-join — the shape for eval corpora too large
+    to broadcast — then exact pairwise Jaccard verification at the
+    same tau=0.3 / n=8 / split as decontaminate_fuzzy. LSH-based, so
+    hash-internal (rows-only); check_banded_decon_subset pins it
+    against the exhaustive broadcast path."""
+    from agnes_spark.operators.textprep import (
+        decontaminate_fuzzy_banded as _dcb,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    out = _dcb(train, ev, "doc_id", "doc_id", "text", n=8, threshold=0.3)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_eval_matches").cast("long").alias("n_eval_matches"),
+        F.col("best_eval_id").cast("long").alias("best_eval_id"),
+        "best_jaccard",
+    ).orderBy("doc_id")
+
+
+def check_banded_decon_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVARIANT: the banded (LSH-probe) decontamination path can only
+    UNDER-report relative to the exhaustive broadcast path — every doc
+    it flags is flagged there, and per shared doc its n_eval_matches
+    and best_jaccard never exceed the exhaustive values (LSH sees a
+    subset of the true pairs; verification is the same exact Jaccard).
+    Violations -> empty."""
+    bd = decontaminate_fuzzy_banded(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_eval_matches").alias("nm_b"),
+        F.col("best_jaccard").alias("bj_b"),
+    )
+    fz = decontaminate_fuzzy(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_eval_matches").alias("nm_f"),
+        F.col("best_jaccard").alias("bj_f"),
+    )
+    joined = bd.join(fz, "doc_id", "left")
+    return joined.filter(
+        F.col("nm_f").isNull()
+        | (F.col("nm_b") > F.col("nm_f"))
+        | (F.col("bj_b") > F.col("bj_f") + F.lit(1e-9))
+    ).select("doc_id", "nm_b", "nm_f", "bj_b", "bj_f")
+
+
 def _binary_payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as a binary landing zone: payload = a 4-byte magic +
     the UTF-8 text bytes — binary near-dup structure mirrors the text
@@ -7725,6 +7819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_census": media_header_census,
         "dedup_binary_minhash": dedup_binary_minhash,
         "check_binary_minhash_subset": check_binary_minhash_subset,
+        "decontaminate_fuzzy": decontaminate_fuzzy,
+        "check_fuzzy_decon_subset": check_fuzzy_decon_subset,
+        "decontaminate_fuzzy_banded": decontaminate_fuzzy_banded,
+        "check_banded_decon_subset": check_banded_decon_subset,
         # --- then all remaining keys OLDEST grade first: the rest of
         #     the r6 window (crosstab_source_lang .. unique_values),
         #     then the r7, r8, r9 windows, and the 50 r10-graded
@@ -8947,6 +9045,44 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility_delta": _bpe_fertility_delta_oracle_sql(),
         "check_binary_minhash_subset": (
             "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
+        ),
+        "decontaminate_fuzzy": (
+            # full pairwise 8-gram Jaccard between the train and eval
+            # slices, per-train best match — same shingle normalization
+            # as the dedup_ngram_jaccard oracle (n-gram STRINGS stand in
+            # for the engine's collision-free 64-bit shingle hashes)
+            "WITH tok AS (SELECT doc_id, "
+            "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> x != '') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || "
+            "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle "
+            "FROM tok, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "p AS (SELECT tr.doc_id AS a_id, ev.doc_id AS b_id, count(*) AS inter "
+            "FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle "
+            "AND tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0 GROUP BY 1, 2), "
+            "j AS (SELECT a_id, b_id, sa.n AS na, "
+            "inter * 1.0 / (sa.n + sb.n - inter) AS jac "
+            "FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3), "
+            "r AS (SELECT a_id, na, jac, b_id, "
+            "row_number() OVER (PARTITION BY a_id ORDER BY jac DESC, b_id ASC) AS rn, "
+            "count(*) OVER (PARTITION BY a_id) AS nm FROM j) "
+            "SELECT a_id AS doc_id, CAST(na AS BIGINT) AS n_shingles, "
+            "CAST(nm AS BIGINT) AS n_eval_matches, "
+            "CAST(b_id AS BIGINT) AS best_eval_id, "
+            "round(jac, 6) AS best_jaccard "
+            "FROM r WHERE rn = 1 ORDER BY doc_id"
+        ),
+        "check_fuzzy_decon_subset": (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
+        ),
+        "check_banded_decon_subset": (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS nm_b, CAST(NULL AS BIGINT) AS nm_f, "
+            "CAST(NULL AS DOUBLE) AS bj_b, CAST(NULL AS DOUBLE) AS bj_f "
+            "WHERE 1=0"
         ),
         "media_header_census": (
             # every field predicted CLOSED-FORM from doc_id — the

@@ -331,7 +331,17 @@ def byte_shingle_sets(
     the scan, not the shingling. Payloads shorter than k bytes (or
     with no surviving sampled window) yield no shingles (row filtered
     out, same contract as shingle_sets)."""
-    b = F.col(payload_col).substr(F.lit(1), F.lit(max_bytes))
+    # truncate FIRST, repartition SECOND: the shuffle then carries at
+    # most max_bytes per row, and the per-window hashing — the heavy
+    # part, ~max_bytes xxhash64 calls per row — runs at full cluster
+    # width even when the source is one file/partition (the same
+    # reason shingle_sets repartitions before its UDF; without this
+    # the sf1.0 twin check ran the whole corpus in ONE task)
+    trunc = df.select(
+        F.col(id_col),
+        F.col(payload_col).substr(F.lit(1), F.lit(max_bytes)).alias("__bsp"),
+    ).repartition(F.col(id_col))
+    b = F.col("__bsp")
     npos = F.octet_length(b) - F.lit(k - 1)
     positions = F.when(npos >= 1, F.sequence(F.lit(1), npos))
     hashes = F.transform(positions, lambda p: F.xxhash64(b.substr(p, F.lit(k))))
@@ -339,7 +349,7 @@ def byte_shingle_sets(
         hashes = F.filter(hashes, lambda h: F.pmod(h, F.lit(sample_mod)) == 0)
     shash = F.array_distinct(hashes)
     return (
-        df.select(F.col(id_col), shash.alias("shash"))
+        trunc.select(F.col(id_col), shash.alias("shash"))
         .filter(F.col("shash").isNotNull() & (F.size("shash") > 0))
     )
 

@@ -61,12 +61,18 @@ def decontaminate(
         .select(
             F.col(id_col),
             F.size("arr").alias("n_shingles"),
-            F.explode("arr").alias("sh"),
+            # explode_OUTER: plain explode makes Catalyst infer a
+            # size(arr) > 0 filter (InferFiltersFromGenerate) that gets
+            # pushed below the repartition and RE-EVALUATES the shingle
+            # UDF on every row; the inner join on sh drops the null
+            # rows anyway, so outer is free and halves UDF work
+            F.explode_outer("arr").alias("sh"),
         )
     )
     ev = (
-        eval_df.select(F.explode(shingle(F.col(text_col))).alias("sh"))
+        eval_df.select(F.explode_outer(shingle(F.col(text_col))).alias("sh"))
         .distinct()
+        .filter(F.col("sh").isNotNull())
     )
     return (
         tr.join(F.broadcast(ev), "sh")
@@ -78,6 +84,189 @@ def decontaminate(
         .filter(F.col("n_shared") >= min_shared)
         .withColumn(
             "overlap_frac", F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    eval_id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Paraphrase-robust decontamination: training docs whose n-gram
+    shingle-set Jaccard against ANY eval document reaches `threshold`
+    — `decontaminate` flags any single shared n-gram, which misses
+    contamination that survives light paraphrase while also
+    over-flagging docs that share one idiomatic phrase; a Jaccard
+    radius measures whole-document overlap instead. Output per
+    flagged doc: (id, n_shingles, n_eval_matches, best_eval_id,
+    best_jaccard) with the best match deterministic (max Jaccard,
+    ties to the smallest eval id).
+
+    Candidate generation is the SAME broadcast shared-shingle join as
+    exact `decontaminate` — with a broadcastable eval set this is
+    recall-LOSSLESS (J >= t > 0 implies at least one shared shingle),
+    so unlike an LSH/MinHash band probe nothing is missed and nothing
+    needs a signature pass; the train side still never shuffles on
+    text. Pairwise verification is exact: the grouped join count IS
+    the intersection size (per-doc shingles are distinct), so
+    J = inter / (|A| + |B| - inter) in one aggregation. For eval sets
+    too large to broadcast, compose the MinHash band index instead
+    (operators/dedup.minhash_lsh_pairs_from_sets over shingle_sets of
+    both sides).
+    """
+    shingle = hashed_shingles_udf(n)
+    tr = (
+        train.repartition(F.col(id_col))
+        .select(F.col(id_col), shingle(F.col(text_col)).alias("arr"))
+        .select(
+            F.col(id_col),
+            F.size("arr").alias("n_shingles"),
+            # explode_OUTER, not explode: see decontaminate — avoids
+            # the Generate-inferred size>0 filter that double-runs the
+            # UDF; null sh rows drop at the inner join
+            F.explode_outer("arr").alias("sh"),
+        )
+    )
+    ev = (
+        eval_df.select(
+            F.col(eval_id_col).alias("__ev_id"),
+            shingle(F.col(text_col)).alias("arr"),
+        )
+        .select(
+            F.col("__ev_id"),
+            F.size("arr").alias("__ev_n"),
+            F.explode_outer("arr").alias("sh"),
+        )
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(id_col, "__ev_id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.first("__ev_n").alias("__ev_n"),
+            F.count(F.lit(1)).alias("inter"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("n_shingles") + F.col("__ev_n") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("__ev_id").cast("bigint")).alias("nid"),
+        )
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            best.alias("__b"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.col("n_eval_matches"),
+            (-F.col("__b.nid")).alias("best_eval_id"),
+            F.round(F.col("__b.j"), 6).alias("best_jaccard"),
+        )
+    )
+
+
+def decontaminate_fuzzy_banded(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    eval_id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`decontaminate_fuzzy` for eval sets too large to broadcast:
+    candidates come from a MinHash/LSH BAND probe — both sides get
+    64-perm signatures banded into bucket keys, and the train side
+    probes the eval band index with one equi-join on (band, bucket) —
+    instead of the broadcast shared-shingle join. Per-band bucket
+    joins shuffle only (id, band, bucket) rows, never shingle sets,
+    so this scales to an eval corpus of any size; the price is LSH
+    recall (a pair under the S-curve knee can be missed — candidates
+    are still verified with exact pairwise Jaccard, so false
+    positives never survive). Same output shape as
+    decontaminate_fuzzy; every doc it flags is guaranteed to be
+    flagged there too, with a best_jaccard / n_eval_matches no larger
+    than the exhaustive path's (LSH sees a subset of the true pairs —
+    pinned by check_banded_decon_subset)."""
+    from agnes_spark.operators.dedup import minhash_bands, shingle_sets
+
+    tr_sets = shingle_sets(train, id_col, text_col, n).persist()
+    ev_sets = (
+        shingle_sets(
+            eval_df.select(F.col(eval_id_col).alias("__ev_id"), text_col),
+            "__ev_id",
+            text_col,
+            n,
+        )
+    ).persist()
+    tr_bands = minhash_bands(tr_sets, id_col, num_perm, num_bands)
+    ev_bands = minhash_bands(ev_sets, "__ev_id", num_perm, num_bands)
+    cand = (
+        tr_bands.join(ev_bands, on=["band", "bucket"])
+        .select(F.col(id_col), F.col("__ev_id"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            tr_sets.select(
+                F.col(id_col), F.col("shash").alias("__tr_sh")
+            ),
+            id_col,
+        )
+        .join(
+            ev_sets.select(
+                F.col("__ev_id"), F.col("shash").alias("__ev_sh")
+            ),
+            "__ev_id",
+        )
+        .withColumn("n_shingles", F.size("__tr_sh"))
+        .withColumn(
+            "inter", F.size(F.array_intersect("__tr_sh", "__ev_sh"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("n_shingles") + F.size("__ev_sh") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("__ev_id").cast("bigint")).alias("nid"),
+        )
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            best.alias("__b"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.col("n_eval_matches"),
+            (-F.col("__b.nid")).alias("best_eval_id"),
+            F.round(F.col("__b.j"), 6).alias("best_jaccard"),
         )
     )
 

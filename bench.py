@@ -229,6 +229,8 @@ EXTRA_QUERIES = [
     "psl_registered_domain",
     "media_header_census",
     "dedup_binary_minhash",
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_banded",
     # round-11 additions: the full-coverage sweep — every remaining
     # non-check_* registry key (r10 verdict item 2), so the "within
     # 2x at the same scale" bar is evaluable for the whole registry.

@@ -82,6 +82,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "stream_ingest_neardup",  # twin: check_stream_neardup_parity
         "quality_classifier",  # twin: check_classifier_holdout
         "dedup_binary_minhash",  # twin: check_binary_minhash_subset
+        "decontaminate_fuzzy_banded",  # twin: check_banded_decon_subset
         # pagerank_copurchase: promoted to a full DuckDB oracle in r7
         # (unrolled 12-round power iteration); parity twin retained
         "stratified_sample",

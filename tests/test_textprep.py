@@ -104,3 +104,36 @@ def test_pii_scrub(spark):
     assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 0, 0)
     assert rows[3].scrubbed == "two mails: <EMAIL> and <EMAIL>"
     assert rows[3].n_email == 2
+
+
+def test_decontaminate_fuzzy_flags_paraphrase_and_best_match(spark):
+    from agnes_spark.operators.textprep import decontaminate, decontaminate_fuzzy
+
+    eval_text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        # near-verbatim copy of the eval doc (one word changed)
+        (1, eval_text.replace("w20", "zz")),
+        # shares exactly one 8-gram run with the eval doc, rest unrelated
+        (2, " ".join(f"w{i}" for i in range(8)) + " " + " ".join(f"q{i}" for i in range(40))),
+        # unrelated
+        (3, " ".join(f"r{i}" for i in range(40))),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id bigint, text string")
+    fz = {
+        r.doc_id: (r.best_eval_id, r.best_jaccard, r.n_eval_matches)
+        for r in decontaminate_fuzzy(
+            train, ev, "doc_id", "doc_id", "text", n=8, threshold=0.3
+        ).collect()
+    }
+    # the paraphrased copy is flagged with the right eval doc...
+    assert set(fz) == {1}
+    assert fz[1][0] == 100 and fz[1][1] >= 0.3 and fz[1][2] == 1
+    # ...while exact single-8-gram decontamination flags doc 2 as well
+    ex = {
+        r.doc_id
+        for r in decontaminate(train, ev, "doc_id", "text", n=8).collect()
+    }
+    assert {1, 2} <= ex
+    # sound containment: fuzzy hits are a subset of exact hits
+    assert set(fz) <= ex
