@@ -56,23 +56,17 @@ def _norm_expr(col: str, dtype: str) -> str:
             f"CASE WHEN isnan({q}) THEN 'NaN' ELSE printf('%.9g', {q}) END"
         )
     elif t.startswith("DECIMAL"):
-        # norm_cell str()s Python Decimal; trim to the same canonical
-        # form by casting through DOUBLE's %.9g — exact ONLY while the
-        # declared precision fits in 9 significant digits, so enforce
-        # that instead of assuming it (a 12-digit money aggregate that
-        # differed below ~1e-9 relative would otherwise silently match)
-        import re
-
-        m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", t)
-        prec = int(m.group(1)) if m else 38
-        if prec > 9:
-            raise SystemExit(
-                f"DECIMAL precision {prec} > 9 for {col}: %.9g DOUBLE "
-                "normalization would lose low-order digits — widen the "
-                "normalizer (exact VARCHAR canonicalization) before "
-                "hash-comparing this key"
-            )
-        body = f"printf('%.9g', CAST({q} AS DOUBLE))"
+        # EXACT normalization at any precision (r10 advice: the old
+        # %.9g-through-DOUBLE form silently lost digits past 9
+        # significant figures): canonical VARCHAR with trailing
+        # fractional zeros (and a bare trailing point) trimmed, so the
+        # same numeric value hashes identically whichever scale the
+        # two sides' DECIMAL types carry — no rounding anywhere
+        v = f"CAST({q} AS VARCHAR)"
+        body = (
+            f"CASE WHEN {v} LIKE '%.%' "
+            f"THEN rtrim(rtrim({v}, '0'), '.') ELSE {v} END"
+        )
     elif t.startswith("DATE"):
         body = f"strftime({q}, '%Y-%m-%d')"
     elif t.startswith(("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")):

@@ -75,6 +75,26 @@ SHOWCASE = [
         "quantile_norm_docs",
         "rank-to-position arithmetic + bounded interval-frame range join",
     ),
+    (
+        "psl_registered_domain",
+        "full PSL algorithm as per-label-count BROADCAST joins; the big "
+        "side never shuffles until the rollup",
+    ),
+    (
+        "media_header_census",
+        "WAV chunk walk + MP4 box walks as pure column expressions over "
+        "binary — zero Python",
+    ),
+    (
+        "dedup_binary_minhash",
+        "byte shingles in codegen (no Arrow UDF); candidates still an "
+        "equi-join on (band, bucket)",
+    ),
+    (
+        "decontaminate_fuzzy",
+        "recall-lossless candidates from ONE broadcast shared-shingle "
+        "join; exact Jaccard in the same aggregation",
+    ),
 ]
 
 

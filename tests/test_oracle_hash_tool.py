@@ -34,7 +34,12 @@ def test_norm_expr_matches_python_norm_cell():
         ("CAST(NULL AS DOUBLE)", "DOUBLE", None),
         ("'hello'", "VARCHAR", "hello"),
         ("DATE '2020-01-02'", "DATE", __import__("datetime").date(2020, 1, 2)),
-        ("CAST(12345.67 AS DECIMAL(12,2))", "DECIMAL(12,2)", None),  # vs %.9g below
+        ("CAST(12345.67 AS DECIMAL(12,2))", "DECIMAL(12,2)", None),  # canonical trim below
+        # > 9 significant digits: the exact VARCHAR normalizer keeps
+        # every digit (the old %.9g DOUBLE path would have lost two)
+        ("CAST(123456789012.34 AS DECIMAL(14,2))", "DECIMAL(14,2)", None),
+        # scale-dependent trailing zeros trim to one canonical form
+        ("CAST(100 AS DECIMAL(10,3))", "DECIMAL(10,3)", None),
     ]
     for sql_lit, dtype, pyval in cases:
         got = con.execute(
@@ -43,7 +48,12 @@ def test_norm_expr_matches_python_norm_cell():
         if pyval is None and "NULL" in sql_lit:
             assert got == "<NULL>", (sql_lit, got)
         elif dtype.startswith("DECIMAL"):
-            assert got == "12345.67", got
+            want = {
+                "DECIMAL(12,2)": "12345.67",
+                "DECIMAL(14,2)": "123456789012.34",
+                "DECIMAL(10,3)": "100",
+            }[dtype]
+            assert got == want, (dtype, got, want)
         else:
             assert got == norm_cell(pyval), (sql_lit, got, norm_cell(pyval))
     assert not math.isnan(float("inf"))  # silence unused-import style
