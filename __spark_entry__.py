@@ -7594,13 +7594,17 @@ def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio/video metadata census WITHOUT a codec library
     (operators/multimodal.media_header_meta) — the WAV/MP4 twin of
     image_header_census: every 25th document becomes a synthetic but
-    structurally-valid media file rotating through 8 variants by
-    doc_id/25 mod 8 — plain WAV, WAV with a JUNK chunk before `fmt `
+    structurally-valid media file rotating through 10 variants by
+    doc_id/25 mod 10 — plain WAV, WAV with a JUNK chunk before `fmt `
     (fixed-offset reads give wrong answers), MP4 with a v0 mvhd, MP4
     with a v1 mvhd (64-bit times shift every offset), MP4 with a
     `free` box before `moov` (the top-level walk must hop), a
     TRUNCATED WAV (sig only -> NULL fields), an ftyp-only MP4 (brand
-    but no duration), and non-media junk (unknown). The binaryFile
+    but no duration), FLAC (STREAMINFO packed bit-group: 20-bit
+    sample rate / 3-bit channels / 5-bit depth / 36-bit total
+    samples), MP3 (ID3v2 syncsafe-size hop to the first MPEG1
+    Layer III frame header: bitrate/sample-rate index tables, CBR
+    duration estimate), and non-media junk (unknown). The binaryFile
     source reads them back distributed; channels / sample rate / bit
     depth / byte-rate-derived duration / brand / mvhd duration parse
     as pure column expressions (bounded F.aggregate chunk/box walks —
@@ -7609,6 +7613,8 @@ def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches. Reference parity: agnes FUTURE.md media-column
     ambitions; Spark-first shape is scan-side codegen over binary."""
     from agnes_spark.operators.multimodal import (
+        make_flac_bytes,
+        make_mp3_bytes,
         make_mp4_bytes,
         make_wav_bytes,
         media_header_meta,
@@ -7631,7 +7637,7 @@ def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits = 8 * (1 + i % 4)
             data = 2 * (500 + i % 488)
             junk = 2 * (1 + i % 18)
-            v = (i // 25) % 8
+            v = (i // 25) % 10
             if v == 0:
                 payload = make_wav_bytes(ch, sr, bits, data)
             elif v == 1:
@@ -7656,6 +7662,22 @@ def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = make_wav_bytes(ch, sr, bits, data)[:14]
             elif v == 6:
                 payload = make_mp4_bytes("dash", 1, 1, ftyp_only=True)
+            elif v == 7:
+                payload = make_flac_bytes(
+                    (8000, 16000, 44100, 48000)[i % 4],
+                    ch,
+                    (8, 16, 24, 32)[i % 4],
+                    (8000, 16000, 44100, 48000)[i % 4] * (1 + i % 20)
+                    + i % 1000,
+                    trailing=i % 50,
+                )
+            elif v == 8:
+                payload = make_mp3_bytes(
+                    (112, 128, 160, 192, 224, 256, 320)[i % 7],
+                    (44100, 48000, 32000)[i % 3],
+                    audio_pad=400 + i % 500,
+                    id3_size=100 + i % 200,
+                )
             else:
                 payload = b"notamedia" + bytes(i % 7)
             with open(os.path.join(d, f"{i}.med"), "wb") as fh:
@@ -7673,6 +7695,7 @@ def media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate_hz").alias("sample_rate"),
         F.col("bits_per_sample").alias("bits"),
         F.col("mp4_brand").alias("brand"),
+        F.col("bitrate_kbps").alias("bitrate_kbps"),
         F.col("media_duration_ms").alias("duration_ms"),
         F.col("media_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
@@ -9089,37 +9112,57 @@ def oracle_sql() -> dict[str, str]:
             # oracle never parses a byte, so a mis-hopped chunk, a
             # wrong mvhd version offset, or an unguarded truncated
             # read on the Spark side cannot cancel out
-            "WITH ids AS (SELECT doc_id, (doc_id // 25) % 8 AS v, "
+            "WITH ids AS (SELECT doc_id, (doc_id // 25) % 10 AS v, "
             "1 + doc_id % 3 AS ch, "
             "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
             "WHEN 2 THEN 44100 ELSE 48000 END AS sr, "
             "8 * (1 + doc_id % 4) AS bits, "
             "2 * (500 + doc_id % 488) AS data, "
             "2 * (1 + doc_id % 18) AS junk, "
-            "CASE (doc_id // 25) % 8 "
+            "CASE (doc_id // 25) % 10 "
             "WHEN 2 THEN 600 * (1 + doc_id % 120) + doc_id % 600 "
             "WHEN 3 THEN 1000 * (1 + doc_id % 90) + doc_id % 1000 "
             "WHEN 4 THEN 90000 * (1 + doc_id % 30) + doc_id % 90000 "
             "END AS mdur, "
-            "CASE (doc_id // 25) % 8 WHEN 2 THEN 600 WHEN 3 THEN 1000 "
-            "WHEN 4 THEN 90000 END AS mts "
+            "CASE (doc_id // 25) % 10 WHEN 2 THEN 600 WHEN 3 THEN 1000 "
+            "WHEN 4 THEN 90000 END AS mts, "
+            "CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 "
+            "WHEN 2 THEN 24 ELSE 32 END AS fbits, "
+            "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 44100 ELSE 48000 END * (1 + doc_id % 20) "
+            "+ doc_id % 1000 AS ftotal, "
+            "CASE doc_id % 7 WHEN 0 THEN 112 WHEN 1 THEN 128 WHEN 2 THEN 160 "
+            "WHEN 3 THEN 192 WHEN 4 THEN 224 WHEN 5 THEN 256 ELSE 320 "
+            "END AS mbr, "
+            "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END AS msr, "
+            "400 + doc_id % 500 AS mpad "
             "FROM documents WHERE doc_id % 25 = 0) "
             "SELECT doc_id, "
             "CASE WHEN v IN (0, 1, 5) THEN 'wav' "
-            "WHEN v IN (2, 3, 4, 6) THEN 'mp4' ELSE 'unknown' END AS format, "
-            "CAST(CASE WHEN v IN (0, 1) THEN ch END AS BIGINT) AS channels, "
-            "CAST(CASE WHEN v IN (0, 1) THEN sr END AS BIGINT) AS sample_rate, "
-            "CAST(CASE WHEN v IN (0, 1) THEN bits END AS BIGINT) AS bits, "
+            "WHEN v IN (2, 3, 4, 6) THEN 'mp4' "
+            "WHEN v = 7 THEN 'flac' WHEN v = 8 THEN 'mp3' "
+            "ELSE 'unknown' END AS format, "
+            "CAST(CASE WHEN v IN (0, 1, 7) THEN ch END AS BIGINT) AS channels, "
+            "CAST(CASE WHEN v IN (0, 1, 7) THEN sr "
+            "WHEN v = 8 THEN msr END AS BIGINT) AS sample_rate, "
+            "CAST(CASE WHEN v IN (0, 1) THEN bits "
+            "WHEN v = 7 THEN fbits END AS BIGINT) AS bits, "
             "CASE v WHEN 2 THEN 'isom' WHEN 3 THEN 'mp42' "
             "WHEN 4 THEN 'avc1' WHEN 6 THEN 'dash' END AS brand, "
+            "CAST(CASE WHEN v = 8 THEN mbr END AS BIGINT) AS bitrate_kbps, "
             "CAST(CASE WHEN v IN (0, 1) THEN "
             "(data * 1000) // (sr * ch * (bits // 8)) "
-            "WHEN v IN (2, 3, 4) THEN (mdur * 1000) // mts END AS BIGINT) "
+            "WHEN v IN (2, 3, 4) THEN (mdur * 1000) // mts "
+            "WHEN v = 7 THEN (ftotal * 1000) // sr "
+            "WHEN v = 8 THEN ((4 + mpad) * 8) // mbr END AS BIGINT) "
             "AS duration_ms, "
             "CAST(CASE v WHEN 0 THEN 44 + data WHEN 1 THEN 52 + data + junk "
             "WHEN 2 THEN 132 WHEN 3 THEN 144 "
             "WHEN 4 THEN 140 + 2 * (1 + doc_id % 11) "
             "WHEN 5 THEN 14 WHEN 6 THEN 16 "
+            "WHEN 7 THEN 42 + doc_id % 50 "
+            "WHEN 8 THEN 14 + (100 + doc_id % 200) + mpad "
             "ELSE 9 + doc_id % 7 END AS BIGINT) AS n_bytes "
             "FROM ids ORDER BY doc_id"
         ),

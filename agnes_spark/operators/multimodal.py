@@ -527,30 +527,108 @@ def media_header_meta(
         _floordiv(wav["dbytes"] * F.lit(1000), wav["brate"]),
     )
     mp4_dur_ms = F.when(ts > 0, _floordiv(dur * F.lit(1000), ts))
+
+    # --- FLAC: "fLaC" magic, STREAMINFO is the mandatory first
+    # metadata block (type 0, 34-byte payload at fixed offset 9). The
+    # packed audio-shape group lives in the two BE u32s at 19/23
+    # (1-based): hi = sample_rate(20b) | channels-1(3b) | bps-1(5b) |
+    # total_samples[35:32]; lo = total_samples[31:0]. Two u32 reads
+    # keep every intermediate < 2^32 (no signed-overflow edge).
+    flac_sig = F.hex(b.substr(1, 4)) == "664C6143"
+    flac_ok = flac_sig & (blen >= 26) & (
+        F.pmod(_be_uint(b, 5, 1), F.lit(128)) == 0  # block type 0
+    )
+    fhi = _be_uint(b, 19, 4)
+    flo = _be_uint(b, 23, 4)
+    flac_sr = (fhi / F.lit(4096)).cast("bigint")  # >> 12
+    flac_ch = F.pmod((fhi / F.lit(512)).cast("bigint"), F.lit(8)) + 1
+    flac_bps = F.pmod((fhi / F.lit(16)).cast("bigint"), F.lit(32)) + 1
+    flac_total = F.pmod(fhi, F.lit(16)) * F.lit(1 << 32) + flo
+    flac_dur_ms = F.when(
+        flac_ok & (flac_sr > 0), _floordiv(flac_total * F.lit(1000), flac_sr)
+    )
+
+    # --- MP3: an optional ID3v2 tag ("ID3" + syncsafe u28 size at
+    # 7..10) is hopped, then the first MPEG audio frame header (sync
+    # 0xFFE). MPEG1 Layer III fields: bitrate index (table) and sample
+    # rate index in byte 3. CBR duration estimate: audio bytes * 8 /
+    # bitrate_kbps ms — the standard header-only estimate.
+    id3_sig = F.hex(b.substr(1, 3)) == "494433"
+    id3_size = (
+        F.pmod(_be_uint(b, 7, 1), F.lit(128)) * F.lit(1 << 21)
+        + F.pmod(_be_uint(b, 8, 1), F.lit(128)) * F.lit(1 << 14)
+        + F.pmod(_be_uint(b, 9, 1), F.lit(128)) * F.lit(1 << 7)
+        + F.pmod(_be_uint(b, 10, 1), F.lit(128))
+    )
+    moff = F.when(id3_sig, id3_size + 11).otherwise(F.lit(1).cast("bigint"))
+    mh1 = _be_uint(b, moff, 1)
+    mh2 = _be_uint(b, moff + 1, 1)
+    mh3 = _be_uint(b, moff + 2, 1)
+    mp3_frame = (
+        (moff + 3 <= blen)
+        & (mh1 == 255)
+        & ((mh2 / F.lit(32)).cast("bigint") == 7)  # sync 0xFFE
+    )
+    mp3_sig = id3_sig | ((F.hex(b.substr(1, 1)) == "FF") & mp3_frame)
+    mp3_v1l3 = mp3_frame & (
+        F.pmod((mh2 / F.lit(2)).cast("bigint"), F.lit(16)) == 13  # MPEG1 L3
+    )
+    br_idx = (mh3 / F.lit(16)).cast("bigint")
+    sr_idx = F.pmod((mh3 / F.lit(4)).cast("bigint"), F.lit(4))
+    _MP3_BR = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    mp3_br = F.lit(None).cast("bigint")
+    for i, kbps in enumerate(_MP3_BR):
+        if kbps:
+            mp3_br = F.when(br_idx == i, F.lit(kbps)).otherwise(mp3_br)
+    mp3_br = F.when(mp3_v1l3, mp3_br)
+    mp3_sr = F.when(
+        mp3_v1l3,
+        F.when(sr_idx == 0, F.lit(44100))
+        .when(sr_idx == 1, F.lit(48000))
+        .when(sr_idx == 2, F.lit(32000)),
+    )
+    mp3_dur_ms = F.when(
+        mp3_br > 0, _floordiv((blen - moff + 1) * F.lit(8), mp3_br)
+    )
+
     fmt = (
         F.when(wav_sig, F.lit("wav"))
         .when(mp4_sig, F.lit("mp4"))
+        .when(flac_sig, F.lit("flac"))
+        .when(mp3_sig, F.lit("mp3"))
         .otherwise(F.lit("unknown"))
     )
     return (
         out.withColumn("media_format", fmt)
         .withColumn(
             "audio_channels",
-            F.when(wav_sig, wav["ch"]).cast("bigint"),
+            F.when(wav_sig, wav["ch"])
+            .when(flac_ok, flac_ch)
+            .cast("bigint"),
         )
         .withColumn(
             "sample_rate_hz",
-            F.when(wav_sig, wav["sr"]).cast("bigint"),
+            F.when(wav_sig, wav["sr"])
+            .when(flac_ok, flac_sr)
+            .when(mp3_sig, mp3_sr)
+            .cast("bigint"),
         )
         .withColumn(
             "bits_per_sample",
-            F.when(wav_sig, wav["bits"]).cast("bigint"),
+            F.when(wav_sig, wav["bits"])
+            .when(flac_ok, flac_bps)
+            .cast("bigint"),
         )
         .withColumn("mp4_brand", F.when(mp4_sig, top["brand"]))
+        .withColumn(
+            "bitrate_kbps", F.when(mp3_sig, mp3_br).cast("bigint")
+        )
         .withColumn(
             "media_duration_ms",
             F.when(wav_sig, wav_dur_ms)
             .when(mp4_sig, mp4_dur_ms)
+            .when(flac_sig, flac_dur_ms)
+            .when(mp3_sig, mp3_dur_ms)
             .cast("bigint"),
         )
         .withColumn("media_bytes", blen.cast("bigint"))
@@ -627,3 +705,76 @@ def make_mp4_bytes(
         raise ValueError(f"unsupported mvhd version: {version}")
     out += _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
     return out
+
+
+def make_flac_bytes(
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    total_samples: int,
+    trailing: int = 0,
+) -> bytes:
+    """Minimal structurally-valid FLAC bytes: `fLaC` magic + a
+    last-block STREAMINFO (type 0, 34-byte payload) whose packed
+    group encodes sample rate / channels / bit depth / total
+    samples; `trailing` junk bytes stand in for frames."""
+    import struct as _struct
+
+    hi = (
+        (sample_rate << 12)
+        | ((channels - 1) << 9)
+        | ((bits - 1) << 4)
+        | ((total_samples >> 32) & 0xF)
+    )
+    lo = total_samples & 0xFFFFFFFF
+    payload = (
+        _struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + bytes(6)  # min/max framesize (u24 x2, unknown)
+        + _struct.pack(">II", hi, lo)
+        + bytes(16)  # md5 of the audio data (unread)
+    )
+    assert len(payload) == 34
+    return (
+        b"fLaC"
+        + bytes([0x80])  # last-block flag + type 0 (STREAMINFO)
+        + _struct.pack(">I", 34)[1:]  # 24-bit BE length
+        + payload
+        + bytes(trailing)
+    )
+
+
+def make_mp3_bytes(
+    bitrate_kbps: int,
+    sample_rate: int,
+    audio_pad: int = 0,
+    id3_size: int | None = None,
+) -> bytes:
+    """Minimal structurally-valid MP3 bytes: optional ID3v2 tag
+    (syncsafe size) followed by one MPEG1 Layer III frame header with
+    the given bitrate/sample-rate indices + `audio_pad` junk bytes of
+    'audio'."""
+    br_table = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    sr_table = (44100, 48000, 32000)
+    br_idx = br_table.index(bitrate_kbps)
+    sr_idx = sr_table.index(sample_rate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG1 + Layer III + no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0x00,
+        ]
+    )
+    out = b""
+    if id3_size is not None:
+        assert 0 <= id3_size < (1 << 28)
+        ss = bytes(
+            [
+                (id3_size >> 21) & 0x7F,
+                (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F,
+                id3_size & 0x7F,
+            ]
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + ss + bytes(id3_size)
+    return out + hdr + bytes(audio_pad)

@@ -195,3 +195,35 @@ def test_media_header_meta_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_media_header_meta_flac_mp3(spark):
+    from agnes_spark.operators.multimodal import (
+        make_flac_bytes,
+        make_mp3_bytes,
+        media_header_meta,
+    )
+
+    rows = [
+        (0, make_flac_bytes(44100, 2, 16, 441000, trailing=33)),  # 10s
+        (1, make_flac_bytes(48000, 1, 24, 4800)),                 # 100ms
+        # 1600 bytes at 128 kbps -> 100 ms CBR estimate
+        (2, make_mp3_bytes(128, 44100, audio_pad=1596)),
+        # ID3v2 tag hopped via syncsafe size before the frame header
+        (3, make_mp3_bytes(320, 32000, audio_pad=396, id3_size=50)),
+        (4, make_flac_bytes(44100, 2, 16, 1000)[:10]),            # truncated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {
+        r.id: (
+            r.media_format, r.audio_channels, r.sample_rate_hz,
+            r.bits_per_sample, r.bitrate_kbps, r.media_duration_ms,
+            r.media_bytes,
+        )
+        for r in media_header_meta(df, "content").collect()
+    }
+    assert got[0] == ("flac", 2, 44100, 16, None, 10000, 75)
+    assert got[1] == ("flac", 1, 48000, 24, None, 100, 42)
+    assert got[2] == ("mp3", None, 44100, None, 128, 100, 1600)
+    assert got[3] == ("mp3", None, 32000, None, 320, 10, 460)
+    assert got[4] == ("flac", None, None, None, None, None, 10)
