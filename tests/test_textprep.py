@@ -137,3 +137,39 @@ def test_decontaminate_fuzzy_flags_paraphrase_and_best_match(spark):
     assert {1, 2} <= ex
     # sound containment: fuzzy hits are a subset of exact hits
     assert set(fz) <= ex
+
+
+def test_decontaminate_fuzzy_banded_under_reports_only(spark):
+    from agnes_spark.operators.textprep import (
+        decontaminate_fuzzy,
+        decontaminate_fuzzy_banded,
+    )
+
+    eval_text = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, eval_text.replace("w30", "zz")),              # near-verbatim
+        (2, " ".join(f"r{i}" for i in range(60))),         # unrelated
+        (3, eval_text.replace("w10", "aa").replace("w40", "bb")),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id bigint, text string")
+    kw = dict(n=8, threshold=0.3)
+    full = {
+        r.doc_id: (r.n_eval_matches, r.best_jaccard)
+        for r in decontaminate_fuzzy(
+            train, ev, "doc_id", "doc_id", "text", **kw
+        ).collect()
+    }
+    banded = {
+        r.doc_id: (r.n_eval_matches, r.best_jaccard)
+        for r in decontaminate_fuzzy_banded(
+            train, ev, "doc_id", "doc_id", "text", **kw
+        ).collect()
+    }
+    assert set(full) == {1, 3}
+    # banded can only under-report: subset of docs, dominated stats
+    assert set(banded) <= set(full)
+    for d, (nm, bj) in banded.items():
+        assert nm <= full[d][0] and bj <= full[d][1] + 1e-9
+    # on this corpus the band probe should actually find both
+    assert set(banded) == {1, 3}

@@ -145,3 +145,40 @@ def test_registered_domain_psl_no_shuffle_no_python(spark):
         if re.search(r"\bExchange\b", ln) and "broadcast" not in ln.lower()
     ]
     assert not non_broadcast_exchanges, non_broadcast_exchanges
+
+
+def test_parse_psl_rules_kinds_and_noise():
+    from agnes_spark.operators.urltools import parse_psl_rules
+
+    lines = [
+        "// comment",
+        "",
+        "COM",           # lowercased
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "*",             # implicit default rule: skipped
+        "  gov.br  ",    # trimmed
+    ]
+    got = parse_psl_rules(lines)
+    assert got == [
+        ("exact", "com"),
+        ("exact", "co.uk"),
+        ("wild", "ck"),
+        ("exc", "www.ck"),
+        ("exact", "gov.br"),
+    ]
+
+
+def test_registered_domain_psl_accepts_preparsed_rules(spark):
+    from agnes_spark.operators.urltools import registered_domain_psl
+
+    df = spark.createDataFrame(
+        [("a.b.example.co.uk",), ("x.ck",)], "h string"
+    )
+    out = registered_domain_psl(
+        df, "h", [("exact", "co.uk"), ("wild", "ck")]
+    )
+    got = {r.h: r.registered_domain for r in out.collect()}
+    assert got["a.b.example.co.uk"] == "example.co.uk"
+    assert got["x.ck"] is None  # x.ck IS a wildcard public suffix
