@@ -7765,79 +7765,24 @@ def psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
-    # Round-11 window (counted to exactly 50):
-    #   1-2:  the 2 r10-staged keys never driver-graded before r11
-    #         (domain_budget_sample, bpe_fertility_delta).
-    #   3-34: the 32 remaining r5-latest keys in registry order
-    #         (dedup_incremental .. merge_views).
-    #   35-50: the 16 oldest r6-graded keys in registry order
-    #         (grouping_sets_agg .. readability_score).
-    #   51+:  keys staged in r11 (never graded), then all remaining
-    #         keys oldest-grade-first (rest of r6, then r7/r8/r9/r10).
-    # r12 ROTATION NOTE: the r12 window = any keys staged in r11
-    # (immediately after position 50) + the next keys in dict order
-    # (the remaining r6-graded block, crosstab_source_lang ..
-    # unique_values, topped up from the r7-graded window).
-    # Positions 51+ are already in rotation-priority order: future
-    # windows just slide forward. Verify list(queries())[49]
-    # programmatically after rotating.
+    # Round-12 window (counted to exactly 50):
+    #   1-8:  the 8 keys staged in r11, never driver-graded
+    #         (psl_registered_domain .. check_banded_decon_subset).
+    #   9-50: the next 42 oldest-grade keys in rotation order — the
+    #         remaining r6-graded block (crosstab_source_lang ..
+    #         unique_values) topped up from the r7-graded block
+    #         (compaction_roundtrip .. chi2_independence).
+    #   51+:  keys staged in r12 (never graded — inserted directly
+    #         after the window boundary), then all remaining keys
+    #         oldest-grade-first (rest of r7, then r8/r9/r10, and the
+    #         r11-graded window now at the back).
+    # r13 ROTATION NOTE: slide forward — any keys staged in r12 head
+    # the next window, topped up from the keys right after them in
+    # dict order. Verify list(queries())[49] programmatically after
+    # rotating.
     return {
-        # --- r11 window (50): the 2 r10-staged keys
-        #     (domain_budget_sample, bpe_fertility_delta), the 32
-        #     remaining r5-latest keys (dedup_incremental ..
-        #     merge_views), and the 16 oldest r6-graded keys
-        #     (grouping_sets_agg .. readability_score). ---
-        "domain_budget_sample": domain_budget_sample,
-        "bpe_fertility_delta": bpe_fertility_delta,
-        "dedup_incremental": dedup_incremental,
-        "dedup_incremental_minhash": dedup_incremental_minhash,
-        "check_incremental_minhash_parity": check_incremental_minhash_parity,
-        "dedup_incremental_embedding": dedup_incremental_embedding,
-        "check_incremental_embedding": check_incremental_embedding,
-        "dedup_keep_best": dedup_keep_best,
-        "sample_to_budget": sample_to_budget,
-        "interdoc_repetition": interdoc_repetition,
-        "orc_roundtrip": orc_roundtrip,
-        "stream_dedup": stream_dedup,
-        "embedding_quantize": embedding_quantize,
-        "check_quantized_recall": check_quantized_recall,
-        "stream_ingest_dedup": stream_ingest_dedup,
-        "winnow_overlap": winnow_overlap,
-        "check_winnow_overlap_bound": check_winnow_overlap_bound,
-        "jdbc_roundtrip": jdbc_roundtrip,
-        "stream_ingest_neardup": stream_ingest_neardup,
-        "check_stream_neardup_parity": check_stream_neardup_parity,
-        "quality_classifier": quality_classifier,
-        "check_classifier_holdout": check_classifier_holdout,
-        "json_variant": json_variant,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_effect": q14_promo_effect,
-        "q18_large_orders": q18_large_orders,
-        "join_equal": join_equal,
-        "join_lt": join_lt,
-        "join_band": join_band,
-        "merge_views": merge_views,
-        "grouping_sets_agg": grouping_sets_agg,
-        "retention_cohorts": retention_cohorts,
-        "funnel_conversion": funnel_conversion,
-        "rfm_segmentation": rfm_segmentation,
-        "price_trend_regression": price_trend_regression,
-        "events_anomaly_zscore": events_anomaly_zscore,
-        "revenue_dod_delta": revenue_dod_delta,
-        "user_idle_gaps": user_idle_gaps,
-        "mode_order_priority": mode_order_priority,
-        "conditional_agg": conditional_agg,
-        "window_distribution": window_distribution,
-        "first_last_orders": first_last_orders,
-        "moment_stats": moment_stats,
-        "zorder_pruned_scan": zorder_pruned_scan,
-        "bucketed_join_revenue": bucketed_join_revenue,
-        "readability_score": readability_score,
-        # --- 51+: keys staged in r11 (never graded) ---
+        # --- r12 window (50): 8 r11-staged keys + the oldest-grade
+        #     rotation block (crosstab_source_lang .. chi2_independence) ---
         "psl_registered_domain": psl_registered_domain,
         "media_header_census": media_header_census,
         "dedup_binary_minhash": dedup_binary_minhash,
@@ -7846,10 +7791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_fuzzy_decon_subset": check_fuzzy_decon_subset,
         "decontaminate_fuzzy_banded": decontaminate_fuzzy_banded,
         "check_banded_decon_subset": check_banded_decon_subset,
-        # --- then all remaining keys OLDEST grade first: the rest of
-        #     the r6 window (crosstab_source_lang .. unique_values),
-        #     then the r7, r8, r9 windows, and the 50 r10-graded
-        #     keys last. ---
         "crosstab_source_lang": crosstab_source_lang,
         "bigram_top": bigram_top,
         "salted_agg_topusers": salted_agg_topusers,
@@ -7892,6 +7833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_pit_join": scd2_pit_join,
         "column_entropy": column_entropy,
         "chi2_independence": chi2_independence,
+        # --- end of r12 window; r12-staged keys go HERE, then
+        #     remaining keys oldest-grade-first ---
         "corr_matrix": corr_matrix,
         "weighted_sample_docs": weighted_sample_docs,
         "interpolate_gaps": interpolate_gaps,
@@ -8084,6 +8027,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
         "q20_potential_promotion": q20_potential_promotion,
+        # --- the r11-graded window (freshest grades, back of the line) ---
+        "domain_budget_sample": domain_budget_sample,
+        "bpe_fertility_delta": bpe_fertility_delta,
+        "dedup_incremental": dedup_incremental,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
+        "check_incremental_minhash_parity": check_incremental_minhash_parity,
+        "dedup_incremental_embedding": dedup_incremental_embedding,
+        "check_incremental_embedding": check_incremental_embedding,
+        "dedup_keep_best": dedup_keep_best,
+        "sample_to_budget": sample_to_budget,
+        "interdoc_repetition": interdoc_repetition,
+        "orc_roundtrip": orc_roundtrip,
+        "stream_dedup": stream_dedup,
+        "embedding_quantize": embedding_quantize,
+        "check_quantized_recall": check_quantized_recall,
+        "stream_ingest_dedup": stream_ingest_dedup,
+        "winnow_overlap": winnow_overlap,
+        "check_winnow_overlap_bound": check_winnow_overlap_bound,
+        "jdbc_roundtrip": jdbc_roundtrip,
+        "stream_ingest_neardup": stream_ingest_neardup,
+        "check_stream_neardup_parity": check_stream_neardup_parity,
+        "quality_classifier": quality_classifier,
+        "check_classifier_holdout": check_classifier_holdout,
+        "json_variant": json_variant,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        "join_equal": join_equal,
+        "join_lt": join_lt,
+        "join_band": join_band,
+        "merge_views": merge_views,
+        "grouping_sets_agg": grouping_sets_agg,
+        "retention_cohorts": retention_cohorts,
+        "funnel_conversion": funnel_conversion,
+        "rfm_segmentation": rfm_segmentation,
+        "price_trend_regression": price_trend_regression,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "revenue_dod_delta": revenue_dod_delta,
+        "user_idle_gaps": user_idle_gaps,
+        "mode_order_priority": mode_order_priority,
+        "conditional_agg": conditional_agg,
+        "window_distribution": window_distribution,
+        "first_last_orders": first_last_orders,
+        "moment_stats": moment_stats,
+        "zorder_pruned_scan": zorder_pruned_scan,
+        "bucketed_join_revenue": bucketed_join_revenue,
+        "readability_score": readability_score,
     }
 
 

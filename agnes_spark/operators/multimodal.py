@@ -468,8 +468,12 @@ def media_header_meta(
             pos = acc["pos"]
             size = _be_uint(b, pos, 4)
             t = F.hex(b.substr((pos + 4).cast("int"), F.lit(4)))
+            # stop is the first byte PAST the enclosing box, so the full
+            # 8-byte child header fits only when pos + 8 <= stop — at
+            # pos = stop - 7 the header's last byte would straddle into
+            # the sibling box's bytes
             halt = acc["hit"].isNotNull() | (pos + 7 > blen) | (
-                acc["stop"].isNotNull() & (pos + 7 > acc["stop"])
+                acc["stop"].isNotNull() & (pos + 8 > acc["stop"])
             )
             dead = size < 8  # size 0 (to-EOF) or 1 (largesize): stop
             return F.when(halt, acc).otherwise(

@@ -105,7 +105,9 @@ def decontaminate_fuzzy(
     radius measures whole-document overlap instead. Output per
     flagged doc: (id, n_shingles, n_eval_matches, best_eval_id,
     best_jaccard) with the best match deterministic (max Jaccard,
-    ties to the smallest eval id).
+    ties to the smallest eval id under the id column's NATIVE
+    ordering — numeric for numeric ids, lexicographic for strings;
+    any orderable eval id type works).
 
     Candidate generation is the SAME broadcast shared-shingle join as
     exact `decontaminate` — with a broadcastable eval set this is
@@ -158,25 +160,37 @@ def decontaminate_fuzzy(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    best = F.max(
-        F.struct(
-            F.col("jaccard").alias("j"),
-            (-F.col("__ev_id").cast("bigint")).alias("nid"),
-        )
+    return _best_match_per_doc(pairs, id_col)
+
+
+def _best_match_per_doc(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Reduce verified (train, eval, jaccard) pairs to one best-match
+    row per train doc: max Jaccard, ties to the smallest eval id.
+
+    The tiebreak orders on a (-jaccard, __ev_id) struct via min_by, so
+    the eval id compares under its NATIVE type ordering — no bigint
+    cast, which would throw CAST_INVALID_INPUT under ANSI mode (or
+    silently null with ANSI off) for string eval ids like 'ev_a'.
+    Both callers produce pairs distinct per (id, __ev_id) — grouped
+    in the broadcast path, distinct() candidates in the banded path —
+    so the ordering key has no ties and the result is deterministic."""
+    order_key = F.struct(
+        (-F.col("jaccard")).alias("nj"), F.col("__ev_id").alias("eid")
     )
     return (
         pairs.groupBy(id_col)
         .agg(
             F.first("n_shingles").alias("n_shingles"),
             F.count(F.lit(1)).alias("n_eval_matches"),
-            best.alias("__b"),
+            F.min_by(F.col("__ev_id"), order_key).alias("best_eval_id"),
+            F.round(F.max("jaccard"), 6).alias("best_jaccard"),
         )
         .select(
             F.col(id_col),
-            F.col("n_shingles"),
-            F.col("n_eval_matches"),
-            (-F.col("__b.nid")).alias("best_eval_id"),
-            F.round(F.col("__b.j"), 6).alias("best_jaccard"),
+            "n_shingles",
+            "n_eval_matches",
+            "best_eval_id",
+            "best_jaccard",
         )
     )
 
@@ -248,27 +262,7 @@ def decontaminate_fuzzy_banded(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    best = F.max(
-        F.struct(
-            F.col("jaccard").alias("j"),
-            (-F.col("__ev_id").cast("bigint")).alias("nid"),
-        )
-    )
-    return (
-        pairs.groupBy(id_col)
-        .agg(
-            F.first("n_shingles").alias("n_shingles"),
-            F.count(F.lit(1)).alias("n_eval_matches"),
-            best.alias("__b"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("n_shingles"),
-            F.col("n_eval_matches"),
-            (-F.col("__b.nid")).alias("best_eval_id"),
-            F.round(F.col("__b.j"), 6).alias("best_jaccard"),
-        )
-    )
+    return _best_match_per_doc(pairs, id_col)
 
 
 def pack_chunks(

@@ -224,7 +224,15 @@ def registered_domain_psl(
             F.when(F.col(f"__psl_x_{k}") & (F.col("__psl_n") >= k), F.lit(k - 1)),
             exc_ps,
         )
-    ps = F.coalesce(exc_ps, F.greatest(*ps_candidates))
+    # greatest() needs >= 2 args; an empty (or comment-only) rule
+    # snapshot leaves only the implicit-default literal, which must
+    # still apply as the '*' fallback rather than raise WRONG_NUM_COLUMNS
+    best_rule = (
+        F.greatest(*ps_candidates)
+        if len(ps_candidates) > 1
+        else ps_candidates[0]
+    )
+    ps = F.coalesce(exc_ps, best_rule)
     parts2 = F.split(F.lower(F.col(host_col)), r"\.")
     reg = F.when(
         F.col(host_col).isNotNull() & (F.col("__psl_n") > ps),

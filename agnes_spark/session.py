@@ -66,6 +66,9 @@ def get_spark(
             os.environ.get("AGNES_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr capture clean for harness tail-parsing —
+        # the r11 driver bench's captured tail was all progress bars
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime bloom-filter pushed from the filtered side of a join
         # to the big side's scan — row-group skipping a dim filter

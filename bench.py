@@ -316,9 +316,11 @@ BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
 # Keys whose per-run cost is dominated by FIXED overhead — iterative
 # rounds (pagerank: 12, kcore: peel-to-fixpoint, recursive CTE:
 # depth-of-chain) or micro-batch streaming-engine spin-up — get ONE
-# measured run after the untimed warmup: median-of-3 adds no signal
-# there (the repeat runs re-pay the same fixed cost) and would ~3x the
-# bench wall time. Everything else keeps AGNES_BENCH_RUNS (default 3).
+# measured run and NO per-key untimed warmup: the fixed cost is re-paid
+# identically on every run (r11 samples: stream_band_join warmup ==
+# run1 == 14.8s), so a warmup halves nothing and doubles wall time; the
+# session-level engine/JVM warmups above the loop cover class-loading
+# and codegen. Everything else keeps AGNES_BENCH_RUNS (default 3).
 HEAVY_SINGLE_RUN = {
     "pagerank_copurchase",
     "kcore_copurchase",
@@ -328,6 +330,15 @@ HEAVY_SINGLE_RUN = {
     "stream_sessionize",
     "stream_windowed",
 }
+
+# Adaptive single-run: a key whose UNTIMED warmup reading is at or
+# above this many seconds gets 1 measured run instead of
+# AGNES_BENCH_RUNS — at >=2.5s/run the repeat runs add ~2x wall for a
+# median that has never flipped a verdict (the >3x flag + standalone
+# remeasure path adjudicates noise), and the full-coverage bench must
+# fit the driver's wall clock (BENCH_r11: rc=124). Stamped per key in
+# the samples file as adaptive_single_run.
+SINGLE_RUN_THRESHOLD_S = 2.5
 
 # Nominal best-of-3 seconds for _host_canary on an unthrottled host
 # (calibrated on the build host, r7). Override with
@@ -429,12 +440,54 @@ def _prior_medians(path: str, sf: float) -> dict[str, float]:
         return {}
 
 
+def _emit_partial(timings: dict, sf: float, runs: int, done: int, pending: int) -> None:
+    """Print a CUMULATIVE, parseable metric line after every key, so a
+    wall-clock kill at ANY point (BENCH_r11: rc=124, parsed null —
+    the only metric print was at the very end) still leaves the last
+    complete stdout line as a valid record with per-key medians for
+    every timed key. The driver's tail-capture takes the final line;
+    at rc=0 that is the usual complete metric line below."""
+    total = round(
+        sum(t for q, t in timings.items() if q in HEADLINE_QUERIES and t >= 0), 3
+    )
+    sys.stdout.write(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "runs": runs,
+                "agg": "median",
+                "total_all_queries": round(
+                    sum(t for t in timings.values() if t >= 0), 3
+                ),
+                "partial": True,
+                "keys_done": done,
+                "keys_pending": pending,
+            }
+        )
+        + "\n"
+    )
+    sys.stdout.flush()
+
+
 def main() -> None:
+    t_main0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    # Wall-clock budget for the WHOLE bench process (seconds; 0 = no
+    # limit). When exceeded the loop finishes the key in flight, skips
+    # the rest, and emits the metric line with a budget_exhausted stamp
+    # and the untimed-key list — a graceful partial beats the driver's
+    # rc=124 kill, which leaves no record at all. The default fits the
+    # observed driver wall clock with headroom; solo official runs set
+    # AGNES_BENCH_BUDGET=0 for the full record.
+    budget_s = float(os.environ.get("AGNES_BENCH_BUDGET", "780"))
     # If the host is ALREADY degraded before any Spark work, waiting is
     # cheaper than measuring garbage: re-probe up to N times (the r6/r9
     # throttle episodes were transient), and if it never clears, stamp
@@ -516,9 +569,27 @@ def main() -> None:
     )
     mc_probes: list = []
     key_idx = 0
-    for name in BENCH_QUERIES:
-        if name not in qs or (only and name not in only):
-            continue
+    untimed_keys: list[str] = []
+    budget_exhausted = False
+    adaptive_single_run: list[str] = []
+    run_list = [
+        name
+        for name in BENCH_QUERIES
+        if name in qs and (not only or name in only)
+    ]
+    for pos, name in enumerate(run_list):
+        if (
+            budget_s > 0
+            and time.perf_counter() - t_main0 > budget_s
+        ):
+            budget_exhausted = True
+            untimed_keys = run_list[pos:]
+            print(
+                f"bench: wall budget {budget_s}s exhausted after "
+                f"{pos} keys; {len(untimed_keys)} untimed",
+                file=sys.stderr,
+            )
+            break
         if mc_every > 0 and key_idx % mc_every == 0:
             mc_probes.append([key_idx, name, _host_canary_mc()])
         key_idx += 1
@@ -534,14 +605,26 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"bench: prewarm {name} failed: {e}", file=sys.stderr)
-        if warmup:
+        n_runs = 1 if name in HEAVY_SINGLE_RUN else runs
+        if warmup and name not in HEAVY_SINGLE_RUN:
             try:
+                w0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
+                warm_s = time.perf_counter() - w0
                 spark.catalog.clearCache()
+                # headline keys are EXEMPT: the headline sum is the
+                # round-over-round comparable, keep its aggregation
+                # median-of-N regardless of cost
+                if (
+                    warm_s >= SINGLE_RUN_THRESHOLD_S
+                    and n_runs > 1
+                    and name not in HEADLINE_QUERIES
+                ):
+                    n_runs = 1
+                    adaptive_single_run.append(name)
             except Exception:
                 pass  # the measured loop reports the error
         samples: list[float] = []
-        n_runs = 1 if name in HEAVY_SINGLE_RUN else runs
         for _ in range(n_runs):  # median-of-N: robust to JVM/GC noise
             gc0 = _jvm_gc_ms(spark)
             t0 = time.perf_counter()
@@ -561,6 +644,7 @@ def main() -> None:
         blocks[name] = [n_rdd, mb]
         all_samples[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
+        _emit_partial(timings, sf, runs, pos + 1, len(run_list) - pos - 1)
         # NOTE: do NOT System.gc() between queries — measured 32.7s vs
         # 22.2s headline: a forced JVM GC finalizes Spark's idle Python
         # UDF workers, so every UDF-heavy query re-pays 32 worker
@@ -588,7 +672,7 @@ def main() -> None:
         if p and p > 0 and t > max(3 * p, 0.5):
             flagged[q] = {"median": t, "prior": p, "ratio": round(t / p, 2)}
     remeasure: dict[str, dict] = {}
-    if flagged and not only:
+    if flagged and not only and not budget_exhausted:
         import subprocess
 
         # Re-measure EVERY flagged key (r9 verdict: taking only the
@@ -596,10 +680,17 @@ def main() -> None:
         # wall-clock budget (r10 advice: each child can spend up to
         # 900s + ~90s canary retries, so an uncapped loop on a degraded
         # host is unbounded) — worst-first means the cap still covers
-        # the most suspicious ones.
+        # the most suspicious ones. The process-level AGNES_BENCH_BUDGET
+        # caps this phase too: never start a remeasure the overall
+        # budget can't afford.
         remeasure_budget_s = float(
             os.environ.get("AGNES_BENCH_REMEASURE_MAX", "1800")
         )
+        if budget_s > 0:
+            remeasure_budget_s = min(
+                remeasure_budget_s,
+                max(0.0, budget_s - (time.perf_counter() - t_main0)),
+            )
         remeasure_t0 = time.perf_counter()
         for q in sorted(flagged, key=lambda q: -flagged[q]["ratio"]):
             if time.perf_counter() - remeasure_t0 > remeasure_budget_s:
@@ -725,6 +816,10 @@ def main() -> None:
                         "cache_build_s": cache_build_s,
                         "flagged_3x": flagged,
                         "remeasure_standalone": remeasure,
+                        "budget_s": budget_s,
+                        "budget_exhausted": budget_exhausted,
+                        "untimed_keys": untimed_keys,
+                        "adaptive_single_run": adaptive_single_run,
                     },
                     f,
                     indent=1,
@@ -748,6 +843,8 @@ def main() -> None:
                 "cache_build_s": cache_build_s,
                 "flagged_3x": {q: v["ratio"] for q, v in flagged.items()},
                 "remeasure_standalone": remeasure,
+                "budget_exhausted": budget_exhausted,
+                "untimed_keys": untimed_keys,
             }
         )
     )

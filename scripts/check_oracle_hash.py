@@ -44,9 +44,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 SEP = "chr(31)"  # unit separator — not present in any testdata column
 
 
-def _norm_expr(col: str, dtype: str) -> str:
+def _norm_expr(col: str, dtype: str, force_double: bool = False) -> str:
     """SQL expression normalizing one cell to check_oracle.norm_cell's
-    string form. `dtype` is DuckDB's DESCRIBE column_type."""
+    string form. `dtype` is DuckDB's DESCRIBE column_type.
+    `force_double` routes a DECIMAL column through the DOUBLE %.9g
+    path — set when the OTHER side types the same column as DOUBLE, so
+    both sides share one normalization class (r11 advice: the exact
+    DECIMAL trim disagrees with %.9g past 9 significant digits, which
+    would false-fail a mixed DOUBLE-vs-DECIMAL key)."""
     q = f'"{col}"'
     t = dtype.upper()
     if t.startswith("BOOLEAN"):
@@ -56,17 +61,20 @@ def _norm_expr(col: str, dtype: str) -> str:
             f"CASE WHEN isnan({q}) THEN 'NaN' ELSE printf('%.9g', {q}) END"
         )
     elif t.startswith("DECIMAL"):
-        # EXACT normalization at any precision (r10 advice: the old
-        # %.9g-through-DOUBLE form silently lost digits past 9
-        # significant figures): canonical VARCHAR with trailing
-        # fractional zeros (and a bare trailing point) trimmed, so the
-        # same numeric value hashes identically whichever scale the
-        # two sides' DECIMAL types carry — no rounding anywhere
-        v = f"CAST({q} AS VARCHAR)"
-        body = (
-            f"CASE WHEN {v} LIKE '%.%' "
-            f"THEN rtrim(rtrim({v}, '0'), '.') ELSE {v} END"
-        )
+        if force_double:
+            body = f"printf('%.9g', CAST({q} AS DOUBLE))"
+        else:
+            # EXACT normalization at any precision (r10 advice: the old
+            # %.9g-through-DOUBLE form silently lost digits past 9
+            # significant figures): canonical VARCHAR with trailing
+            # fractional zeros (and a bare trailing point) trimmed, so
+            # the same numeric value hashes identically whichever scale
+            # the two sides' DECIMAL types carry — no rounding anywhere
+            v = f"CAST({q} AS VARCHAR)"
+            body = (
+                f"CASE WHEN {v} LIKE '%.%' "
+                f"THEN rtrim(rtrim({v}, '0'), '.') ELSE {v} END"
+            )
     elif t.startswith("DATE"):
         body = f"strftime({q}, '%Y-%m-%d')"
     elif t.startswith(("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")):
@@ -78,10 +86,28 @@ def _norm_expr(col: str, dtype: str) -> str:
     return f"COALESCE({body}, '<NULL>')"
 
 
-def _fingerprint(con, rel_sql: str) -> tuple:
+def _describe(con, rel_sql: str) -> list:
     desc = con.execute(f"DESCRIBE {rel_sql}").fetchall()
-    cols = sorted((r[0], r[1]) for r in desc)
-    row = f" || {SEP} || ".join(_norm_expr(c, t) for c, t in cols)
+    return sorted((r[0], r[1]) for r in desc)
+
+
+def _double_cols(cols: list) -> set:
+    """Columns this side types as a binary float."""
+    return {
+        c
+        for c, t in cols
+        if t.upper().startswith(("DOUBLE", "FLOAT", "REAL"))
+    }
+
+
+def _fingerprint(con, rel_sql: str, cols: list, other_doubles: set) -> tuple:
+    """Multiset fingerprint of rel_sql with `cols` (name, type) sorted
+    by name. A DECIMAL column whose name appears in `other_doubles`
+    (the OTHER side's float-typed columns) is normalized through the
+    DOUBLE path so both sides agree on the normalization class."""
+    row = f" || {SEP} || ".join(
+        _norm_expr(c, t, force_double=(c in other_doubles)) for c, t in cols
+    )
     n, hsum, hxor = con.execute(
         f"SELECT count(*), sum(CAST(hash(__r) AS HUGEINT)), bit_xor(hash(__r)) "
         f"FROM (SELECT {row} AS __r FROM ({rel_sql}))"
@@ -113,10 +139,15 @@ def main() -> int:
             qs[name](spark, sf_dir).write.mode("overwrite").parquet(out)
             spark_s = time.perf_counter() - t0
             t0 = time.perf_counter()
+            spark_rel = f"SELECT * FROM '{out}/*.parquet'"
+            sdesc = _describe(con, spark_rel)
+            odesc = _describe(con, oracles[name])
             scols, sn, ssum, sxor = _fingerprint(
-                con, f"SELECT * FROM '{out}/*.parquet'"
+                con, spark_rel, sdesc, _double_cols(odesc)
             )
-            ocols, on, osum, oxor = _fingerprint(con, oracles[name])
+            ocols, on, osum, oxor = _fingerprint(
+                con, oracles[name], odesc, _double_cols(sdesc)
+            )
             cmp_s = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: error: {e}")
