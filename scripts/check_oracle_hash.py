@@ -100,11 +100,16 @@ def _double_cols(cols: list) -> set:
     }
 
 
-def _fingerprint(con, rel_sql: str, cols: list, other_doubles: set) -> tuple:
+def _fingerprint(
+    con, rel_sql: str, cols: list | None = None, other_doubles: set = frozenset()
+) -> tuple:
     """Multiset fingerprint of rel_sql with `cols` (name, type) sorted
-    by name. A DECIMAL column whose name appears in `other_doubles`
-    (the OTHER side's float-typed columns) is normalized through the
-    DOUBLE path so both sides agree on the normalization class."""
+    by name (described from rel_sql when omitted). A DECIMAL column
+    whose name appears in `other_doubles` (the OTHER side's
+    float-typed columns) is normalized through the DOUBLE path so both
+    sides agree on the normalization class."""
+    if cols is None:
+        cols = _describe(con, rel_sql)
     row = f" || {SEP} || ".join(
         _norm_expr(c, t, force_double=(c in other_doubles)) for c, t in cols
     )

@@ -227,3 +227,33 @@ def test_media_header_meta_flac_mp3(spark):
     assert got[2] == ("mp3", None, 44100, None, 128, 100, 1600)
     assert got[3] == ("mp3", None, 32000, None, 320, 10, 460)
     assert got[4] == ("flac", None, None, None, None, None, 10)
+
+
+def test_media_header_moov_walk_never_reads_straddling_header(spark):
+    """r11 advice: the bounded moov child walk halted at pos+7 > stop,
+    one byte short — a crafted 8-byte child header whose last byte
+    lies just past the moov box end was still read, pulling mvhd
+    fields out of the SIBLING box's bytes. The full header must fit
+    inside moov (pos + 8 <= stop) or the walk halts with NULLs."""
+    import struct
+
+    from agnes_spark.operators.multimodal import media_header_meta
+
+    payload = (
+        struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        # moov declared size 23: header(8) + free child(8) + 7 bytes of
+        # a PARTIAL child header (4-byte size + "mvh"); the final 'd'
+        # of "mvhd" is the first byte of the next sibling box
+        + struct.pack(">I", 23) + b"moov"
+        + struct.pack(">I", 8) + b"free"
+        + struct.pack(">I", 100) + b"mvh"
+        + b"d" + b"\x00" * 12  # sibling bytes; fake mvhd v0 layout...
+        + struct.pack(">I", 1000) + struct.pack(">I", 2000)  # ts, dur
+    )
+    assert len(payload) == 60
+    df = spark.createDataFrame([(0, payload)], "id bigint, content binary")
+    r = media_header_meta(df, "content").collect()[0]
+    assert r.media_format == "mp4"
+    assert r.mp4_brand == "isom"
+    # pre-fix this read ts=1000/dur=2000 from the sibling -> 2000 ms
+    assert r.media_duration_ms is None

@@ -78,3 +78,36 @@ def test_fingerprint_detects_value_count_and_column_mismatches():
     # two rows swapping cell values (same bag of cells, different rows) -> differs
     swap = _fingerprint(con, "SELECT * FROM (VALUES (1, 'y', 1.5), (2, 'x', 2.5)) t(k, s, v)")
     assert swap[2:] != base[2:]
+
+
+def test_fingerprint_mixed_decimal_vs_double_sides_agree():
+    """r11 advice: when one side types a column DOUBLE (Spark parquet)
+    and the other DECIMAL (DuckDB oracle), the exact-DECIMAL trim and
+    the DOUBLE %.9g path disagree past 9 significant digits
+    ('1.23456789e+11' vs '123456789012.34') and would false-fail the
+    key. The compare must force BOTH sides through one normalization
+    class (DOUBLE) for such columns — and keep the exact trim when
+    both sides are DECIMAL."""
+    from check_oracle_hash import _describe, _double_cols
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dbl AS SELECT CAST(123456789012.34 AS DOUBLE) AS v, 1 AS k"
+    )
+    con.execute(
+        "CREATE TABLE dec AS SELECT CAST(123456789012.34 AS DECIMAL(14,2)) AS v, 1 AS k"
+    )
+    ddesc = _describe(con, "SELECT * FROM dbl")
+    cdesc = _describe(con, "SELECT * FROM dec")
+    a = _fingerprint(con, "SELECT * FROM dbl", ddesc, _double_cols(cdesc))
+    b = _fingerprint(con, "SELECT * FROM dec", cdesc, _double_cols(ddesc))
+    assert a[1:] == b[1:], (a, b)
+    # both-DECIMAL sides keep the EXACT trim: > 9 significant digits
+    # still distinguish values the %.9g form would conflate
+    x = _fingerprint(
+        con, "SELECT CAST(123456789012.34 AS DECIMAL(14,2)) AS v, 1 AS k"
+    )
+    y = _fingerprint(
+        con, "SELECT CAST(123456789012.30 AS DECIMAL(14,2)) AS v, 1 AS k"
+    )
+    assert x[2:] != y[2:]

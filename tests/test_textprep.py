@@ -173,3 +173,32 @@ def test_decontaminate_fuzzy_banded_under_reports_only(spark):
         assert nm <= full[d][0] and bj <= full[d][1] + 1e-9
     # on this corpus the band probe should actually find both
     assert set(banded) == {1, 3}
+
+
+def test_decontaminate_fuzzy_string_eval_ids(spark):
+    """r11 advice: the best-match tiebreak used to cast the eval id to
+    bigint (CAST_INVALID_INPUT under ANSI for ids like 'ev_a'); it
+    must work with any orderable id type, ties to the LEXICOGRAPHIC
+    smallest for strings."""
+    from agnes_spark.operators.textprep import (
+        decontaminate_fuzzy,
+        decontaminate_fuzzy_banded,
+    )
+
+    eval_text = " ".join(f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, eval_text.replace("w20", "zz"))], "doc_id bigint, text string"
+    )
+    # two IDENTICAL eval docs under string ids: same jaccard, so the
+    # tiebreak must deterministically pick 'ev_a' (< 'ev_b')
+    ev = spark.createDataFrame(
+        [("ev_b", eval_text), ("ev_a", eval_text)],
+        "eid string, text string",
+    )
+    for fn in (decontaminate_fuzzy, decontaminate_fuzzy_banded):
+        rows = fn(train, ev, "doc_id", "eid", "text", n=8, threshold=0.3).collect()
+        assert len(rows) == 1, fn.__name__
+        r = rows[0]
+        assert r.doc_id == 1 and r.n_eval_matches == 2
+        assert r.best_eval_id == "ev_a", fn.__name__
+        assert r.best_jaccard >= 0.3

@@ -182,3 +182,23 @@ def test_registered_domain_psl_accepts_preparsed_rules(spark):
     got = {r.h: r.registered_domain for r in out.collect()}
     assert got["a.b.example.co.uk"] == "example.co.uk"
     assert got["x.ck"] is None  # x.ck IS a wildcard public suffix
+
+
+def test_registered_domain_psl_empty_snapshot_falls_back_to_default(spark):
+    """r11 advice: an empty (or comment-only) rule snapshot used to
+    raise WRONG_NUM_COLUMNS from a 1-arg greatest(); it must instead
+    apply only the implicit '*' default rule (last label is the public
+    suffix)."""
+    from agnes_spark.operators.urltools import registered_domain_psl
+
+    df = spark.createDataFrame(
+        [("sub.example.com",), ("example.com",), ("com",), (None,)],
+        "h string",
+    )
+    for snapshot in ([], ["// comments only", "", "// nothing else"]):
+        out = registered_domain_psl(df, "h", snapshot)
+        got = {r.h: r.registered_domain for r in out.collect()}
+        assert got["sub.example.com"] == "example.com"
+        assert got["example.com"] == "example.com"
+        assert got["com"] is None  # host IS the default-rule suffix
+        assert got[None] is None
