@@ -4645,27 +4645,39 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit guards) is scale-invariant under data growth that adds
     customers rather than orders-per-customer."""
     _register_tpch_views(spark, sf_dir, "orders")
+    # Materialize the numbered chain ONCE before the recursion: Spark's
+    # UnionLoop re-evaluates the recursion step's plan every round, so
+    # an inline `chain` CTE re-pays the full orders scan + window sort
+    # per round (rounds = deepest per-customer chain). A localCheckpoint
+    # plans as Scan ExistingRDD (JVM UnsafeRows), so each round's join
+    # probes materialized rows instead — measured 15.2s -> see
+    # BENCH_SAMPLES at sf0.1. Semantics unchanged; the recursive
+    # surface (WITH RECURSIVE walk) is exactly what it was.
+    chain = spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS step
+        FROM orders
+        """
+    ).localCheckpoint(eager=True)
+    chain.createOrReplaceTempView("chain_mat")
     # Size the runaway guard to the data (2x the exact row budget of
     # this recursion) instead of disabling it session-wide: a later
     # genuinely-runaway recursive CTE in the same session still trips.
-    n_orders = _t(spark, sf_dir, "orders").count()
-    limit = max(1_000_000, 2 * n_orders)
+    # The recursion emits one row per order == per chain row; count()
+    # on the eager checkpoint is a cheap already-materialized scan.
+    limit = max(1_000_000, 2 * chain.count())
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(limit))
     sql = """
-    WITH RECURSIVE chain AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS step
-      FROM orders
-    ),
-    walk AS (
+    WITH RECURSIVE walk AS (
       SELECT o_custkey, o_orderkey, step, cents AS running_cents
-      FROM chain WHERE step = 1
+      FROM chain_mat WHERE step = 1
       UNION ALL
       SELECT c.o_custkey, c.o_orderkey, c.step,
              w.running_cents + c.cents
-      FROM walk w JOIN chain c
+      FROM walk w JOIN chain_mat c
         ON c.o_custkey = w.o_custkey AND c.step = w.step + 1
     )
     SELECT o_custkey, o_orderkey, CAST(step AS BIGINT) AS step, running_cents
@@ -7763,6 +7775,129 @@ def psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/html.py) — the step a
+    crawl pipeline runs before every text operator in this repo
+    (C4/RefinedWeb-style boilerplate removal, re-expressed as pure
+    regexp/array codegen; reference parity: extends the agnes curation
+    chain upstream of clean text). Each document is wrapped in a
+    deterministic page: comment + style head, a nav variant keyed on
+    doc_id % 3 (inline <a> tags inside), the doc text as the one dense
+    <P> block, a short ad div (under the density bar), a script, and a
+    footer carrying an &amp; entity — so tag case, inline-vs-block
+    stripping, region removal, entity decoding and the density filter
+    are all load-bearing. The oracle predicts every output column
+    CLOSED-FORM from the raw text (normalized text length + fixture
+    constants); it never parses HTML, so a Spark-side extraction bug
+    cannot cancel out."""
+    from agnes_spark.operators.html import html_extract_main
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    nav = (
+        F.when(
+            m == 0,
+            F.lit(
+                '<a href="/">Home</a> <a href="/a">About</a> '
+                '<a href="/c">Contact</a>'
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "<a>Products</a> <a>Pricing</a> <a>Support</a> <a>Blog</a>"
+            ),
+        )
+        .otherwise(
+            F.lit("<a>Start</a> <a>Docs</a> <a>API</a> <a>Reference</a>")
+        )
+    )
+    html = F.concat(
+        F.lit(
+            "<html><!-- built --><head><STYLE>body{margin:0}</STYLE>"
+            "</head><body><NAV>"
+        ),
+        nav,
+        F.lit("</NAV><P> "),
+        F.col("text"),
+        F.lit(
+            ' </P><div class="ad">Click here now!</div>'
+            "<script>var x=1;</script>"
+            "<footer>Copyright 2026 Example Corp &amp; Partners</footer>"
+            "</body></html>"
+        ),
+    )
+    out = html_extract_main(d.select("doc_id", html.alias("html")), "html")
+    return out.select(
+        "doc_id",
+        "main_text",
+        "n_blocks",
+        "n_content_blocks",
+        "visible_chars",
+        "main_chars",
+        "boilerplate_frac",
+    ).orderBy("doc_id")
+
+
+def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (operators/textanalysis.py,
+    Cavnar–Trenkle out-of-place distance over 7 language profiles) —
+    the long-tail upgrade over the stopword-profile lang_id. The
+    oracle re-runs the identical algorithm in DuckDB SQL (trigram
+    explode, rank window, profile join, penalty sum, min-distance
+    argmin) against the same deterministic profile constant, so every
+    stage — normalization, ranking tie-breaks, the miss penalty, the
+    'und' fallback — must agree end-to-end."""
+    from agnes_spark.operators.textanalysis import lang_id_trigram as _lid
+
+    return _lid(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def _lang_trigram_oracle_sql() -> str:
+    """DuckDB mirror of lang_id_trigram built from the SAME profile
+    constant (single source of truth for the profile table; the
+    pipeline implementations are independent)."""
+    from agnes_spark.operators.textanalysis import (
+        TRIGRAM_CORPORA,
+        trigram_profile,
+    )
+
+    rows = ", ".join(
+        f"('{lang}', '{tg}', {rank})"
+        for lang, corpus in sorted(TRIGRAM_CORPORA.items())
+        for tg, rank in trigram_profile(corpus, 100)
+    )
+    return (
+        f"WITH prof(lang, tg, prank) AS (VALUES {rows}), "
+        "base AS (SELECT doc_id, ' ' || trim(regexp_replace("
+        "regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'), "
+        "' +', ' ', 'g')) || ' ' AS s FROM documents), "
+        "idx AS (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i "
+        "FROM base WHERE length(s) >= 3), "
+        "cnts AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS tg, "
+        "count(*) AS cnt FROM idx GROUP BY 1, 2), "
+        "ranked AS (SELECT doc_id, tg, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY cnt DESC, tg) AS doc_rank FROM cnts), "
+        "top AS (SELECT * FROM ranked WHERE doc_rank <= 60), "
+        "ntop AS (SELECT doc_id, count(*) AS n_top FROM top GROUP BY 1), "
+        "dist AS (SELECT t.doc_id, p.lang, count(*) AS n_matched, "
+        "sum(abs(t.doc_rank - p.prank)) AS sum_abs "
+        "FROM top t JOIN prof p USING (tg) GROUP BY 1, 2), "
+        "d2 AS (SELECT dist.doc_id, dist.lang, "
+        "dist.sum_abs + (n.n_top - dist.n_matched) * 100 AS distance, "
+        "n.n_top FROM dist JOIN ntop n ON dist.doc_id = n.doc_id), "
+        "best AS (SELECT doc_id, lang, distance, n_top, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY distance, lang) AS rn FROM d2) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang_tg, "
+        "CAST(b.distance AS BIGINT) AS best_distance, "
+        "CAST(COALESCE(b.n_top, 0) AS BIGINT) AS n_top "
+        "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+        "USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver grades the first 50 keys in dict order.
     # Round-12 window (counted to exactly 50):
@@ -7835,6 +7970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": chi2_independence,
         # --- end of r12 window; r12-staged keys go HERE, then
         #     remaining keys oldest-grade-first ---
+        "html_extract_docs": html_extract_docs,
+        "lang_id_trigram": lang_id_trigram,
         "corr_matrix": corr_matrix,
         "weighted_sample_docs": weighted_sample_docs,
         "interpolate_gaps": interpolate_gaps,
@@ -11501,4 +11638,25 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     d["rrf_dedup_docs"] = _rrf_dedup_oracle_sql(d["rrf_fusion_docs"])
+    # html_extract_docs: every column predicted CLOSED-FORM from the
+    # normalized raw text length + the gate's fixture constants
+    # (nav-variant lengths 18/29/24, ad 15, decoded footer 38) — the
+    # oracle never touches HTML
+    d["html_extract_docs"] = (
+        "WITH n0 AS (SELECT doc_id, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt FROM documents), "
+        "b AS (SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS l, "
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 18 WHEN 1 THEN 29 ELSE 24 END "
+        "AS BIGINT) AS nav_len FROM n0) "
+        "SELECT doc_id, "
+        "CASE WHEN l >= 30 THEN nt END AS main_text, "
+        "CAST(CASE WHEN l > 0 THEN 4 ELSE 3 END AS BIGINT) AS n_blocks, "
+        "CAST(CASE WHEN l >= 30 THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks, "
+        "nav_len + l + 15 + 38 AS visible_chars, "
+        "CAST(CASE WHEN l >= 30 THEN l ELSE 0 END AS BIGINT) AS main_chars, "
+        "round(1.0 - CAST(CASE WHEN l >= 30 THEN l ELSE 0 END AS DOUBLE) "
+        "/ CAST(nav_len + l + 15 + 38 AS DOUBLE), 6) AS boilerplate_frac "
+        "FROM b ORDER BY doc_id"
+    )
+    d["lang_id_trigram"] = _lang_trigram_oracle_sql()
     return d

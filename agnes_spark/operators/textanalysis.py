@@ -47,6 +47,180 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     return out.withColumn(out_col, pred)
 
 
+# Character-trigram profile corpora (textcat-style): the ~50 highest-
+# frequency function words per language — public linguistic knowledge,
+# the classic Cavnar–Trenkle n-gram category profile seed. Covers the
+# long-tail languages the 4 stopword profiles miss (it/pt/nl) and is
+# far more robust on short or stopword-poor text: trigrams see
+# morphology ('ung ', ' der', 'ção ', 'ijk '), not just whole words.
+TRIGRAM_CORPORA = {
+    "de": "der die und in den von zu das mit sich des auf für ist im "
+    "dem nicht ein eine als auch es an werden aus er hat dass sie nach "
+    "wird bei einer um am sind noch wie einem über einen so zum war "
+    "haben nur oder aber vor zur bis mehr durch man sein wurde",
+    "en": "the of and to in is was he for it with as his on be at by i "
+    "this had not are but from or have an they which one you were her "
+    "all she there would their we him been has when who will more no "
+    "if out so said what up its about into than them can only other",
+    "es": "de la que el en y a los se del las un por con no una su "
+    "para es al lo como más pero sus le ya o este sí porque esta entre "
+    "cuando muy sin sobre también me hasta hay donde quien desde todo "
+    "nos durante todos uno les ni contra otros ese eso ante ellos",
+    "fr": "de la le et les des en un du une que est pour qui dans a "
+    "par plus pas au sur ne se ce il sont mais comme ou si leur y ont "
+    "ces été elle aux avec son ses cette je vous nous dont où fait "
+    "peut sous tout ses deux même notre bien où encore aussi",
+    "it": "di e il la che a in un per è una sono con non si da come lo "
+    "i ma le gli al dei nel alla più o anche questo della questa "
+    "quella questi essere ha hanno era nella sul cosa due già fatto "
+    "dove perché quando stato essere molto senza dopo",
+    "nl": "de van het een en in is dat op te zijn met voor niet aan er "
+    "om ook als dan maar bij of uit naar door over ze nog worden wordt "
+    "heeft hebben werd deze onder tussen tegen na want hun nu al veel "
+    "meer geen tot zich hij daar zo mijn kunnen wel",
+    "pt": "de a o que e do da em um para é com não uma os no se na por "
+    "mais as dos como mas foi ao ele das tem à seu sua ou ser quando "
+    "muito há nos já está eu também só pelo pela até isso ela entre "
+    "era depois sem mesmo aos ter seus quem nas me esse",
+}
+
+
+def trigram_profile(corpus: str, k: int) -> list[tuple[str, int]]:
+    """Rank the top-k character trigrams of a normalized corpus:
+    lowercase, non-letters collapsed to single spaces, padded with one
+    space each side (so word boundaries are part of the signal). Rank
+    order: count desc, trigram asc — fully deterministic. Pure Python
+    over a literal constant; runs once at plan-build time."""
+    import re
+
+    s = " " + re.sub(r"[^\w]+|[\d_]+", " ", corpus.lower()).strip() + " "
+    s = re.sub(r" +", " ", s)
+    counts: dict[str, int] = {}
+    for i in range(len(s) - 2):
+        tg = s[i : i + 3]
+        counts[tg] = counts.get(tg, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(tg, rank + 1) for rank, (tg, _) in enumerate(top)]
+
+
+def lang_id_trigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_top_k: int = 60,
+    profile_k: int = 100,
+    out_col: str = "pred_lang_tg",
+) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle out-of-place
+    distance): the doc's top-`doc_top_k` trigrams by frequency are
+    compared against each language's top-`profile_k` profile; a
+    matched trigram costs |doc_rank - profile_rank|, a miss costs
+    `profile_k`; the language with the least total distance wins
+    (ties to the alphabetically first; no trigrams at all -> 'und').
+
+    Scale shape: the trigram explode is linear in text size with full
+    map-side partial aggregation; the only per-doc shuffles key on the
+    doc id (count + rank window); the profile table (7 langs x
+    profile_k rows) is a broadcast join — nothing here grows with
+    corpus size except the linear scan. Returns one row per input doc:
+    (id, pred, best_distance, n_top).
+    """
+    profiles = {
+        lang: trigram_profile(c, profile_k)
+        for lang, c in TRIGRAM_CORPORA.items()
+    }
+    prof_df = df.sparkSession.createDataFrame(
+        [(lang, tg, r) for lang, tgs in sorted(profiles.items()) for tg, r in tgs],
+        "lang string, tg string, prank int",
+    )
+    from pyspark.sql import Window
+
+    s_expr = F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " "),
+                r" +",
+                " ",
+            )
+        ),
+        F.lit(" "),
+    )
+    s = F.col("__s")
+    # sequence(1, n) DESCENDS when n < 1 — guard short/empty docs to an
+    # empty trigram array instead
+    tgs = F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2), lambda i: s.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Two deliberate plan moves before the per-row trigram work:
+    # (1) repartition first — a single-file (or few-split) source
+    # otherwise runs the whole explode in ONE task (the r11
+    # binary-minhash lesson), and HashPartitioning(id) then satisfies
+    # the clustering of every downstream step (count agg, rank window,
+    # n_top join), so the doc side pays exactly one shuffle of raw
+    # rows; (2) materialize the normalized text as its OWN column —
+    # inlined into transform(), the regex chain would re-run per array
+    # ELEMENT (O(len) regex executions per doc). Measured at sf1.0
+    # (50k docs, one source file): 405s naive -> 204s with (1) ->
+    # 44s with (1)+(2). The multi-referenced non-cheap alias blocks
+    # CollapseProject from undoing this.
+    doc_tg = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), s_expr.alias("__s"))
+        .select(F.col(id_col), F.explode(tgs).alias("tg"))
+        .groupBy(id_col, "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("tg"))
+    doc_top = (
+        doc_tg.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= doc_top_k)
+    )
+    n_top = doc_top.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top")
+    )
+    # inner-join the profiles: a language matching NOTHING can never
+    # beat a matched one (per-trigram match cost < profile_k miss
+    # cost), so absent (doc, lang) pairs are safely unrepresented
+    dist = (
+        doc_top.join(F.broadcast(prof_df), "tg")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.abs(F.col("doc_rank") - F.col("prank"))).alias("sum_abs"),
+        )
+        .join(n_top, id_col)
+        .withColumn(
+            "distance",
+            (
+                F.col("sum_abs")
+                + (F.col("n_top") - F.col("n_matched")) * F.lit(profile_k)
+            ).cast("bigint"),
+        )
+    )
+    best = dist.groupBy(id_col).agg(
+        F.min_by(
+            F.col("lang"), F.struct(F.col("distance"), F.col("lang"))
+        ).alias("__pred"),
+        F.min("distance").alias("best_distance"),
+        F.first("n_top").alias("n_top"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__pred"), F.lit("und")).alias(out_col),
+            F.col("best_distance"),
+            F.coalesce(F.col("n_top"), F.lit(0)).cast("bigint").alias("n_top"),
+        )
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword proxy count
     (letter-runs, single digits, single punctuation — the classic

@@ -225,6 +225,9 @@ EXTRA_QUERIES = [
     # round-10 additions
     "domain_budget_sample",
     "bpe_fertility_delta",
+    # round-12 staged gates
+    "html_extract_docs",
+    "lang_id_trigram",
     # round-11 staged gates
     "psl_registered_domain",
     "media_header_census",
