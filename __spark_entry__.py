@@ -1806,7 +1806,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.symlink(_os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet"))
     ev = read_events_stream(spark, d)
     sess = session_windows(ev, gap="1 hour", watermark="100 days")
-    run_stream_to_memory(sess, "stream_sess_out", output_mode="complete")
+    run_stream_to_memory(
+        sess, "stream_sess_out", output_mode="complete", state_partitions=8
+    )
     return spark.sql("SELECT * FROM stream_sess_out")
 
 
@@ -1830,7 +1832,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still rides the derived event-time column
     ev = read_events_stream(spark, d).withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
     dd = streaming_dedup(ev, ["user_id", "event_type"], "ts_hour", "100 days")
-    run_stream_to_memory(dd, "stream_dedup_out", output_mode="append")
+    run_stream_to_memory(
+        dd, "stream_dedup_out", output_mode="append", state_partitions=8
+    )
     return spark.sql("SELECT user_id, event_type, ts_hour FROM stream_dedup_out")
 
 
@@ -2019,7 +2023,9 @@ def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.symlink(_os.path.join(sf_dir, "events.parquet"), _os.path.join(d, "part-0.parquet"))
     ev = read_events_stream(spark, d)
     agg = windowed_counts(ev, window="1 hour", watermark="100 days")
-    run_stream_to_memory(agg, "stream_windowed_out", output_mode="complete")
+    run_stream_to_memory(
+        agg, "stream_windowed_out", output_mode="complete", state_partitions=8
+    )
     return spark.sql("SELECT * FROM stream_windowed_out")
 
 
@@ -3753,7 +3759,9 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = read_events_stream(spark, d)
     joined = stream_self_join(ev, band="30 minutes", watermark="100 days")
-    run_stream_to_memory(joined, "stream_band_join_out", output_mode="append")
+    run_stream_to_memory(
+        joined, "stream_band_join_out", output_mode="append", state_partitions=8
+    )
     return spark.sql(
         "SELECT l_key AS user_id, l_id, r_id, l_type, r_type "
         "FROM stream_band_join_out"
@@ -6232,7 +6240,9 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("tier", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    run_stream_to_memory(agg, "stream_enrich_out", output_mode="complete")
+    run_stream_to_memory(
+        agg, "stream_enrich_out", output_mode="complete", state_partitions=8
+    )
     return spark.sql(
         "SELECT tier, event_type, n FROM stream_enrich_out"
     ).orderBy("tier", "event_type")

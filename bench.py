@@ -319,15 +319,28 @@ BENCH_QUERIES = HEADLINE_QUERIES + EXTRA_QUERIES
 # Keys whose per-run cost is dominated by FIXED overhead — iterative
 # rounds (pagerank: 12, kcore: peel-to-fixpoint, recursive CTE:
 # depth-of-chain) or micro-batch streaming-engine spin-up — get ONE
-# measured run and NO per-key untimed warmup: the fixed cost is re-paid
-# identically on every run (r11 samples: stream_band_join warmup ==
-# run1 == 14.8s), so a warmup halves nothing and doubles wall time; the
-# session-level engine/JVM warmups above the loop cover class-loading
-# and codegen. Everything else keeps AGNES_BENCH_RUNS (default 3).
+# measured run: median-of-3 adds no signal there (the repeat runs
+# re-pay the same fixed cost) and would ~3x their bench wall time.
 HEAVY_SINGLE_RUN = {
     "pagerank_copurchase",
     "kcore_copurchase",
     "recursive_cte_chain",
+    "stream_band_join",
+    "stream_ingest_neardup",
+    "stream_sessionize",
+    "stream_windowed",
+}
+
+# Of those, the STREAM gates also skip the per-key untimed warmup: their
+# fixed cost (micro-batch engine + state-store setup) is re-paid
+# identically on every run (r11 samples: stream_band_join warmup ==
+# run1 == 14.8s), so a warmup halves nothing and doubles wall time —
+# the session-level rate->noop warmup above the loop covers engine
+# class-loading. The ITERATIVE keys keep their warmup: their first run
+# pays one-time codegen the steady state does not (recursive_cte_chain
+# measured 22.2s cold vs 7.5s warm at sf0.1), and the recorded number
+# should be the steady state.
+NO_WARMUP = {
     "stream_band_join",
     "stream_ingest_neardup",
     "stream_sessionize",
@@ -609,7 +622,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench: prewarm {name} failed: {e}", file=sys.stderr)
         n_runs = 1 if name in HEAVY_SINGLE_RUN else runs
-        if warmup and name not in HEAVY_SINGLE_RUN:
+        if warmup and name not in NO_WARMUP:
             try:
                 w0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
