@@ -536,39 +536,69 @@ def kcore(
 
     Input is a DIRECTED edge list expected symmetric (both directions
     present, the pagerank convention), so out-degree == degree.
-    Per-round shape: one degree aggregate + two semi joins, every
-    shuffle keyed by a node id; lineage truncates with localCheckpoint
-    every 3rd round (the iterative-plan discipline of
-    connected_components/pagerank). Early exit at fixpoint is safe
-    for any fixed-schedule twin: peeling is monotone, so extra rounds
-    after the fixpoint are identity — an engine unrolling exactly
-    max_iter rounds computes the same survivors.
+
+    Iteration state is the NODE alive-set, not the restricted edge
+    frame: the edge list is cached ONCE and every round recomputes
+    degrees over it restricted to the current alive nodes (two semi
+    joins on a node-count-sized frame Spark broadcasts at runtime),
+    so the per-round materialization is |V| rows instead of |E| —
+    on the sf0.1 co-purchase graph (2.39M edges, 20k nodes) that cut
+    the round cost from ~2-3s (persist + count of a 2.3M-row frame)
+    to the alive-set checkpoint. Restricting the FIXED edge set to
+    alive_i is pointwise identical to peeling the previous round's
+    edge frame (an edge survives round i iff both endpoints were
+    alive every round so far, and aliveness is monotone decreasing),
+    so degrees and survivors match the edge-frame formulation and the
+    oracle's unrolled rounds exactly.
+
+    Early exit at fixpoint is safe for any fixed-schedule twin:
+    peeling is monotone, so extra rounds after the fixpoint are
+    identity — an engine unrolling exactly max_iter rounds computes
+    the same survivors. |alive| unchanged IS the fixpoint test:
+    alive sets only shrink, so equal size means equal set, meaning
+    the restricted degrees — and every later round — repeat.
     """
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
-    n_prev = e.count()
-    prev = e
-    for i in range(max_iter):
-        deg = prev.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u")
-        nxt = (
-            prev.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .select("u", "v")
+    e.count()
+    alive: DataFrame | None = None  # None = all nodes (round 0)
+    n_alive_prev = -1
+    deg = None
+    for _i in range(max_iter):
+        restricted = e
+        if alive is not None:
+            restricted = e.join(alive, "u", "left_semi").join(
+                alive.withColumnRenamed("u", "v"), "v", "left_semi"
+            )
+        deg = restricted.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        nxt_alive = (
+            deg.filter(F.col("deg") >= k).select("u").localCheckpoint(eager=True)
         )
-        if i % 3 == 2:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist()
-        n_now = nxt.count()  # materializes; one job per round
-        free_blocks(prev)
-        prev = nxt
-        if n_now == n_prev:
+        n_alive = nxt_alive.count()
+        if alive is not None:
+            free_blocks(alive)
+        alive = nxt_alive
+        if n_alive == n_alive_prev:
             break  # fixpoint: further rounds are identity
-        n_prev = n_now
-    out = prev.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+        n_alive_prev = n_alive
+    # Drop the loop-local edge cache BEFORE building the returned
+    # frame: the final aggregate re-derives the trivial (u, v) cast
+    # projection from `edges` (for the gates, a scan of the
+    # already-materialized localCheckpoint), and the returned plan
+    # holds no reference to blocks this function leaked — repeated
+    # invocations in a long bench/driver session stay flat.
+    e.unpersist()
+    # The final subgraph's degrees are the degrees among surviving
+    # nodes — one more restricted aggregate over the fixed edge list.
+    src_uv = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    out = (
+        src_uv.join(alive, "u", "left_semi")
+        .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return out
 
@@ -738,23 +768,30 @@ def label_propagation(
     edge list expected symmetric (both directions present).
 
     Per-round shape: one equi join labels->edges keyed on the node id,
-    one (u, label) count aggregate, one row_number window partitioned
-    BY NODE — every shuffle keyed, nothing global. Lineage truncates
-    with localCheckpoint every 3rd round (the iterative-plan
-    discipline of connected_components/pagerank). Fixed rounds, no
-    early exit: synchronous LPA can 2-cycle on bipartite structure,
-    so "unchanged" is the only safe stop and a fixed schedule keeps
-    twin implementations bit-identical.
-    """
-    from pyspark.sql import Window
+    one (u, label) count aggregate, then the mode selected by a
+    second aggregate — max_by(lab, struct(cnt, -lab)) — instead of a
+    row_number window: the struct order (cnt DESC via max, then lab
+    ASC via the negation) is the identical total tie-break, but the
+    agg does partial map-side reduction to one candidate per node per
+    partition and never sorts, where the window had to repartition BY
+    NODE and sort every (node, label) row. Fixed rounds, no early
+    exit: synchronous LPA can 2-cycle on bipartite structure, so
+    "unchanged" is the only safe stop and a fixed schedule keeps twin
+    implementations bit-identical.
 
+    Each round materializes its (node, label) frame (one job): the
+    accurate runtime size of that |V|-row frame is what lets the next
+    round's labels->edges join stay a BROADCAST of the labels side
+    (lazy rounds were measured slower here — the unsized aggregate
+    output forced the planner to sort-merge, re-shuffling the edge
+    frame every round).
+    """
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
     labels = (
         e.select(F.col("u").alias("id")).distinct().withColumn("lab", F.col("id"))
     )
-    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lab"))
     prev: DataFrame | None = None
     for i in range(max_iter):
         counts = (
@@ -763,8 +800,13 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         nxt = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            counts.groupBy("u")
+            .agg(
+                F.max_by(
+                    F.col("lab"),
+                    F.struct(F.col("cnt"), (-F.col("lab")).alias("nl")),
+                ).alias("lab")
+            )
             .select(F.col("u").alias("id"), "lab")
         )
         if i % 3 == 2:
