@@ -266,16 +266,23 @@ def minhash_lsh_pairs_from_sets(
     num_perm: int = 64,
     num_bands: int = 16,
     threshold: float = 0.5,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs from a (id, shash array<long>)
     shingle-set frame — the shared engine behind minhash_lsh_pairs
-    (text shingles) and binary_minhash_pairs (byte shingles)."""
+    (text shingles) and binary_minhash_pairs (byte shingles).
+
+    `banded` optionally supplies the (id, band, bucket) frame a caller
+    already computed with `minhash_bands` over the SAME sets (the
+    streaming ingest sink bands each batch once for probe + intra +
+    state append); when absent it is derived here."""
     # reused three times below (banding + both verify sides): keep
     # the shingle sets materialized instead of re-tokenizing
     base = sets.filter(F.size("shash") > 0).persist()
-    banded = minhash_bands(
-        base, id_col, num_perm, num_bands
-    ).persist()  # self-joined below — without this the signature UDF runs twice
+    if banded is None:
+        banded = minhash_bands(
+            base, id_col, num_perm, num_bands
+        ).persist()  # self-joined below — else the signature UDF runs twice
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from agnes_spark.operators.dedup import (
     minhash_bands,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_from_sets,
     shingle_sets,
     two_nearest_cells,
 )
@@ -106,14 +106,32 @@ def incremental_minhash_pairs(
     num_perm: int = 64,
     num_bands: int = 16,
     threshold: float = 0.5,
+    sets: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """All verified near-dup pairs involving the delta: delta-vs-corpus
     via the persisted band index, plus delta-internal via the one-shot
     operator on the (small) delta alone. Output (a_id, b_id, jaccard)
     with a_id < b_id — the same orientation as minhash_lsh_pairs, so
-    the parity gate's comparison is a plain anti-join."""
-    d_base = shingle_sets(delta, id_col, text_col, n).persist()
-    d_banded = minhash_bands(d_base, id_col, num_perm, num_bands)
+    the parity gate's comparison is a plain anti-join.
+
+    `sets` / `banded` optionally supply the delta's (id, shash) shingle
+    frame and its (id, band, bucket) band keys when the caller already
+    computed them (the streaming ingest sink shingles and bands each
+    micro-batch exactly ONCE for probe, intra-batch pairs, and the
+    state append — previously the batch text was re-shingled for each
+    of the three); absent, both are derived here as before. The frames
+    must come from `shingle_sets` / `minhash_bands` with the same
+    parameters, so reuse cannot change any result — both stages are
+    deterministic functions of the batch."""
+    d_base = sets if sets is not None else shingle_sets(
+        delta, id_col, text_col, n
+    ).persist()
+    d_banded = (
+        banded
+        if banded is not None
+        else minhash_bands(d_base, id_col, num_perm, num_bands)
+    )
     c_bands = corpus_bands.select(
         F.col(id_col).alias("c_id"), "band", "bucket"
     )
@@ -142,8 +160,13 @@ def incremental_minhash_pairs(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
-    intra = minhash_lsh_pairs(
-        delta, id_col, text_col, n, num_perm, num_bands, threshold
+    intra = minhash_lsh_pairs_from_sets(
+        d_base,
+        id_col,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+        banded=d_banded,
     ).select("a_id", "b_id", "jaccard")
     # corpus ids and delta ids are disjoint, and intra pairs are
     # delta-delta only, so the union is already duplicate-free

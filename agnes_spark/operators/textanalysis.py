@@ -176,12 +176,21 @@ def lang_id_trigram(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("tg"))
+    # n_top rides a COUNT WINDOW over the same doc-id partitioning the
+    # rank window already established (no new exchange, no sort) —
+    # aggregating it separately re-ran the whole explode+count+rank
+    # subtree a second time and joined it back (two extra shuffles and
+    # the duplicated trigram pass; the plan had the scan->Generate->
+    # HashAggregate->Window chain TWICE).
     doc_top = (
         doc_tg.withColumn("doc_rank", F.row_number().over(w))
         .filter(F.col("doc_rank") <= doc_top_k)
-    )
-    n_top = doc_top.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_top")
+        .withColumn(
+            "n_top",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(id_col))
+            .cast("bigint"),
+        )
     )
     # inner-join the profiles: a language matching NOTHING can never
     # beat a matched one (per-trigram match cost < profile_k miss
@@ -192,8 +201,8 @@ def lang_id_trigram(
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
             F.sum(F.abs(F.col("doc_rank") - F.col("prank"))).alias("sum_abs"),
+            F.first("n_top").alias("n_top"),  # constant within the doc
         )
-        .join(n_top, id_col)
         .withColumn(
             "distance",
             (

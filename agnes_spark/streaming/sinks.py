@@ -147,6 +147,14 @@ def ingest_neardup_sink(
     (probing is read-only), but a crash between the two appends can
     duplicate state rows; production pairs this with
     batch_id-partitioned dynamic overwrite.
+
+    The batch is shingled and banded exactly ONCE: the (id, shash)
+    sets and (id, band, bucket) keys computed here feed the corpus
+    probe, the intra-batch pair detection, AND the state append.
+    (Previously each of the three re-ran the Arrow shingling UDF over
+    the batch text and two of them re-ran the MinHash signature UDF —
+    pure recomputation of deterministic stages, so sharing the frames
+    changes no output.)
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -165,15 +173,24 @@ def ingest_neardup_sink(
                 [], f"{id_col} long, shash array<bigint>"
             )
             empty_state = True
+        b_base = shingle_sets(batch_df, id_col, text_col).persist()
+        b_bands = minhash_bands(b_base, id_col).persist()
         pairs = incremental_minhash_pairs(
-            batch_df, bands, shingles, id_col, text_col, threshold=threshold
+            batch_df,
+            bands,
+            shingles,
+            id_col,
+            text_col,
+            threshold=threshold,
+            sets=b_base,
+            banded=b_bands,
         )
         pairs.write.mode("append").parquet(out_path)
-        b_base = shingle_sets(batch_df, id_col, text_col)
-        b_bands = minhash_bands(b_base, id_col)
         mode = "overwrite" if empty_state else "append"
         b_bands.write.mode(mode).parquet(state_path + "/bands")
         b_base.write.mode(mode).parquet(state_path + "/shingles")
+        b_bands.unpersist()
+        b_base.unpersist()
 
     return _write
 
