@@ -93,6 +93,14 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
             break
         a, b, cnt = best
         out.append((r, a, b, int(cnt)))
+        # Apply the merge LAZILY: the accumulated chain of <= `merges`
+        # literal replaces stays a single projection over the one
+        # checkpointed vocab, so each round costs exactly ONE job (the
+        # bigram-count argmax) instead of two. Re-running r replaces
+        # inside round r+1's aggregate is trivial string work next to
+        # a per-round eager checkpoint (materialize + block write +
+        # scheduling barrier) — measured on the contended bench host
+        # the checkpoint jobs dominated the key's tail.
         vocab = vocab.select(
             F.replace(
                 F.col("seq"),
@@ -100,7 +108,7 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
                 F.lit(f" {a}{b} "),
             ).alias("seq"),
             "wc",
-        ).localCheckpoint(eager=True)
+        )
     return spark.createDataFrame(
         out, "round int, left string, right string, pair_count long"
     )

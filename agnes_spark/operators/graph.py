@@ -29,6 +29,7 @@ not a nicety: each star round references the previous edge frame
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame, Observation
@@ -355,6 +356,51 @@ def pagerank(
         base.filter(F.col("deg") == 0).count()
     )  # initial ranks are all 1.0
     ranks = base.withColumn("rank", F.lit(1.0))
+    if tol <= 0 and dangling_mass == 0.0:
+        # Fixed-round schedule (tol=0) on a graph with NO dangling
+        # nodes: the per-round persist+count exists only to feed the
+        # convergence signal (unused at tol=0) and the next round's
+        # dangling mass (provably 0.0 forever when every node has an
+        # out-edge — rank only accumulates where restart/contribution
+        # lands, and deg==0 nodes don't exist). So run the rounds
+        # LAZILY with the personalized_pagerank discipline: pipeline
+        # into an eager localCheckpoint every 3rd round (plans grow
+        # ~3x/round), and broadcast the node-count-sized rank frame
+        # into each edge join — post-checkpoint lineage is a
+        # LogicalRDD with no stats, so without the hint every round
+        # re-sorts the full edge table under a sort-merge join (or
+        # worse, re-broadcasts the EDGE side). Past the cap (~40
+        # bytes/row: 2M nodes ~ 80 MB) fall back to the shuffle plan.
+        _bcast_cap = int(
+            os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000")
+        )
+        _hint = F.broadcast if n_nodes <= _bcast_cap else (lambda df: df)
+        _prev_ckpt: DataFrame | None = None
+        for i in range(max_iter):
+            contrib = (
+                e.join(_hint(ranks.select(F.col("id").alias("u"), "rank")), "u")
+                .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            nxt = ranks.join(_hint(contrib), ranks.id == contrib.v, "left").select(
+                "id",
+                "deg",
+                (
+                    F.lit(1.0 - d) + F.lit(d) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            if i % 3 == 2 or i == max_iter - 1:
+                nxt = nxt.localCheckpoint(eager=True)
+                if _prev_ckpt is not None:
+                    free_blocks(_prev_ckpt)
+                _prev_ckpt = nxt
+            ranks = nxt
+        e.unpersist()
+        base.unpersist()
+        out = ranks.select("id", "rank")
+        out._agnes_iterations = max_iter
+        return out
     prev_persisted: DataFrame | None = None
     for i in range(max_iter):
         contrib = (
@@ -859,16 +905,28 @@ def personalized_pagerank(
         .persist()
     )
     ranks = base.withColumn("rank", F.col("restart"))
+    # The rank/contribution frames are NODE-count-sized while e is
+    # EDGE-count-sized, but the lazy fixed-round loop gives the
+    # planner no stats (post-localCheckpoint lineage is a LogicalRDD
+    # with unknown size), so every round's two joins fall back to
+    # sort-merge: the full edge table is re-sorted and re-shuffled
+    # per round. Broadcast the node-sized side explicitly when the
+    # node count is known-small; past the cap (a rank row is ~40
+    # bytes, so the default 2M nodes is an ~80 MB broadcast) fall
+    # back to the shuffle plan that scales unconditionally.
+    _bcast_cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    _bcast = base.count() <= _bcast_cap  # also materializes base's cache
+    _hint = F.broadcast if _bcast else (lambda df: df)
     _prev_ckpt = None
     for i in range(rounds):
         contrib = (
-            e.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            e.join(_hint(ranks.select(F.col("id").alias("u"), "rank")), "u")
             .select("v", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("in_mass"))
         )
         nxt = (
-            base.join(contrib, base.id == contrib.v, "left")
+            base.join(_hint(contrib), base.id == contrib.v, "left")
             .select(
                 "id",
                 "deg",
