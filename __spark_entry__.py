@@ -6821,13 +6821,27 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = visited
     outs = []
+    # The frontier/visited frames are BFS-neighborhood-sized (8 seeds
+    # x reachable nodes) while edges is the full 2x-symmetrized edge
+    # list; post-checkpoint lineage is a LogicalRDD with no stats, so
+    # without hints each round sort-merge-joins (re-sorting the edge
+    # table twice per hop). Broadcast the small side while its row
+    # count (cheap: one job over already-materialized checkpoint
+    # blocks) stays under the same env cap the graph operators use;
+    # past the cap fall back to the shuffle plan that scales
+    # unconditionally.
+    _cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    n_front = n_visited = 8  # seeds.limit(8)
     for hop in (1, 2, 3):
+        f = F.broadcast(frontier) if n_front <= _cap else frontier
         nbr = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            f.withColumnRenamed("node", "src")
+            .join(edges, "src")
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        new = nbr.join(visited, ["seed", "node"], "left_anti")
+        v = F.broadcast(visited) if n_visited <= _cap else visited
+        new = nbr.join(v, ["seed", "node"], "left_anti")
         # checkpoint only frontiers that feed ANOTHER round: the last
         # hop's frontier is consumed exactly once (its agg), and the
         # growing visited set needs no checkpoint of its own — it is a
@@ -6842,6 +6856,8 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hop", F.lit(hop).cast("int"))
         )
         if hop < 3:
+            n_front = new.count()
+            n_visited += n_front
             visited = visited.unionByName(new)
             frontier = new
     out = outs[0].unionByName(outs[1]).unionByName(outs[2])

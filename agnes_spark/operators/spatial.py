@@ -23,6 +23,8 @@ predicate) is the 1-D special case; this is its 2-D scale form.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -148,9 +150,18 @@ def dbscan_grid(
     core = deg.filter(F.col("n_nbr") >= min_pts).select("id").localCheckpoint(
         eager=True
     )
+    # Post-localCheckpoint frames are LogicalRDDs with no stats, so
+    # every core/label join below planned as a sort-merge join even
+    # though core/cc/core_lab are point-count-bounded while sym/pairs
+    # are pair-sized. Broadcast the small side while its row count
+    # (cheap: one job over materialized checkpoint blocks) stays
+    # under the shared env cap; past it, the shuffle plan stands.
+    _cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    _small = core.count() <= _cap
+    _b = F.broadcast if _small else (lambda f: f)
     core_edges = (
-        pairs.join(core.select(F.col("id").alias("id_a")), "id_a")
-        .join(core.select(F.col("id").alias("id_b")), "id_b")
+        pairs.join(_b(core.select(F.col("id").alias("id_a"))), "id_a")
+        .join(_b(core.select(F.col("id").alias("id_b"))), "id_b")
         .select("id_a", "id_b")
     )
     # size-adaptive CC: the core-core graph is pairs-sized, not
@@ -163,15 +174,17 @@ def dbscan_grid(
     # consumed twice (border attachment + final output): materialize
     # so the label join runs once
     core_lab = (
-        core.join(cc, "id", "left")
+        core.join(_b(cc), "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
     border = (
-        sym.join(core, "id", "left_anti")
+        sym.join(_b(core), "id", "left_anti")
         .join(
-            core_lab.select(
-                F.col("id").alias("nbr"), F.col("cluster_id").alias("ncl")
+            _b(
+                core_lab.select(
+                    F.col("id").alias("nbr"), F.col("cluster_id").alias("ncl")
+                )
             ),
             "nbr",
         )
