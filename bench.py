@@ -729,51 +729,85 @@ def main() -> None:
             # Stamp a host canary IMMEDIATELY around each remeasure so
             # the entry adjudicates host-vs-code on its own: an r8
             # remeasure taken on an already-degraded host read 4x slow
-            # and could not distinguish throttle from regression.
-            c_pre = _host_canary()
-            mc_pre = _host_canary_mc()
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    timeout=900,  # child may spend up to ~90s in canary retries
-                )
-                line = r.stdout.strip().splitlines()[-1]
-                t_re = json.loads(line)["queries"].get(q, -1.0)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: re-measure of {q} failed: {e}", file=sys.stderr)
-                t_re = -1.0
-            c_post = _host_canary()
+            # and could not distinguish throttle from regression. If the
+            # remeasure's own window is degraded, RETRY once after a
+            # wait (waves are transient) — the r12 run where both the
+            # in-run median AND the lone remeasure landed in waves left
+            # link_prediction adjudicated at a 216.9s reading that a
+            # clean window reproduces at ~9s.
             nominal_re = float(
                 os.environ.get(
                     "AGNES_BENCH_CANARY_NOMINAL", str(CANARY_NOMINAL_S)
                 )
             )
-            mc_post = _host_canary_mc()
-            re_degraded = (
-                max(c_pre, c_post) > CANARY_DEGRADED_RATIO * nominal_re
-                or max(mc_pre, mc_post)
-                > MC_CANARY_DEGRADED_RATIO * MC_CANARY_NOMINAL_S
+            retry_wait = float(
+                os.environ.get("AGNES_BENCH_REMEASURE_RETRY_WAIT_S", "30")
             )
-            remeasure[q] = {
-                "s": t_re,
-                "canary_pre_s": c_pre,
-                "canary_post_s": c_post,
-                "mc_pre_s": mc_pre,
-                "mc_post_s": mc_post,
-                "canary_degraded": re_degraded,
-                # the ADJUDICATED per-key time: the standalone reading
-                # when its own canary stamps are clean, else the (still
-                # suspect) in-run median. Readers of `samples`/`queries`
-                # raw should prefer this for flagged keys (r10 verdict:
-                # in-run medians of wave-flagged keys are the poisoned
-                # readings).
-                "adjudicated_s": (
-                    t_re if (t_re > 0 and not re_degraded) else flagged[q]["median"]
-                ),
-            }
+            attempts = []
+            for att in range(2):
+                c_pre = _host_canary()
+                mc_pre = _host_canary_mc()
+                try:
+                    r = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env,
+                        capture_output=True,
+                        text=True,
+                        timeout=900,  # child may spend ~90s in canary retries
+                    )
+                    line = r.stdout.strip().splitlines()[-1]
+                    t_re = json.loads(line)["queries"].get(q, -1.0)
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"bench: re-measure of {q} failed: {e}", file=sys.stderr
+                    )
+                    t_re = -1.0
+                c_post = _host_canary()
+                mc_post = _host_canary_mc()
+                att_degraded = (
+                    max(c_pre, c_post) > CANARY_DEGRADED_RATIO * nominal_re
+                    or max(mc_pre, mc_post)
+                    > MC_CANARY_DEGRADED_RATIO * MC_CANARY_NOMINAL_S
+                )
+                attempts.append(
+                    {
+                        "s": t_re,
+                        "canary_pre_s": c_pre,
+                        "canary_post_s": c_post,
+                        "mc_pre_s": mc_pre,
+                        "mc_post_s": mc_post,
+                        "canary_degraded": att_degraded,
+                    }
+                )
+                if not att_degraded or (
+                    time.perf_counter() - remeasure_t0
+                    > remeasure_budget_s - retry_wait
+                ):
+                    break
+                time.sleep(retry_wait)
+            best = attempts[-1]
+            clean = [a for a in attempts if a["s"] > 0 and not a["canary_degraded"]]
+            # the ADJUDICATED per-key time: a clean-window standalone
+            # reading when one exists; otherwise the MINIMUM of every
+            # measured reading (in-run median and suspect standalones) —
+            # contention only ever inflates a reading, so every value is
+            # an upper bound of true cost and the smallest measured one
+            # is the least-poisoned record available. Readers of
+            # `samples`/`queries` raw should prefer this for flagged
+            # keys (r10 verdict: in-run medians of wave-flagged keys
+            # are the poisoned readings).
+            if clean:
+                adjudicated = clean[0]["s"]
+            else:
+                candidates = [a["s"] for a in attempts if a["s"] > 0]
+                candidates.append(flagged[q]["median"])
+                adjudicated = min(candidates)
+            remeasure[q] = dict(
+                best,
+                canary_degraded=not clean,
+                retries=len(attempts) - 1,
+                adjudicated_s=adjudicated,
+            )
         print(
             f"bench: {len(flagged)} keys >3x prior median "
             f"{ {q: flagged[q]['ratio'] for q in flagged} }; "
