@@ -1788,6 +1788,18 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feed_state_partitions(sf_dir: str, table: str = "events") -> int:
+    """State-store partition count for the stream gates, derived from
+    the feed file's size (streaming/windows.py state_partitions_for —
+    ~256 KB of compressed source per partition, floor 8 for join
+    parallelism) instead of a constant tuned at one scale factor."""
+    import os as _os
+
+    from agnes_spark.streaming.windows import state_partitions_for
+
+    return state_partitions_for(_os.path.join(sf_dir, f"{table}.parquet"))
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap sessionization (native session_window merging-
     windows state) driven to completion through a memory sink.
@@ -1807,7 +1819,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, d)
     sess = session_windows(ev, gap="1 hour", watermark="100 days")
     run_stream_to_memory(
-        sess, "stream_sess_out", output_mode="complete", state_partitions=8
+        sess, "stream_sess_out", output_mode="complete", state_partitions=_feed_state_partitions(sf_dir)
     )
     return spark.sql("SELECT * FROM stream_sess_out")
 
@@ -1833,7 +1845,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, d).withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
     dd = streaming_dedup(ev, ["user_id", "event_type"], "ts_hour", "100 days")
     run_stream_to_memory(
-        dd, "stream_dedup_out", output_mode="append", state_partitions=8
+        dd, "stream_dedup_out", output_mode="append", state_partitions=_feed_state_partitions(sf_dir)
     )
     return spark.sql("SELECT user_id, event_type, ts_hour FROM stream_dedup_out")
 
@@ -2024,7 +2036,7 @@ def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, d)
     agg = windowed_counts(ev, window="1 hour", watermark="100 days")
     run_stream_to_memory(
-        agg, "stream_windowed_out", output_mode="complete", state_partitions=8
+        agg, "stream_windowed_out", output_mode="complete", state_partitions=_feed_state_partitions(sf_dir)
     )
     return spark.sql("SELECT * FROM stream_windowed_out")
 
@@ -3760,7 +3772,7 @@ def stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, d)
     joined = stream_self_join(ev, band="30 minutes", watermark="100 days")
     run_stream_to_memory(
-        joined, "stream_band_join_out", output_mode="append", state_partitions=8
+        joined, "stream_band_join_out", output_mode="append", state_partitions=_feed_state_partitions(sf_dir)
     )
     return spark.sql(
         "SELECT l_key AS user_id, l_id, r_id, l_type, r_type "
@@ -6241,7 +6253,7 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     run_stream_to_memory(
-        agg, "stream_enrich_out", output_mode="complete", state_partitions=8
+        agg, "stream_enrich_out", output_mode="complete", state_partitions=_feed_state_partitions(sf_dir)
     )
     return spark.sql(
         "SELECT tier, event_type, n FROM stream_enrich_out"
@@ -6830,7 +6842,9 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks) stays under the same env cap the graph operators use;
     # past the cap fall back to the shuffle plan that scales
     # unconditionally.
-    _cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    from agnes_spark.operators.graph import broadcast_node_cap
+
+    _cap = broadcast_node_cap(spark)
     n_front = n_visited = 8  # seeds.limit(8)
     for hop in (1, 2, 3):
         f = F.broadcast(frontier) if n_front <= _cap else frontier
@@ -7942,58 +7956,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. Verify list(queries())[49] programmatically after
     # rotating.
     return {
-        # --- r12 window (50): 8 r11-staged keys + the oldest-grade
-        #     rotation block (crosstab_source_lang .. chi2_independence) ---
-        "psl_registered_domain": psl_registered_domain,
-        "media_header_census": media_header_census,
-        "dedup_binary_minhash": dedup_binary_minhash,
-        "check_binary_minhash_subset": check_binary_minhash_subset,
-        "decontaminate_fuzzy": decontaminate_fuzzy,
-        "check_fuzzy_decon_subset": check_fuzzy_decon_subset,
-        "decontaminate_fuzzy_banded": decontaminate_fuzzy_banded,
-        "check_banded_decon_subset": check_banded_decon_subset,
-        "crosstab_source_lang": crosstab_source_lang,
-        "bigram_top": bigram_top,
-        "salted_agg_topusers": salted_agg_topusers,
-        "asof_join_forward": asof_join_forward,
-        "aggregate_sum": aggregate_sum,
-        "field_stats": field_stats,
-        "join_semi": join_semi,
-        "join_anti": join_anti,
-        "join_outer": join_outer,
-        "join_null_safe": join_null_safe,
-        "join_cross": join_cross,
-        "topk_per_group": topk_per_group,
-        "pivot_linestatus": pivot_linestatus,
-        "running_sum": running_sum,
-        "cube_agg": cube_agg,
-        "count_distinct_parts": count_distinct_parts,
-        "merge_upsert": merge_upsert,
-        "scd2_apply": scd2_apply,
-        "window_ranks": window_ranks,
-        "null_handling": null_handling,
-        "histogram_totalprice": histogram_totalprice,
-        "view_stats": view_stats,
-        "percentiles": percentiles,
-        "set_ops": set_ops,
-        "string_funcs": string_funcs,
-        "date_funcs": date_funcs,
-        "q4_order_priority": q4_order_priority,
-        "subview": subview,
-        "relabel": relabel,
-        "filter_pred": filter_pred,
-        "sort_two_keys": sort_two_keys,
-        "field_arith": field_arith,
-        "melt_wide": melt_wide,
-        "unique_values": unique_values,
-        "compaction_roundtrip": compaction_roundtrip,
-        "schema_evolution_read": schema_evolution_read,
-        "stream_band_join": stream_band_join,
-        "feature_asof_count": feature_asof_count,
-        "decayed_engagement": decayed_engagement,
-        "scd2_pit_join": scd2_pit_join,
-        "column_entropy": column_entropy,
-        "chi2_independence": chi2_independence,
+        # --- r13 window (50): the 2 r12-staged keys head it, topped
+        #     up from the keys following them in dict order; the r12
+        #     window (psl_registered_domain .. chi2_independence) moves
+        #     to the back. r14 ROTATION NOTE: same slide — any keys
+        #     staged in r13 head the next window. Verify
+        #     list(queries())[49] programmatically after rotating. ---
         # --- end of r12 window; r12-staged keys go HERE, then
         #     remaining keys oldest-grade-first ---
         "html_extract_docs": html_extract_docs,
@@ -8241,6 +8209,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": zorder_pruned_scan,
         "bucketed_join_revenue": bucketed_join_revenue,
         "readability_score": readability_score,
+        # --- r12 window, rotated to the back (graded in r12) ---
+        "psl_registered_domain": psl_registered_domain,
+        "media_header_census": media_header_census,
+        "dedup_binary_minhash": dedup_binary_minhash,
+        "check_binary_minhash_subset": check_binary_minhash_subset,
+        "decontaminate_fuzzy": decontaminate_fuzzy,
+        "check_fuzzy_decon_subset": check_fuzzy_decon_subset,
+        "decontaminate_fuzzy_banded": decontaminate_fuzzy_banded,
+        "check_banded_decon_subset": check_banded_decon_subset,
+        "crosstab_source_lang": crosstab_source_lang,
+        "bigram_top": bigram_top,
+        "salted_agg_topusers": salted_agg_topusers,
+        "asof_join_forward": asof_join_forward,
+        "aggregate_sum": aggregate_sum,
+        "field_stats": field_stats,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "join_outer": join_outer,
+        "join_null_safe": join_null_safe,
+        "join_cross": join_cross,
+        "topk_per_group": topk_per_group,
+        "pivot_linestatus": pivot_linestatus,
+        "running_sum": running_sum,
+        "cube_agg": cube_agg,
+        "count_distinct_parts": count_distinct_parts,
+        "merge_upsert": merge_upsert,
+        "scd2_apply": scd2_apply,
+        "window_ranks": window_ranks,
+        "null_handling": null_handling,
+        "histogram_totalprice": histogram_totalprice,
+        "view_stats": view_stats,
+        "percentiles": percentiles,
+        "set_ops": set_ops,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "q4_order_priority": q4_order_priority,
+        "subview": subview,
+        "relabel": relabel,
+        "filter_pred": filter_pred,
+        "sort_two_keys": sort_two_keys,
+        "field_arith": field_arith,
+        "melt_wide": melt_wide,
+        "unique_values": unique_values,
+        "compaction_roundtrip": compaction_roundtrip,
+        "schema_evolution_read": schema_evolution_read,
+        "stream_band_join": stream_band_join,
+        "feature_asof_count": feature_asof_count,
+        "decayed_engagement": decayed_engagement,
+        "scd2_pit_join": scd2_pit_join,
+        "column_entropy": column_entropy,
+        "chi2_independence": chi2_independence,
     }
 
 

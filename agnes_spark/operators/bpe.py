@@ -78,7 +78,12 @@ def _best_pair(vocab: DataFrame):
     return row["a"], row["b"], -row["nc"]
 
 
-def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    merges: int = 5,
+    checkpoint_every: int = 8,
+) -> DataFrame:
     """Run `merges` BPE merge rounds over the word vocabulary of
     `text_col` and return the merge table: one row per round
     (round, left, right, pair_count) — the artifact a tokenizer
@@ -87,20 +92,26 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
     spark = df.sparkSession
     vocab = _word_vocab(df, text_col).localCheckpoint(eager=True)
     out = []
+    pending = 0  # replaces applied since the last checkpoint
     for r in range(1, merges + 1):
         best = _best_pair(vocab)
         if best is None:  # vocabulary fully merged — stop early
             break
         a, b, cnt = best
         out.append((r, a, b, int(cnt)))
-        # Apply the merge LAZILY: the accumulated chain of <= `merges`
-        # literal replaces stays a single projection over the one
-        # checkpointed vocab, so each round costs exactly ONE job (the
-        # bigram-count argmax) instead of two. Re-running r replaces
-        # inside round r+1's aggregate is trivial string work next to
-        # a per-round eager checkpoint (materialize + block write +
-        # scheduling barrier) — measured on the contended bench host
-        # the checkpoint jobs dominated the key's tail.
+        # Apply the merge LAZILY: the accumulated chain of literal
+        # replaces stays a single projection over the last checkpointed
+        # vocab, so each round costs exactly ONE job (the bigram-count
+        # argmax) instead of two. Re-running the pending replaces
+        # inside the next round's aggregate is trivial string work next
+        # to a per-round eager checkpoint (materialize + block write +
+        # scheduling barrier). But an UNBOUNDED chain re-applies r-1
+        # replaces in round r (O(merges^2) recompute) and nests
+        # expressions linearly in `merges`, so every
+        # `checkpoint_every` rounds the chain is folded into a fresh
+        # checkpoint — plan depth and recompute stay bounded at
+        # realistic merge counts (hundreds+) while small trainings keep
+        # the single-job rounds.
         vocab = vocab.select(
             F.replace(
                 F.col("seq"),
@@ -109,6 +120,10 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 5) -> DataFrame:
             ).alias("seq"),
             "wc",
         )
+        pending += 1
+        if checkpoint_every > 0 and pending >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
     return spark.createDataFrame(
         out, "round int, left string, right string, pair_count long"
     )

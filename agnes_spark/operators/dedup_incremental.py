@@ -127,10 +127,16 @@ def incremental_minhash_pairs(
     d_base = sets if sets is not None else shingle_sets(
         delta, id_col, text_col, n
     ).persist()
+    # A locally derived band frame is consumed three times (corpus
+    # probe join + both sides of the LSH self-join inside
+    # minhash_lsh_pairs_from_sets): persist it, or the MinHash
+    # signature UDF re-runs per consumer — the exact recomputation the
+    # sets/banded pass-through exists to avoid (the streaming sink
+    # passes both, so only direct callers hit this path).
     d_banded = (
         banded
         if banded is not None
-        else minhash_bands(d_base, id_col, num_perm, num_bands)
+        else minhash_bands(d_base, id_col, num_perm, num_bands).persist()
     )
     c_bands = corpus_bands.select(
         F.col(id_col).alias("c_id"), "band", "bucket"

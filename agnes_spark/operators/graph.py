@@ -38,6 +38,30 @@ from pyspark.sql import functions as F
 from agnes_spark.session import free_blocks
 
 
+def broadcast_node_cap(spark) -> int:
+    """Max rows of a node-sized frame the iterative operators will
+    broadcast-hint (post-localCheckpoint lineage carries no stats, so
+    Catalyst can't make this call itself). AGNES_GRAPH_BROADCAST_MAX_NODES
+    overrides; the default is DERIVED from the session's
+    autoBroadcastJoinThreshold at ~32 bytes/row (a long id + a double
+    + UnsafeRow overhead — the shape of rank/frontier/core frames), so
+    the cap tracks the deployment's declared broadcast budget instead
+    of a constant tuned on one host (64 MB threshold -> ~2M rows, the
+    r12 constant). A disabled threshold (<= 0) keeps the historical
+    2M default: the explicit hints here are independent of Catalyst's
+    auto-broadcast decision."""
+    env = os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES")
+    if env:
+        return int(env)
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = -1
+    if thr <= 0:
+        return 2_000_000
+    return max(1, thr // 32)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a_id",
@@ -371,9 +395,7 @@ def pagerank(
         # re-sorts the full edge table under a sort-merge join (or
         # worse, re-broadcasts the EDGE side). Past the cap (~40
         # bytes/row: 2M nodes ~ 80 MB) fall back to the shuffle plan.
-        _bcast_cap = int(
-            os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000")
-        )
+        _bcast_cap = broadcast_node_cap(edges.sparkSession)
         _hint = F.broadcast if n_nodes <= _bcast_cap else (lambda df: df)
         _prev_ckpt: DataFrame | None = None
         for i in range(max_iter):
@@ -637,14 +659,18 @@ def kcore(
     e.unpersist()
     # The final subgraph's degrees are the degrees among surviving
     # nodes — one more restricted aggregate over the fixed edge list.
+    # With max_iter <= 0 no peeling ran and `alive` is still None
+    # (= all nodes): degrade gracefully to full-graph degrees, the
+    # behaviour of the pre-r12 edge-frame formulation.
     src_uv = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    out = (
-        src_uv.join(alive, "u", "left_semi")
-        .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
-        .groupBy(F.col("u").alias("id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    if alive is not None:
+        src_uv = src_uv.join(alive, "u", "left_semi").join(
+            alive.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+    out = src_uv.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
     )
     return out
 
@@ -655,6 +681,7 @@ def link_prediction(
     dst: str = "dst",
     min_cn: int = 2,
     max_wedge_degree: int | None = None,
+    pack_ids: bool | None = None,
 ) -> DataFrame:
     """Neighborhood link-prediction scores for NON-adjacent node
     pairs sharing >= min_cn common neighbors: common-neighbor count
@@ -675,6 +702,16 @@ def link_prediction(
     to exclude super-node hubs from the wedge center (they predict
     everything and dominate cost) — pass max_wedge_degree to drop
     centers above the cap before the self-join.
+
+    `pack_ids`: when every node id fits an unsigned 32-bit value, the
+    (u, w) wedge pair is packed into ONE 64-bit key (u << 32 | w) for
+    the count aggregate and the existing-edge anti join — the wedge
+    shuffle is the operator's cost floor, and a single long key halves
+    its key width and hashes/compares as a primitive. Packing is a
+    bijection on the qualifying domain, so counts and the final
+    unpacked (u, w) are unchanged. None (default) = auto-detect with
+    one min/max aggregate over the edge list; True/False skip the
+    probe when the caller knows the id domain.
     """
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -695,30 +732,72 @@ def link_prediction(
     # max_wedge_degree at web scale so a super-node hub can neither
     # blow the wedge count nor the array buffer.
     nbrs = ctr.groupBy("c").agg(F.sort_array(F.collect_list("n")).alias("ns"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ns"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ns"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("ns")) - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("u"), y.alias("w")),
-            ),
+    if pack_ids is None:
+        # one tiny min/max job over the edge list (trivial next to the
+        # wedge shuffle it halves; the gate's edge frame is cached)
+        b = e.agg(
+            F.min(F.least("u", "v")).alias("lo"),
+            F.max(F.greatest("u", "v")).alias("hi"),
+        ).first()
+        pack_ids = (
+            b["lo"] is not None and b["lo"] >= 0 and b["hi"] < (1 << 31)
         )
-    )
-    wedges = nbrs.select(F.explode(pair_arr).alias("p")).select("p.u", "p.w")
-    cn = (
-        wedges.groupBy("u", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
-        .filter(F.col("cn") >= F.lit(int(min_cn)))
-    )
-    cand = cn.join(
-        e.select(F.col("u").alias("eu"), F.col("v").alias("ev")),
-        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
-        "left_anti",
-    )
+    if pack_ids:
+        shift = F.lit(1 << 32).cast("long")
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ns"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ns"),
+                        i + F.lit(2),
+                        F.greatest(F.size(F.col("ns")) - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: x * shift + y,
+                ),
+            )
+        )
+        wedges = nbrs.select(F.explode(pair_arr).alias("uw"))
+        cnp = (
+            wedges.groupBy("uw")
+            .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+            .filter(F.col("cn") >= F.lit(int(min_cn)))
+        )
+        # anti join on the SAME packed key: single-long equi key
+        cand = cnp.join(
+            e.select((F.col("u") * shift + F.col("v")).alias("euw")),
+            F.col("uw") == F.col("euw"),
+            "left_anti",
+        ).select(
+            F.shiftright("uw", 32).alias("u"),
+            F.col("uw").bitwiseAND(F.lit((1 << 32) - 1)).alias("w"),
+            "cn",
+        )
+    else:
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ns"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ns"),
+                        i + F.lit(2),
+                        F.greatest(F.size(F.col("ns")) - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("u"), y.alias("w")),
+                ),
+            )
+        )
+        wedges = nbrs.select(F.explode(pair_arr).alias("p")).select("p.u", "p.w")
+        cn = (
+            wedges.groupBy("u", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+            .filter(F.col("cn") >= F.lit(int(min_cn)))
+        )
+        cand = cn.join(
+            e.select(F.col("u").alias("eu"), F.col("v").alias("ev")),
+            (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+            "left_anti",
+        )
     du = deg.select(F.col("u").alias("du_id"), F.col("deg").alias("deg_u"))
     dw = deg.select(F.col("u").alias("dw_id"), F.col("deg").alias("deg_w"))
     out = (
@@ -914,7 +993,7 @@ def personalized_pagerank(
     # node count is known-small; past the cap (a rank row is ~40
     # bytes, so the default 2M nodes is an ~80 MB broadcast) fall
     # back to the shuffle plan that scales unconditionally.
-    _bcast_cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    _bcast_cap = broadcast_node_cap(edges.sparkSession)
     _bcast = base.count() <= _bcast_cap  # also materializes base's cache
     _hint = F.broadcast if _bcast else (lambda df: df)
     _prev_ckpt = None

@@ -156,7 +156,9 @@ def dbscan_grid(
     # are pair-sized. Broadcast the small side while its row count
     # (cheap: one job over materialized checkpoint blocks) stays
     # under the shared env cap; past it, the shuffle plan stands.
-    _cap = int(os.environ.get("AGNES_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+    from agnes_spark.operators.graph import broadcast_node_cap
+
+    _cap = broadcast_node_cap(df.sparkSession)
     _small = core.count() <= _cap
     _b = F.broadcast if _small else (lambda f: f)
     core_edges = (

@@ -349,12 +349,23 @@ NO_WARMUP = {
 
 # Adaptive single-run: a key whose UNTIMED warmup reading is at or
 # above this many seconds gets 1 measured run instead of
-# AGNES_BENCH_RUNS — at >=2.5s/run the repeat runs add ~2x wall for a
-# median that has never flipped a verdict (the >3x flag + standalone
-# remeasure path adjudicates noise), and the full-coverage bench must
-# fit the driver's wall clock (BENCH_r11: rc=124). Stamped per key in
+# AGNES_BENCH_RUNS — the repeat runs add ~2x wall for a median that
+# has never flipped a verdict (the >3x flag + standalone remeasure
+# path adjudicates noise), and the full-coverage bench must fit the
+# driver's wall clock (BENCH_r11: rc=124; BENCH_r12: 90 keys untimed
+# at the 780s budget — the r12 full run cost ~920s wall, so the r13
+# threshold drops 2.5 -> 1.2 and sub-threshold non-headline keys run
+# twice, which models to ~700s on the r12 record). Stamped per key in
 # the samples file as adaptive_single_run.
-SINGLE_RUN_THRESHOLD_S = 2.5
+SINGLE_RUN_THRESHOLD_S = 1.2
+
+# Measured runs for NON-headline keys below the threshold: 2 (not
+# AGNES_BENCH_RUNS=3), aggregated as the LOWER median — the min of 2
+# samples, the exact median of 3. On this host contention only ever
+# inflates a reading, so min-of-2 is the more robust cheap estimator;
+# headline keys keep median-of-3 so the round-over-round headline sum
+# stays methodology-identical.
+FAST_RUNS = 2
 
 # Nominal best-of-3 seconds for _host_canary on an unthrottled host
 # (calibrated on the build host, r7). Override with
@@ -438,22 +449,68 @@ def _cached_blocks(spark) -> tuple[int, int]:
         return -1, -1
 
 
-def _prior_medians(path: str, sf: float) -> dict[str, float]:
-    """Per-key medians from the last committed BENCH_SAMPLES.json (read
-    BEFORE this run overwrites it) — the baseline for >3x flagging.
-    Empty when the prior record ran at a different scale factor."""
+def _bench_cpus() -> int:
+    """The core count this bench runs at — the driver contract's
+    SPARK_GRAFT_CPUS, falling back to the host width like session.py."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 1)
+    except ValueError:
+        return os.cpu_count() or 1
+
+
+def _prior_medians(path: str, sf: float, cpus: int) -> dict[str, float]:
+    """Per-key LOWER medians from the last committed BENCH_SAMPLES.json
+    (read BEFORE this run overwrites it) — the baseline for >3x
+    flagging. Empty when the prior record ran at a different scale
+    factor OR a different stamped core count: the r12 driver's 8-core
+    scaling run overwrote the 32-core record, and without this check
+    the next round's flagging baseline is poisoned by readings taken
+    on a quarter of the cores."""
     try:
         with open(path) as f:
             prior = json.load(f)
         if prior.get("sf") != sf:
             return {}
+        prior_cpus = prior.get("cpus")
+        if prior_cpus is not None and prior_cpus != cpus:
+            return {}
         out = {}
         for k, smp in prior.get("samples", {}).items():
             if smp:
-                out[k] = sorted(smp)[len(smp) // 2]
+                out[k] = sorted(smp)[(len(smp) - 1) // 2]
         return out
     except Exception:
         return {}
+
+
+def _resolve_samples_path(
+    samples_path: str | None, default_path: str, cpus: int
+) -> str | None:
+    """NEVER clobber a committed record taken at a different core
+    count: the r12 driver's 8-core scaling run overwrote the 32-core
+    full record in the working tree. If the existing default-path
+    record carries a cpus stamp that differs from this run's, divert
+    this run's samples to a per-cpus side file and leave the record
+    byte-identical."""
+    if samples_path != default_path:
+        return samples_path
+    try:
+        with open(default_path) as f:
+            existing_cpus = json.load(f).get("cpus")
+        if existing_cpus is not None and existing_cpus != cpus:
+            diverted = os.path.join(
+                os.path.dirname(default_path), f"BENCH_SAMPLES_c{cpus}.json"
+            )
+            print(
+                f"bench: existing {os.path.basename(default_path)} is a "
+                f"{existing_cpus}-core record; this {cpus}-core run "
+                f"writes {os.path.basename(diverted)} instead",
+                file=sys.stderr,
+            )
+            return diverted
+    except Exception:
+        pass  # no existing record (or unreadable) — write normally
+    return samples_path
 
 
 def _emit_partial(timings: dict, sf: float, runs: int, done: int, pending: int) -> None:
@@ -475,7 +532,7 @@ def _emit_partial(timings: dict, sf: float, runs: int, done: int, pending: int) 
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
-                "agg": "median",
+                "agg": "lower_median",
                 "total_all_queries": round(
                     sum(t for t in timings.values() if t >= 0), 3
                 ),
@@ -568,7 +625,8 @@ def main() -> None:
     samples_file_default = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
     )
-    prior = {} if only else _prior_medians(samples_file_default, sf)
+    cpus = _bench_cpus()
+    prior = {} if only else _prior_medians(samples_file_default, sf, cpus)
     # one UNTIMED warmup execution per query before its measured runs:
     # the first run of a query in a cold JVM pays JIT + codegen-compile
     # + parquet footer reads at 2-3x steady state (r4 driver samples:
@@ -621,7 +679,15 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"bench: prewarm {name} failed: {e}", file=sys.stderr)
-        n_runs = 1 if name in HEAVY_SINGLE_RUN else runs
+        if name in HEAVY_SINGLE_RUN:
+            n_runs = 1
+        elif name in HEADLINE_QUERIES:
+            n_runs = runs
+        else:
+            # non-headline keys: at most FAST_RUNS measured runs
+            # (lower-median aggregation = min of 2) — the r12 driver
+            # bench starved at 780s with warmup + 3 runs per key
+            n_runs = min(runs, FAST_RUNS)
         if warmup and name not in NO_WARMUP:
             try:
                 w0 = time.perf_counter()
@@ -659,7 +725,11 @@ def main() -> None:
         n_rdd, mb = _cached_blocks(spark)
         blocks[name] = [n_rdd, mb]
         all_samples[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
+        # LOWER median: exact median for odd sample counts (headline
+        # median-of-3 unchanged), the min for the 2-run fast keys
+        timings[name] = (
+            sorted(samples)[(len(samples) - 1) // 2] if samples else -1.0
+        )
         _emit_partial(timings, sf, runs, pos + 1, len(run_list) - pos - 1)
         # NOTE: do NOT System.gc() between queries — measured 32.7s vs
         # 22.2s headline: a forced JVM GC finalizes Spark's idle Python
@@ -688,7 +758,7 @@ def main() -> None:
         if p and p > 0 and t > max(3 * p, 0.5):
             flagged[q] = {"median": t, "prior": p, "ratio": round(t / p, 2)}
     remeasure: dict[str, dict] = {}
-    if flagged and not only and not budget_exhausted:
+    if flagged and not only:
         import subprocess
 
         # Re-measure EVERY flagged key (r9 verdict: taking only the
@@ -697,12 +767,19 @@ def main() -> None:
         # 900s + ~90s canary retries, so an uncapped loop on a degraded
         # host is unbounded) — worst-first means the cap still covers
         # the most suspicious ones. The process-level AGNES_BENCH_BUDGET
-        # caps this phase too: never start a remeasure the overall
-        # budget can't afford.
+        # caps this phase too — but a bounded remeasure ALWAYS runs,
+        # even when the key loop exhausted the budget: BENCH_r12 left
+        # five wave readings (markov 43.9s, winsorized 46.7s, ...)
+        # unadjudicated in the official record precisely because budget
+        # exhaustion skipped this phase entirely.
         remeasure_budget_s = float(
             os.environ.get("AGNES_BENCH_REMEASURE_MAX", "1800")
         )
-        if budget_s > 0:
+        child_timeout_s = 900  # child may spend ~90s in canary retries
+        if budget_exhausted:
+            remeasure_budget_s = min(remeasure_budget_s, 240.0)
+            child_timeout_s = 240
+        elif budget_s > 0:
             remeasure_budget_s = min(
                 remeasure_budget_s,
                 max(0.0, budget_s - (time.perf_counter() - t_main0)),
@@ -753,7 +830,7 @@ def main() -> None:
                         env=env,
                         capture_output=True,
                         text=True,
-                        timeout=900,  # child may spend ~90s in canary retries
+                        timeout=child_timeout_s,
                     )
                     line = r.stdout.strip().splitlines()[-1]
                     t_re = json.loads(line)["queries"].get(q, -1.0)
@@ -802,9 +879,13 @@ def main() -> None:
                 candidates = [a["s"] for a in attempts if a["s"] > 0]
                 candidates.append(flagged[q]["median"])
                 adjudicated = min(candidates)
+            # `best` keeps its PER-ATTEMPT canary_degraded flag (the
+            # r12 record silently redefined it to "no clean reading
+            # exists", which readers of earlier rounds misread); the
+            # aggregate lives under its own key instead.
             remeasure[q] = dict(
                 best,
-                canary_degraded=not clean,
+                no_clean_reading=not clean,
                 retries=len(attempts) - 1,
                 adjudicated_s=adjudicated,
             )
@@ -851,12 +932,14 @@ def main() -> None:
     samples_path = os.environ.get(
         "AGNES_BENCH_SAMPLES", None if only else samples_file_default
     )
+    samples_path = _resolve_samples_path(samples_path, samples_file_default, cpus)
     if samples_path:
         try:
             with open(samples_path, "w") as f:
                 json.dump(
                     {
                         "sf": sf,
+                        "cpus": cpus,
                         "runs": runs,
                         "canary": canary,
                         "samples": all_samples,
@@ -886,7 +969,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
-                "agg": "median",
+                "agg": "lower_median",
                 "total_all_queries": total_all,
                 "canary_degraded": canary["degraded"],
                 "mc_degraded": mc_degraded,

@@ -135,6 +135,42 @@ def test_bench_wall_budget_degrades_gracefully(sf_dir, tmp_path):
     assert side_doc["untimed_keys"] == d["untimed_keys"]
 
 
+def test_samples_path_cpus_redirect(tmp_path):
+    """A run at a DIFFERENT core count than the committed record's
+    cpus stamp must divert its samples write to a per-cpus side file —
+    the r12 driver's 8-core scaling run clobbered the committed
+    32-core record, poisoning the next round's >3x-flag baseline."""
+    import json as _json
+
+    import bench
+
+    default = str(tmp_path / "BENCH_SAMPLES.json")
+    # no record yet -> default path stands
+    assert bench._resolve_samples_path(default, default, 8) == default
+    _json.dump({"cpus": 32, "sf": 0.1, "samples": {}}, open(default, "w"))
+    committed = open(default).read()
+    # same cpus -> overwrite allowed (a newer same-shape record)
+    assert bench._resolve_samples_path(default, default, 32) == default
+    # different cpus -> diverted, record untouched
+    got = bench._resolve_samples_path(default, default, 8)
+    assert got == str(tmp_path / "BENCH_SAMPLES_c8.json")
+    assert open(default).read() == committed
+    # explicit side paths are never rewritten
+    side = str(tmp_path / "side.json")
+    assert bench._resolve_samples_path(side, default, 8) == side
+    # an unstamped (pre-r13) record is treated as unknown -> writable
+    _json.dump({"sf": 0.1, "samples": {}}, open(default, "w"))
+    assert bench._resolve_samples_path(default, default, 8) == default
+    # ...and _prior_medians rejects a cpus-mismatched record
+    _json.dump(
+        {"cpus": 32, "sf": 0.1, "samples": {"q": [1.0, 2.0, 3.0]}},
+        open(default, "w"),
+    )
+    assert bench._prior_medians(default, 0.1, 32) == {"q": 2.0}
+    assert bench._prior_medians(default, 0.1, 8) == {}
+    assert bench._prior_medians(default, 0.01, 32) == {}
+
+
 def test_bench_registry_metadata_consistent():
     """Static pins (no SparkSession): every BENCH_QUERIES name and
     every SHARED_CACHE_DEPS key resolves to a real queries() entry, so
@@ -168,8 +204,10 @@ def test_bench_registry_metadata_consistent():
     for deps in entrymod.SHARED_CACHE_DEPS.values():
         for dep in deps:
             assert f'"{dep}"' in src, dep
-    # the dict is the grading order: position 50 is the r12 boundary
-    assert list(qs)[49] == "chi2_independence"
+    # the dict is the grading order: position 50 is the r13 boundary
+    # (window = the 2 r12-staged keys + the 48 keys after them)
+    assert list(qs)[0] == "html_extract_docs"
+    assert list(qs)[49] == "mutual_info_lang_source"
     # every queries() key has either an oracle or a rows-only design
     oracles = entrymod.oracle_sql()
     assert sum(1 for k in qs if k in oracles) >= 260

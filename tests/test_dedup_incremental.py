@@ -118,3 +118,29 @@ def test_incremental_minhash_parity_with_full(spark, sf_dir):
     }
     assert inc == full
     assert inc  # the synthetic docs contain planted near-dups
+
+
+def test_incremental_minhash_sets_only_path_matches(spark, sf_dir):
+    """Passing precomputed `sets` WITHOUT `banded` (the r12-advice
+    path: the band frame is then derived AND persisted internally)
+    yields bit-identical pairs to the all-derived call."""
+    from agnes_spark.operators.dedup import shingle_sets
+
+    docs = _docs(spark, sf_dir)
+    corpus, delta = _split(docs)
+    bands, shingles = minhash_state(corpus, "doc_id", "text")
+    base = incremental_minhash_pairs(
+        delta, bands, shingles, "doc_id", "text", threshold=0.5
+    )
+    pre_sets = shingle_sets(delta, "doc_id", "text", 3).persist()
+    via_sets = incremental_minhash_pairs(
+        delta,
+        bands,
+        shingles,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        sets=pre_sets,
+    )
+    rows = lambda df: {(r.a_id, r.b_id, r.jaccard) for r in df.collect()}
+    assert rows(via_sets) == rows(base)

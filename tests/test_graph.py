@@ -256,6 +256,12 @@ def test_kcore_peels_pendants_and_cascades(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     # k=3: nothing in this graph has a 3-core
     assert kcore(edges, k=3, max_iter=8).count() == 0
+    # max_iter=0: no peeling ran — degrade to full-graph degrees
+    # (r12 advice: the alive-set loop left `alive` None and the final
+    # restriction raised; the edge-frame formulation degraded
+    # gracefully, and so must this one)
+    got0 = {r.id: r.degree for r in kcore(edges, k=2, max_iter=0).collect()}
+    assert got0 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
 
 
 def test_link_prediction_known_graph(spark):
