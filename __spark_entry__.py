@@ -5504,7 +5504,10 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from agnes_spark.operators.graph import link_prediction
 
-    lp = link_prediction(_linkpred_edges(spark, sf_dir), min_cn=2)
+    # pack_ids=True: node ids are TPC-H part keys (< 2^31), so the
+    # (u, w) wedge key packs into one 64-bit long — skip the operator's
+    # auto-detect probe jobs
+    lp = link_prediction(_linkpred_edges(spark, sf_dir), min_cn=2, pack_ids=True)
     return (
         lp.select(
             "u",

@@ -70,15 +70,21 @@ def _cov_rows(df: DataFrame, vec_col: str, scale: int) -> tuple[DataFrame, int]:
     return crows.localCheckpoint(eager=True), n
 
 
-def _matvec(crows: DataFrame, v: list[float]) -> list[float]:
-    """w = C v folded in dimension order; returns w in i order."""
-    vlit = F.array(*[F.lit(float(x)) for x in v])
-    terms = F.zip_with(F.col("carr"), vlit, lambda a, b: a * b)
-    w = crows.select(
-        "i",
-        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x).alias("w"),
-    ).collect()
-    return [row["w"] for row in sorted(w, key=lambda r: r["i"])]
+def _matvec_local(C: list[list[float]], v: list[float]) -> list[float]:
+    """w = C v folded in dimension order over the DRIVER-collected
+    covariance rows — the same ((0.0 + t_0) + t_1) + ... IEEE-double
+    fold the engine-side F.aggregate(zip_with(...), 0.0, +) computed,
+    term by term, so the iterate is bit-identical to the r12
+    per-round Spark job while costing zero jobs. The frame is d x d
+    (64 x 64 here) — bounded driver work, the kmeans-centroid
+    precedent; only the final fold stays engine-side."""
+    w = []
+    for row in C:
+        acc = 0.0
+        for j, vj in enumerate(v):
+            acc = acc + row[j] * vj
+        w.append(acc)
+    return w
 
 
 def pca_power_top(
@@ -93,10 +99,17 @@ def pca_power_top(
     `n_components_out` coordinates of C v_final / lambda. The final
     fold runs engine-side over the bounded covariance frame."""
     crows, _n = _cov_rows(df, vec_col, scale)
-    d = crows.select(F.size("carr")).first()[0]
+    # ONE collect of the bounded d x d covariance replaces a Spark
+    # job per power-iteration round (6 collect jobs + a size probe at
+    # d=64 were pure driver-latency; the iterate itself is 4k flops)
+    C = [
+        r["carr"]
+        for r in sorted(crows.select("i", "carr").collect(), key=lambda r: r["i"])
+    ]
+    d = len(C)
     v = [1.0] * d
     for _ in range(rounds):
-        w = _matvec(crows, v)
+        w = _matvec_local(C, v)
         # seed with the first term, mirroring no-init list folds
         norm = w[0] * w[0]
         for x in w[1:]:
