@@ -6,10 +6,12 @@ the baskets containing them overlap, scored by binary cosine
 similarity c_ab / sqrt(d_a * d_b) where c_ab counts shared baskets
 and d_x the item's basket degree.
 
-Scale shape: the pair generator is within_group_pairs (ONE shuffle:
-items collect per basket, pairs expand map-side, bounded by
-items-per-basket squared — never item-cardinality squared), the
-degree join is keyed equi, and the top-k cut is a per-item window.
+Scale shape: ONE shuffle collects each basket's distinct items as a
+sorted array (collect_set — no separate distinct pre-pass), pairs
+expand map-side from the upper triangle (bounded by items-per-basket
+squared — never item-cardinality squared), degrees and the basket
+count derive from the same arrays, and the top-k cut is a per-item
+window.
 The score is one double division over exact integer counts and one
 correctly-rounded sqrt of an exact integer product, so results are
 bit-deterministic cross-engine; ranking ties break by neighbor id.
@@ -20,7 +22,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from agnes_spark.operators.graph import within_group_pairs
+
+def _basket_arrays(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """ONE shuffle shared by every consumer: the distinct items of each
+    basket as a sorted array. collect_set dedups (basket, item)
+    repeats inside the aggregate, so the separate `.distinct()`
+    pre-pass (a full (o, p) exchange of the fact rows) disappears —
+    pair expansion, per-item basket degrees and the basket count all
+    derive from this frame and share its exchange via ReuseExchange."""
+    return df.groupBy(F.col(basket_col).alias("o")).agg(
+        F.sort_array(
+            F.collect_set(F.col(item_col).cast("long"))
+        ).alias("items")
+    )
+
+
+def _pairs_expr():
+    """Upper-triangle (i < j) pair expansion over a sorted-distinct
+    items array: a < b holds by construction, no null-filter pass
+    needed (within_group_pairs needs one because its input arrays
+    carry duplicates; these are collect_set outputs). A function, not
+    a module constant: F.expr needs an active SparkContext."""
+    return F.expr(
+        """
+        flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, size(items) - i - 1), y ->
+            struct(x AS a, y AS b))))
+        """
+    )
 
 
 def itemitem_cosine(
@@ -34,12 +63,15 @@ def itemitem_cosine(
     with binary-cosine sim, at least `min_common` shared baskets,
     ties broken by ascending q. Duplicate (basket, item) rows
     collapse first so c and d count DISTINCT baskets."""
-    bp = df.select(
-        F.col(basket_col).alias("o"), F.col(item_col).cast("long").alias("p")
-    ).distinct()
-    deg = bp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    arr = _basket_arrays(df, basket_col, item_col)
+    deg = (
+        arr.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
     common = (
-        within_group_pairs(bp, "o", "p")
+        arr.select(F.explode(_pairs_expr()).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= min_common)
@@ -81,15 +113,16 @@ def association_rules(
     top-`top` rules by (lift desc, antecedent, consequent). Same
     one-shuffle pair generation as itemitem_cosine; every score is a
     fixed expression over exact integers — bit-deterministic."""
-    bp = df.select(
-        F.col(basket_col).alias("o"), F.col(item_col).cast("long").alias("p")
-    ).distinct()
-    n_baskets = bp.agg(
-        F.countDistinct("o").cast("long").alias("nb")
+    arr = _basket_arrays(df, basket_col, item_col)
+    n_baskets = arr.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    deg = (
+        arr.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    deg = bp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
     common = (
-        within_group_pairs(bp, "o", "p")
+        arr.select(F.explode(_pairs_expr()).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= min_common)
