@@ -557,10 +557,17 @@ def main() -> None:
     # limit). When exceeded the loop finishes the key in flight, skips
     # the rest, and emits the metric line with a budget_exhausted stamp
     # and the untimed-key list — a graceful partial beats the driver's
-    # rc=124 kill, which leaves no record at all. The default fits the
-    # observed driver wall clock with headroom; solo official runs set
-    # AGNES_BENCH_BUDGET=0 for the full record.
-    budget_s = float(os.environ.get("AGNES_BENCH_BUDGET", "780"))
+    # rc=124 kill, which leaves no record at all. Default AUTO-SIZES to
+    # the suite (r12 verdict item 1: the flat 780s left 90 of 268 keys
+    # untimed): ~3.5s/key models warmup-as-first-sample two-execution
+    # keys plus the heavy tail at a mildly-degraded host, and partial
+    # emission after every key keeps an external kill safe at any
+    # point. Solo official runs set AGNES_BENCH_BUDGET=0 for the full
+    # record.
+    budget_s = float(
+        os.environ.get("AGNES_BENCH_BUDGET", "")
+        or max(780.0, 3.5 * len(BENCH_QUERIES))
+    )
     # If the host is ALREADY degraded before any Spark work, waiting is
     # cheaper than measuring garbage: re-probe up to N times (the r6/r9
     # throttle episodes were transient), and if it never clears, stamp
@@ -646,6 +653,7 @@ def main() -> None:
     untimed_keys: list[str] = []
     budget_exhausted = False
     adaptive_single_run: list[str] = []
+    warmup_as_sample: list[str] = []
     run_list = [
         name
         for name in BENCH_QUERIES
@@ -688,6 +696,7 @@ def main() -> None:
             # (lower-median aggregation = min of 2) — the r12 driver
             # bench starved at 780s with warmup + 3 runs per key
             n_runs = min(runs, FAST_RUNS)
+        samples: list[float] = []
         if warmup and name not in NO_WARMUP:
             try:
                 w0 = time.perf_counter()
@@ -704,9 +713,22 @@ def main() -> None:
                 ):
                     n_runs = 1
                     adaptive_single_run.append(name)
+                elif n_runs > 1 and name not in HEADLINE_QUERIES:
+                    # The warmup execution doubles as the first sample
+                    # for sub-threshold non-headline keys, cutting one
+                    # full execution per key (the r12 driver starved at
+                    # 117/268 keys even at FAST_RUNS=2). The warmup
+                    # reading carries this key's one-time codegen
+                    # compile, so the LOWER-median aggregation picks
+                    # the warm measured run in the normal case; when a
+                    # contention wave hits the measured run instead,
+                    # the cold-but-clean warmup reading caps the damage
+                    # — stamped per key as warmup_as_sample.
+                    samples.append(round(warm_s, 3))
+                    n_runs -= 1
+                    warmup_as_sample.append(name)
             except Exception:
-                pass  # the measured loop reports the error
-        samples: list[float] = []
+                samples = []  # the measured loop reports the error
         for _ in range(n_runs):  # median-of-N: robust to JVM/GC noise
             gc0 = _jvm_gc_ms(spark)
             t0 = time.perf_counter()
@@ -953,6 +975,7 @@ def main() -> None:
                         "budget_exhausted": budget_exhausted,
                         "untimed_keys": untimed_keys,
                         "adaptive_single_run": adaptive_single_run,
+                        "warmup_as_sample": warmup_as_sample,
                     },
                     f,
                     indent=1,

@@ -24,7 +24,7 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS="4",
         AGNES_SHUFFLE_PARTITIONS="4",
-        AGNES_BENCH_RUNS="1",
+        AGNES_BENCH_RUNS="2",
         AGNES_BENCH_ONLY="q1_pricing_summary,aggregate_sum,khop_reach_copurchase",
         AGNES_BENCH_SAMPLES=side,
     )
@@ -78,6 +78,23 @@ def test_bench_last_line_is_compact_parseable_json(sf_dir, tmp_path):
     assert canary["pre_s"] > 0 and canary["post_s"] > 0
     assert canary["nominal_s"] > 0
     assert isinstance(canary["degraded"], bool)
+    # warmup-as-first-sample (r13): a NON-headline key's timed warmup
+    # execution either becomes its first sample (sub-threshold: 2
+    # samples total, lower-median = min picks the warm run) or trips
+    # the adaptive single-run path (at/above threshold: 1 sample) —
+    # either way exactly one post-warmup execution, never RUNS of
+    # them. Which path wins depends on host speed, so assert the
+    # disjunction. Headline keys keep untimed warmup + median-of-N.
+    was = side_doc["warmup_as_sample"]
+    asr = side_doc["adaptive_single_run"]
+    assert ("khop_reach_copurchase" in was) != (
+        "khop_reach_copurchase" in asr
+    )
+    assert len(side_doc["samples"]["khop_reach_copurchase"]) == (
+        2 if "khop_reach_copurchase" in was else 1
+    )
+    assert "q1_pricing_summary" not in was and "q1_pricing_summary" not in asr
+    assert len(side_doc["samples"]["q1_pricing_summary"]) == 2
     assert d["canary_degraded"] == canary["degraded"]
     # the first PRE-probe's state is stamped even when retries clear it
     assert isinstance(canary["pre_degraded_at_start"], bool)
