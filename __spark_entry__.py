@@ -1127,20 +1127,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
     """Deterministic partsupp derived from lineitem's observed
     (partkey, suppkey) pairs: the testdata ships no partsupp table, so
     ps_availqty / ps_supplycost are arithmetic functions of the keys —
     reproduced verbatim in the oracle SQL, which keeps full value-hash
     oracles for the five partsupp-based TPC-H shapes (q2/q9/q11/q16/
     q20) instead of dropping them. One distinct over a two-column
-    projection; Catalyst prunes the lineitem scan to those columns."""
+    projection; Catalyst prunes the lineitem scan to those columns.
+
+    `part_keys` / `supp_keys` (optional, single column ps_partkey /
+    ps_suppkey): semi-join filters applied BELOW the distinct — a
+    caller that only consumes partsupp rows of a selective part or
+    supplier subset (q2's SMALL-size parts, q11's one-nation
+    suppliers) prunes the distinct's exchange instead of distinct-ing
+    the full pair set first; per-row filters on the pair's own keys,
+    so distinct(filter(pairs)) == filter(distinct(pairs)) exactly."""
     li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    if part_keys is not None:
+        pairs = pairs.join(part_keys, "ps_partkey", "left_semi")
+    if supp_keys is not None:
+        pairs = pairs.join(supp_keys, "ps_suppkey", "left_semi")
     return (
-        li.select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
+        pairs
         .distinct()
         .withColumn(
             "ps_availqty",
@@ -1171,13 +1189,19 @@ _PARTSUPP_CTE = (
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each small EUROPE-supplied part, the
     supplier(s) offering it at the region-minimum supplycost. The
-    correlated min subquery is written as its decorrelated form — one
-    per-part min over the region-scoped partsupp, joined back on
-    (part, cost) — the plan Catalyst produces from the subquery form
-    and the only one that scales. partsupp is derived (see _partsupp)."""
-    ps = _partsupp(spark, sf_dir)
+    correlated min subquery is written as its decorrelated form — a
+    per-part min computed where the rows already live. partsupp is
+    derived (see _partsupp). Two prunings ahead of the exchanges
+    (guide §2.3): the selective part filter pushes BELOW partsupp's
+    distinct as a semi-join (the min per part is unaffected by
+    dropping whole part groups), and the per-part min is a window
+    over the ps_partkey exchange instead of a groupBy + join-back
+    (one pass over the scoped frame, no second subtree)."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    ps = _partsupp(
+        spark, sf_dir, p.select(F.col("p_partkey").alias("ps_partkey"))
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1187,12 +1211,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    from pyspark.sql import Window
+
     scoped = ps.join(region_supp, ps.ps_suppkey == region_supp.s_suppkey)
-    min_cost = scoped.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w_part = Window.partitionBy("ps_partkey")
     return (
-        scoped.join(min_cost, "ps_partkey")
+        scoped.withColumn(
+            "min_cost", F.min("ps_supplycost").over(w_part)
+        )
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(p, F.col("ps_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
@@ -1221,13 +1247,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    ps = _partsupp(spark, sf_dir)
+    # the selective part filter prunes BOTH sides of the widest join
+    # before its (partkey, suppkey) exchange (guide §2.3): lineitem
+    # joins p first (p_partkey is unique, so the inner join is a pure
+    # filter + column attach), and partsupp's distinct runs on the
+    # p-pruned pair set (see _partsupp) — identical join graph, the
+    # big exchange carries only matching parts' rows
+    ps = _partsupp(
+        spark, sf_dir, p.select(F.col("p_partkey").alias("ps_partkey"))
+    )
     return (
-        li.join(
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1258,10 +1292,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stock value within one nation
     exceeds a fraction of that nation's total stock value — a HAVING
     against an uncorrelated scalar subquery, planned as a one-row
-    broadcast against the grouped aggregate. partsupp is derived."""
-    ps = _partsupp(spark, sf_dir)
+    broadcast against the grouped aggregate. partsupp is derived;
+    the one-nation supplier scope (1/25 of suppliers) pushes below
+    its distinct as a semi-join (guide §2.3) — numerator and cutoff
+    are both nation-scoped, so whole-supplier pruning is exact."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    # fresh reads for the semi-filter lineage: reusing `s`/`n` here
+    # trips Spark's ambiguous-self-join check at the outer join below
+    s2 = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nation_supp = s2.join(
+        F.broadcast(n2), s2.s_nationkey == n2.n_nationkey
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    ps = _partsupp(spark, sf_dir, supp_keys=nation_supp)
     scoped = (
         ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1308,16 +1352,26 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts — a three-deep IN/correlated chain, written as its
     decorrelated form: the per-(part, supplier) shipped-qty aggregate
     joined to the scoped partsupp, then a semi join up to suppliers.
-    partsupp is derived."""
-    ps = _partsupp(spark, sf_dir)
+    partsupp is derived; the selective pattern-matched part set
+    pushes below both exchanges it scopes (guide §2.3): partsupp's
+    distinct runs on the p-pruned pair set, and the shipped-qty
+    aggregate groups only matching parts' lineitems (per-group
+    pruning on the group key — exact)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    p_keys = p.select(F.col("p_partkey").alias("ps_partkey"))
+    ps = _partsupp(spark, sf_dir, part_keys=p_keys)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     shipped = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            p_keys.select(F.col("ps_partkey").alias("l_partkey")),
+            "l_partkey",
+            "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
