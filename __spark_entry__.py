@@ -6548,10 +6548,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.col("ssq").cast("double") - F.col("s").cast("double") * F.col(
         "s"
     ).cast("double") / F.col("n").cast("double")
-    inert = (
+    # Cluster size and component grand total are already determined by
+    # the per-(cluster, dim) frame (n is the row count at any dim of the
+    # fixed-width vectors; sum_q = sum over dims of s), so one groupBy
+    # over dimstats yields size, total, AND inertia — no second scan of
+    # the assignment frame and no join. Exact integers throughout; the
+    # inertia fold keeps the identical dimension order.
+    return (
         dimstats.withColumn("term", term)
         .groupBy("cluster")
         .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("sum_q"),
             F.aggregate(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "term"))),
@@ -6559,18 +6567,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            ).alias("inertia")
+            ).alias("inertia"),
         )
+        .select("cluster", "n", "sum_q", "inertia")
+        .orderBy("cluster")
     )
-    sizes = asg.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(
-            F.aggregate("q", F.lit(0).cast("long"), lambda a, b: a + b)
-        )
-        .cast("long")
-        .alias("sum_q"),
-    )
-    return sizes.join(inert, "cluster").orderBy("cluster")
 
 
 def itemitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6752,8 +6753,10 @@ def stump_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak-learner convention — positive on the side with the HIGHER
     positive rate (exact integer cross-multiplication pl*nr vs
     pr*nl), so the classifier is never a constant majority vote even
-    on weak-signal data. The learned 1-row split broadcasts onto the
-    fact scan; all metrics are exact integer counts + single
+    on weak-signal data. The confusion matrix is fully determined by
+    the stump's own exact side counts (tp = pred_l*pos_left +
+    pred_r*pos_right, ...), so scoring adds NO second scan of the
+    fact table; all metrics are exact integer counts + single
     divisions — deterministic."""
     from agnes_spark.operators.trees import decision_stump
 
@@ -6765,25 +6768,39 @@ def stump_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = decision_stump(o, "days", "is_f").select(
         "split_value",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
         (F.col("pos_left") * F.col("n_right") > F.col("pos_right") * F.col("n_left"))
-        .cast("int")
+        .cast("long")
         .alias("pred_l"),
         (F.col("pos_left") * F.col("n_right") <= F.col("pos_right") * F.col("n_left"))
-        .cast("int")
+        .cast("long")
         .alias("pred_r"),
     )
-    pred = o.crossJoin(F.broadcast(s)).withColumn(
-        "p",
-        F.when(F.col("days") <= F.col("split_value"), F.col("pred_l"))
-        .otherwise(F.col("pred_r")),
+    # The confusion matrix is exactly determined by the stump's own side
+    # counts: every left-side row predicts pred_l and carries pos_left
+    # positives, so tp = pred_l*pos_left + pred_r*pos_right etc. — no
+    # second scan of the fact table (identical exact-integer counts).
+    pl_, nl_, pr_, nr_ = (
+        F.col("pos_left"),
+        F.col("n_left"),
+        F.col("pos_right"),
+        F.col("n_right"),
     )
-    y = F.col("is_f")
-    p = F.col("p")
-    cm = pred.groupBy("split_value").agg(
-        F.sum(p * y).cast("long").alias("tp"),
-        F.sum(p * (1 - y)).cast("long").alias("fp"),
-        F.sum((1 - p) * y).cast("long").alias("fn"),
-        F.sum((1 - p) * (1 - y)).cast("long").alias("tn"),
+    cm = s.select(
+        "split_value",
+        (F.col("pred_l") * pl_ + F.col("pred_r") * pr_).cast("long").alias("tp"),
+        (F.col("pred_l") * (nl_ - pl_) + F.col("pred_r") * (nr_ - pr_))
+        .cast("long")
+        .alias("fp"),
+        ((1 - F.col("pred_l")) * pl_ + (1 - F.col("pred_r")) * pr_)
+        .cast("long")
+        .alias("fn"),
+        ((1 - F.col("pred_l")) * (nl_ - pl_) + (1 - F.col("pred_r")) * (nr_ - pr_))
+        .cast("long")
+        .alias("tn"),
     )
     tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
     return cm.select(
@@ -7160,8 +7177,9 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     type as the argmax transition from the current type (ties by
     type name), and score in-sample top-1 accuracy — the eval metric
     behind transition_matrix's raw counts. Exact integers + a
-    deterministic argmax; the 5x5 transition model broadcasts back
-    onto the step stream. Output: one row per current type with its
+    deterministic argmax; in-sample hits equal the argmax cell's own
+    transition count, so scoring reads the 5x5 model frame — the step
+    stream is scanned ONCE. Output: one row per current type with its
     predicted next type, step count, hits, and accuracy."""
     from pyspark.sql import Window
 
@@ -7173,23 +7191,26 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = steps.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    pred = trans.groupBy("event_type").agg(
-        F.min(
-            F.struct(
-                (-F.col("c")).alias("nc"), F.col("next_type").alias("nt")
-            )
-        ).alias("b")
-    ).select("event_type", F.col("b.nt").alias("pred_next"))
-    scored = steps.join(F.broadcast(pred), "event_type")
+    # In-sample scoring needs no second pass over the step stream: for
+    # each current type, hits is exactly the argmax cell's own count
+    # (steps whose next_type equals the predicted type) and n_steps the
+    # type's total transition count — both already in `trans`. Exact
+    # integers, identical argmax tie-break (count desc, type asc).
     return (
-        scored.groupBy("event_type", "pred_next")
+        trans.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_steps"),
-            F.sum(
-                (F.col("next_type") == F.col("pred_next")).cast("long")
-            )
-            .cast("long")
-            .alias("hits"),
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"), F.col("next_type").alias("nt")
+                )
+            ).alias("b"),
+            F.sum("c").cast("long").alias("n_steps"),
+        )
+        .select(
+            "event_type",
+            F.col("b.nt").alias("pred_next"),
+            "n_steps",
+            (-F.col("b.nc")).cast("long").alias("hits"),
         )
         .withColumn(
             "accuracy",

@@ -11,8 +11,10 @@ Everything is exact-integer counting plus SINGLE divisions:
 n_tc, N_c, n_t, N, V are exact counts; each probability is one
 division; lift is one division of two such doubles — the whole
 model is bit-deterministic cross-engine with zero logs (no libm
-divergence surface). One token explode + three grouped aggregates;
-the class/vocab totals broadcast as bounded frames.
+divergence surface). ONE token explode + grouped count over the
+corpus; class totals, token totals and the corpus/vocab totals are
+rollups of that bounded (class, token) frame, which broadcast as
+bounded frames.
 """
 
 from __future__ import annotations
@@ -39,15 +41,19 @@ def naive_bayes_top_tokens(
         F.col(class_col).alias("cls"),
         F.explode(ws_tokens(F.col(text_col))).alias("token"),
     )
-    ctc = tok.groupBy("cls", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # ONE explode+groupBy pass over the corpus; every other count is an
+    # exact-integer rollup of the bounded (class, token) frame — the
+    # class totals, token totals, corpus total and vocab size are all
+    # sums/distincts of n, so the raw token stream is scanned once.
+    ctc = (
+        tok.groupBy("cls", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
     )
-    nc = tok.groupBy("cls").agg(F.count(F.lit(1)).cast("long").alias("nc"))
-    ct = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("ct")
-    )
-    totals = tok.agg(
-        F.count(F.lit(1)).cast("long").alias("nn"),
+    nc = ctc.groupBy("cls").agg(F.sum("n").cast("long").alias("nc"))
+    ct = ctc.groupBy("token").agg(F.sum("n").cast("long").alias("ct"))
+    totals = ctc.agg(
+        F.sum("n").cast("long").alias("nn"),
         F.countDistinct("token").cast("long").alias("v"),
     )
     scored = (
