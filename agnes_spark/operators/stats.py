@@ -486,9 +486,11 @@ def _value_counts_cum(df: DataFrame, value_col: str, n_buckets: int = 64) -> Dat
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        # consumed by the bounds agg, the bucket-offsets agg, and the
-        # final prefix join — persist so the full-data groupBy runs once
-        .persist()
+        # NOT persisted: A/B under bench isolation (cache cleared per
+        # run, min-of-5, canary-bracketed) measured persists SLOWER
+        # (gini 0.75->1.21s, spearman 2.10->3.04s min) — exchange
+        # reuse already covers the multi-consumption in the cold path
+        # and the cache write is a pure materialization barrier
     )
     bounds = per_v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     bucketed = per_v.crossJoin(F.broadcast(bounds)).withColumn(
@@ -815,9 +817,9 @@ def trimmed_mean(
     bucketed prefix sum — no global window over the data-sized value
     frame), the kept sum is an exact integer, and the mean is ONE
     final division. Returns (n_total, n_kept, mean)."""
-    # the prefix frame feeds both the totals agg and the kept-count
-    # pass — persist so the groupBy+window substrate runs once
-    vc = _value_counts_cum(df, value_col, n_buckets).persist()
+    # NOT persisted: A/B under bench isolation measured a persist here
+    # SLOWER (1.76->2.47s min) — see _value_counts_cum
+    vc = _value_counts_cum(df, value_col, n_buckets)
     totals = vc.agg(F.sum("t").cast("long").alias("nn"))
     lo_cut = (
         (F.col("nn") * trim_pct - F.pmod(F.col("nn") * trim_pct, F.lit(100)))
@@ -926,9 +928,9 @@ def winsorized_mean(
     _value_counts_cum prefix frame, the winsorized sum is exact, and
     the mean is ONE division. Returns (n_total, lo_cut, hi_cut,
     mean)."""
-    # the prefix frame feeds the totals agg, the cut-value agg, AND
-    # the clamped-sum pass — persist so the substrate runs once
-    vc = _value_counts_cum(df, value_col, n_buckets).persist()
+    # NOT persisted: A/B under bench isolation measured a persist here
+    # SLOWER (2.31->2.58s min) — see _value_counts_cum
+    vc = _value_counts_cum(df, value_col, n_buckets)
     totals = vc.agg(F.sum("t").cast("long").alias("nn"))
     j = vc.crossJoin(F.broadcast(totals))
     lo = (

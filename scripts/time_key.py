@@ -39,6 +39,9 @@ def main():
     results = {k: [] for k in keys}
     for r in range(reps):
         for k in keys:
+            # mirror bench.py isolation: per-query persisted frames are
+            # dropped between runs, so every rep pays materialization
+            spark.catalog.clearCache()
             c0 = canary(spark)
             t0 = time.perf_counter()
             n = qs[k](spark, sf_dir).count()
